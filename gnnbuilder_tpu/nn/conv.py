@@ -1,0 +1,351 @@
+"""Message-passing convolution layers — the TPU-native model family.
+
+Covers every conv the reference supports or stubs (SURVEY.md section 2.2):
+GCN, GIN, GINE, SAGE, PNA, LG (LightGCN), Simple, and GAT — the layer the
+reference only left as ``// TODO: GAT layer`` (gnn_builder_lib.h:2343).
+
+Numerics follow PyTorch-Geometric semantics exactly (the golden model the
+reference verifies against): edge direction senders("j") -> receivers("i"),
+aggregation at receivers, PyG conventions for self-loops, normalization,
+empty-segment fill and the PNA degree scalers.  Parity is enforced by
+tests/test_conv_parity.py against a pure-torch reference implementation.
+
+Every layer takes ``(graph: GraphBatch, x: [N, F])`` and returns ``[N, F']``.
+Layers carry ``p_in/p_out`` tile hints like the reference wrappers
+(models.py:30-314) — on TPU these parameterize Pallas block shapes instead of
+HLS unroll factors (they do not change semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gnnbuilder_tpu.core.graph import GraphBatch
+from gnnbuilder_tpu.nn.linear import Linear
+from gnnbuilder_tpu.ops import segment
+
+__all__ = [
+    "GCNConv",
+    "GINConv",
+    "GINEConv",
+    "SAGEConv",
+    "PNAConv",
+    "GATConv",
+    "LGConv",
+    "SimpleConv",
+    "SUPPORTED_GNN_CONVS",
+]
+
+
+def _gather(x, idx):
+    # sender/receiver feature gather; take() lowers to a dynamic-gather that
+    # XLA vectorizes over the feature (lane) dimension
+    return jnp.take(x, idx, axis=0)
+
+
+class GCNConv(nn.Module):
+    """GCN with self-loops and symmetric normalization (PyG GCNConv defaults).
+
+    Reference kernel: gcn_conv / gcn_conv_agg (gnn_builder_lib.h:1213-1387),
+    which aggregates 1/sqrt((1+d_i)(1+d_j)) including the self loop.  Here the
+    linear transform is applied *before* aggregation when it shrinks the
+    feature dim (fewer bytes through the gather) — mathematically identical.
+    The self-loop term is added analytically (x_i * d_i^-1) instead of
+    materializing self edges, keeping edge arrays static.
+    """
+
+    in_channels: int
+    out_channels: int
+    p_in: int = 1
+    p_out: int = 1
+
+    def setup(self):
+        self.lin = Linear(self.out_channels, use_bias=False, name="lin")
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.out_channels,)
+        )
+
+    def __call__(self, g: GraphBatch, x):
+        n = g.num_nodes
+        deg = g.in_degree.astype(x.dtype) + 1.0  # +1 self loop
+        dis = jax.lax.rsqrt(deg)
+
+        transform_first = self.out_channels <= self.in_channels
+        h = self.lin(x) if transform_first else x
+
+        norm = dis[g.senders] * dis[g.receivers]  # [E]
+        msg = _gather(h, g.senders) * norm[:, None]
+        agg = segment.segment_sum(msg, g.receivers, n)
+        agg = agg + h * (dis * dis)[:, None]  # self loop: norm_ii = 1/deg_i
+
+        out = agg if transform_first else self.lin(agg)
+        return out + self.bias
+
+
+class GINConv(nn.Module):
+    """GIN: MLP((1+eps) x + sum_j x_j).  MLP is Linear->ReLU->Linear with
+    hidden = out_channels, per the reference's GIN_MLP (models.py:47-67);
+    reference kernel gin_conv (gnn_builder_lib.h:1389-1549)."""
+
+    in_channels: int
+    out_channels: int
+    eps: float = 0.0
+    p_in: int = 1
+    p_out: int = 1
+
+    def setup(self):
+        hidden = self.out_channels
+        self.lin0 = Linear(hidden, name="lin0")
+        self.lin1 = Linear(self.out_channels, name="lin1")
+
+    def __call__(self, g: GraphBatch, x):
+        agg = segment.segment_sum(_gather(x, g.senders), g.receivers, g.num_nodes)
+        h = (1.0 + self.eps) * x + agg
+        return self.lin1(jax.nn.relu(self.lin0(h)))
+
+
+class GINEConv(nn.Module):
+    """GINE (edge features): message = ReLU(x_j + W_e e_ij), then GIN apply.
+
+    Reference kernel gine_conv (gnn_builder_lib.h:1552-1742) — present and
+    tested there but never emitted by its codegen (model.cpp.jinja:143-144);
+    fully supported here."""
+
+    in_channels: int
+    out_channels: int
+    edge_dim: int
+    eps: float = 0.0
+    p_in: int = 1
+    p_out: int = 1
+
+    def setup(self):
+        hidden = self.out_channels
+        self.lin_edge = Linear(self.in_channels, name="lin_edge")
+        self.lin0 = Linear(hidden, name="lin0")
+        self.lin1 = Linear(self.out_channels, name="lin1")
+
+    def __call__(self, g: GraphBatch, x):
+        assert g.edge_feat is not None, "GINEConv requires edge features"
+        e = self.lin_edge(g.edge_feat)
+        msg = jax.nn.relu(_gather(x, g.senders) + e)
+        agg = segment.segment_sum(msg, g.receivers, g.num_nodes)
+        h = (1.0 + self.eps) * x + agg
+        return self.lin1(jax.nn.relu(self.lin0(h)))
+
+
+class SAGEConv(nn.Module):
+    """GraphSAGE: W_l mean_j(x_j) + W_r x_i, bias on the neighbor path only
+    (PyG SAGEConv defaults; reference kernel gnn_builder_lib.h:2159-2341)."""
+
+    in_channels: int
+    out_channels: int
+    p_in: int = 1
+    p_out: int = 1
+
+    def setup(self):
+        self.lin_l = Linear(self.out_channels, use_bias=True, name="lin_l")
+        self.lin_r = Linear(self.out_channels, use_bias=False, name="lin_r")
+
+    def __call__(self, g: GraphBatch, x):
+        agg = segment.segment_mean(
+            _gather(x, g.senders),
+            g.receivers,
+            g.num_nodes,
+            count=g.in_degree.astype(x.dtype)[:, None],
+        )
+        return self.lin_l(agg) + self.lin_r(x)
+
+
+PNA_AGGREGATORS = ("max", "min", "mean", "std")
+PNA_SCALERS = ("identity", "amplification", "attenuation")
+
+
+class PNAConv(nn.Module):
+    """PNA (towers=1, divide_input=False, pre/post_layers=1, PyG semantics).
+
+    message: pre_nn([x_i || x_j]); aggregate with max/min/mean/std; scale the
+    12F concat by [identity, log(d+1)/delta, delta/log(d+1)] with d
+    clamped to >=1; post_nn([x_i || scaled]) (13F -> F_out); final lin.
+    Reference kernel pna_conv (gnn_builder_lib.h:1750-2157) — the hardest conv
+    and its headline benchmark.  ``delta`` is the dataset's mean log-degree
+    (reference models.py:227-237 overrides PyG's avg_deg_log with it).
+    """
+
+    in_channels: int
+    out_channels: int
+    delta: float = 1.0
+    aggregators: Sequence[str] = PNA_AGGREGATORS
+    scalers: Sequence[str] = PNA_SCALERS
+    p_in: int = 1
+    p_out: int = 1
+
+    def setup(self):
+        self.pre_nn = Linear(self.in_channels, name="pre_nn")
+        self.post_nn = Linear(self.out_channels, name="post_nn")
+        self.lin = Linear(self.out_channels, name="lin")
+
+    def __call__(self, g: GraphBatch, x):
+        n = g.num_nodes
+        h_edge = self.pre_nn(
+            jnp.concatenate(
+                [_gather(x, g.receivers), _gather(x, g.senders)], axis=-1
+            )
+        )
+        count = g.in_degree.astype(x.dtype)[:, None]
+        aggs = segment.segment_multi(
+            h_edge, g.receivers, n, self.aggregators, count=count
+        )
+        agg_cat = jnp.concatenate([aggs[a] for a in self.aggregators], axis=-1)
+
+        deg = jnp.maximum(g.in_degree.astype(x.dtype), 1.0)[:, None]
+        log_deg = jnp.log(deg + 1.0)
+        scaled = []
+        for s in self.scalers:
+            if s == "identity":
+                scaled.append(agg_cat)
+            elif s == "amplification":
+                scaled.append(agg_cat * (log_deg / self.delta))
+            elif s == "attenuation":
+                scaled.append(agg_cat * (self.delta / log_deg))
+            else:
+                raise ValueError(f"unknown scaler {s}")
+        out = jnp.concatenate([x] + scaled, axis=-1)  # 13F concat
+        return self.lin(self.post_nn(out))
+
+
+class GATConv(nn.Module):
+    """GAT attention conv — implemented for real (the reference's TODO,
+    gnn_builder_lib.h:2343; frontend wrapper models.py:126).
+
+    PyG GATConv semantics with add_self_loops=True: per-edge logits
+    leaky_relu(a_l . W x_j + a_r . W x_i), segment softmax over each
+    receiver's incoming edges *including the self edge*, attention-weighted
+    sum.  The self edge is handled analytically (no edge materialization) so
+    shapes stay static — an SDDMM + segment-softmax formulation.
+    """
+
+    in_channels: int
+    out_channels: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    add_self_loops: bool = True
+    p_in: int = 1
+    p_out: int = 1
+
+    def setup(self):
+        H, C = self.heads, self.out_channels
+        self.lin = Linear(H * C, use_bias=False, name="lin")
+        init = nn.initializers.glorot_uniform()
+        self.att_src = self.param("att_src", init, (1, H, C))
+        self.att_dst = self.param("att_dst", init, (1, H, C))
+        out_dim = H * C if self.concat else C
+        self.bias = self.param("bias", nn.initializers.zeros, (out_dim,))
+
+    def __call__(self, g: GraphBatch, x):
+        n = g.num_nodes
+        H, C = self.heads, self.out_channels
+        h = self.lin(x).reshape(n, H, C)
+        a_src = jnp.sum(h * self.att_src, axis=-1)  # [N, H]
+        a_dst = jnp.sum(h * self.att_dst, axis=-1)  # [N, H]
+
+        logits = jax.nn.leaky_relu(
+            a_src[g.senders] + a_dst[g.receivers], self.negative_slope
+        )  # [E, H]
+
+        if self.add_self_loops:
+            self_logit = jax.nn.leaky_relu(
+                a_src + a_dst, self.negative_slope
+            )  # [N, H]
+            m_edge = jax.ops.segment_max(
+                logits, g.receivers, n, indices_are_sorted=True
+            )
+            m = jnp.maximum(jnp.where(jnp.isfinite(m_edge), m_edge, -jnp.inf),
+                            self_logit)
+            exp_e = jnp.exp(logits - m[g.receivers])
+            exp_self = jnp.exp(self_logit - m)  # [N, H]
+            denom = (
+                segment.segment_sum(exp_e, g.receivers, n) + exp_self
+            )
+            num = segment.segment_sum(
+                exp_e[:, :, None] * h[g.senders], g.receivers, n
+            ) + exp_self[:, :, None] * h
+            out = num / denom[:, :, None]
+        else:
+            alpha = segment.segment_softmax(logits, g.receivers, n)
+            out = segment.segment_sum(
+                alpha[:, :, None] * h[g.senders], g.receivers, n
+            )
+
+        out = out.reshape(n, H * C) if self.concat else out.mean(axis=1)
+        return out + self.bias
+
+
+class LGConv(nn.Module):
+    """LightGCN: 1/sqrt(d_i d_j)-normalized sum, no self loops, no weights
+    (reference kernel gnn_builder_lib.h:2347-2499)."""
+
+    in_channels: int
+    out_channels: int
+    p_in: int = 1
+    p_out: int = 1
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.in_channels != self.out_channels:
+            raise ValueError("LGConv requires in_channels == out_channels")
+
+    def __call__(self, g: GraphBatch, x):
+        deg = g.in_degree.astype(x.dtype)
+        dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1.0)), 0.0)
+        norm = dis[g.senders] * dis[g.receivers]
+        msg = _gather(x, g.senders) * norm[:, None]
+        return segment.segment_sum(msg, g.receivers, g.num_nodes)
+
+
+class SimpleConv(nn.Module):
+    """Plain neighbor aggregation, no transform (reference kernel
+    gnn_builder_lib.h:2501-2634; PyG SimpleConv, combine_root=None)."""
+
+    in_channels: int
+    out_channels: int
+    aggregation: str = "sum"
+    p_in: int = 1
+    p_out: int = 1
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.in_channels != self.out_channels:
+            raise ValueError("SimpleConv requires in_channels == out_channels")
+
+    def __call__(self, g: GraphBatch, x):
+        msg = _gather(x, g.senders)
+        n = g.num_nodes
+        count = g.in_degree.astype(x.dtype)[:, None]
+        if self.aggregation in ("sum", "add"):
+            return segment.segment_sum(msg, g.receivers, n)
+        if self.aggregation == "mean":
+            return segment.segment_mean(msg, g.receivers, n, count=count)
+        if self.aggregation == "max":
+            return segment.segment_max(msg, g.receivers, n, count=count)
+        if self.aggregation == "min":
+            return segment.segment_min(msg, g.receivers, n, count=count)
+        raise ValueError(f"unknown aggregation {self.aggregation}")
+
+
+# the reference's SUPPORTED_GNN_CONVS (models.py:453-459) plus the extra
+# layers its kernel library ships (GINE/LG/Simple) and the GAT it TODO'd
+SUPPORTED_GNN_CONVS = {
+    "gcn": GCNConv,
+    "gin": GINConv,
+    "gine": GINEConv,
+    "gat": GATConv,
+    "pna": PNAConv,
+    "sage": SAGEConv,
+    "lg": LGConv,
+    "simple": SimpleConv,
+}

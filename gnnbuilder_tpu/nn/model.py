@@ -1,0 +1,194 @@
+"""GNNModel — the declarative whole-model container.
+
+Mirror of the reference's GNNModel (models.py:462-575): a uniform conv stack
+(first layer F_in -> hidden, interior hidden -> hidden, last hidden -> F_out),
+optional skip connections on interior layers added *before* the activation
+(models.py:562-564), multi-aggregation global pooling, an MLP head, and an
+optional output activation applied over the last axis (models.py:500-502).
+
+Forward semantics are exactly models.py:551-575 — this is the golden
+semantics the parity tests enforce against the torch reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+
+from gnnbuilder_tpu.core.graph import GraphBatch
+from gnnbuilder_tpu.nn.conv import SUPPORTED_GNN_CONVS
+from gnnbuilder_tpu.nn.mlp import MLP
+from gnnbuilder_tpu.nn.pool import GlobalPooling
+from gnnbuilder_tpu.ops.activations import (
+    OUTPUT_ACTIVATIONS,
+    SUPPORTED_MODEL_ACTIVATIONS,
+    get_activation,
+)
+
+__all__ = ["GNNModel"]
+
+# convs that consume edge features
+_EDGE_CONVS = ("gine",)
+
+
+class GNNModel(nn.Module):
+    graph_input_feature_dim: int
+    gnn_hidden_dim: int
+    gnn_num_layers: int
+    gnn_output_dim: int
+    gnn_conv: str  # key into SUPPORTED_GNN_CONVS
+    gnn_activation: str = "relu"
+    gnn_skip_connection: bool = False
+    graph_input_edge_dim: Optional[int] = None
+    pooling_aggrs: Sequence[str] = ("add",)
+    mlp_hidden_dim: int = 64
+    mlp_hidden_layers: int = 2
+    mlp_out_dim: int = 1
+    mlp_activation: str = "relu"
+    output_activation: Optional[str] = None  # "softmax" | "log_softmax"
+    gnn_p_in: int = 1
+    gnn_p_hidden: int = 1
+    gnn_p_out: int = 1
+    mlp_p_in: int = 1
+    mlp_p_hidden: int = 1
+    mlp_p_out: int = 1
+    conv_kwargs: Optional[dict] = None  # e.g. {"delta": 2.78} for PNA
+
+    def setup(self):
+        if self.gnn_conv not in SUPPORTED_GNN_CONVS:
+            raise ValueError(
+                f"gnn_conv must be one of {sorted(SUPPORTED_GNN_CONVS)}"
+            )
+        if self.gnn_activation not in SUPPORTED_MODEL_ACTIVATIONS:
+            raise ValueError(
+                f"gnn_activation must be one of {SUPPORTED_MODEL_ACTIVATIONS}"
+            )
+        if (
+            self.output_activation is not None
+            and self.output_activation not in OUTPUT_ACTIVATIONS
+        ):
+            raise ValueError(
+                f"output_activation must be one of {sorted(OUTPUT_ACTIVATIONS)}"
+            )
+        if self.gnn_num_layers == 0 and (
+            self.graph_input_feature_dim != self.gnn_output_dim
+        ):
+            raise ValueError(
+                "gnn_num_layers=0 requires graph_input_feature_dim =="
+                " gnn_output_dim"
+            )
+
+        conv_cls = SUPPORTED_GNN_CONVS[self.gnn_conv]
+        kw: dict[str, Any] = dict(self.conv_kwargs or {})
+        if self.gnn_conv in _EDGE_CONVS:
+            kw["edge_dim"] = self.graph_input_edge_dim
+
+        convs = []
+        for i, (in_dim, out_dim, p_in, p_out) in enumerate(
+            self._layer_dims()
+        ):
+            convs.append(
+                conv_cls(
+                    in_channels=in_dim,
+                    out_channels=out_dim,
+                    p_in=p_in,
+                    p_out=p_out,
+                    name=f"gnn_convs_{i}",
+                    **kw,
+                )
+            )
+        self.gnn_convs = convs
+        self.act = get_activation(self.gnn_activation)
+        self.global_pooling = GlobalPooling(
+            aggrs=tuple(self.pooling_aggrs), name="global_pooling"
+        )
+        self.mlp_head = MLP(
+            in_dim=self.gnn_output_dim * len(self.pooling_aggrs),
+            out_dim=self.mlp_out_dim,
+            hidden_dim=self.mlp_hidden_dim,
+            hidden_layers=self.mlp_hidden_layers,
+            activation=self.mlp_activation,
+            p_in=self.mlp_p_in,
+            p_hidden=self.mlp_p_hidden,
+            p_out=self.mlp_p_out,
+            name="mlp_head",
+        )
+
+    def _layer_dims(self):
+        """(in_dim, out_dim, p_in, p_out) per conv layer — models.py:509-549."""
+        dims = []
+        L = self.gnn_num_layers
+        if L == 1:
+            dims.append(
+                (
+                    self.graph_input_feature_dim,
+                    self.gnn_output_dim,
+                    self.gnn_p_in,
+                    self.gnn_p_out,
+                )
+            )
+        elif L > 1:
+            for i in range(L):
+                if i == 0:
+                    dims.append(
+                        (
+                            self.graph_input_feature_dim,
+                            self.gnn_hidden_dim,
+                            self.gnn_p_in,
+                            self.gnn_p_hidden,
+                        )
+                    )
+                elif i == L - 1:
+                    dims.append(
+                        (
+                            self.gnn_hidden_dim,
+                            self.gnn_output_dim,
+                            self.gnn_p_hidden,
+                            self.gnn_p_out,
+                        )
+                    )
+                else:
+                    dims.append(
+                        (
+                            self.gnn_hidden_dim,
+                            self.gnn_hidden_dim,
+                            self.gnn_p_hidden,
+                            self.gnn_p_hidden,
+                        )
+                    )
+        return dims
+
+    def __call__(self, g: GraphBatch, x=None):
+        """Forward pass; returns [G, mlp_out_dim] per-graph predictions
+        (ghost graph row included — mask it with g.graph_mask downstream)."""
+        h = g.node_feat if x is None else x
+        L = self.gnn_num_layers
+        for i, conv in enumerate(self.gnn_convs):
+            h_in = h
+            h = conv(g, h)
+            if self.gnn_skip_connection and 0 < i < L - 1:
+                h = h + h_in
+            h = self.act(h)
+        pooled = self.global_pooling(g, h)
+        out = self.mlp_head(pooled)
+        if self.output_activation is not None:
+            out = OUTPUT_ACTIVATIONS[self.output_activation](out)
+        return out
+
+    # --- introspection mirroring the reference (models.py:577-634) ---
+    @property
+    def input_node_features_dim(self):
+        return self.graph_input_feature_dim
+
+    @property
+    def input_edge_features_dim(self):
+        return self.graph_input_edge_dim
+
+    @property
+    def output_features_dim(self):
+        return self.mlp_out_dim
+
+    @property
+    def gnn_layer_sizes(self):
+        return [(d[0], d[1]) for d in self._layer_dims()]

@@ -1,0 +1,129 @@
+"""Segment (per-receiver) reduction primitives — the message-aggregation core.
+
+TPU-native counterpart of the reference's streaming incremental aggregators
+(gnn_builder_lib.h:642-802: mean :646, Welford variance->std with +1e-5 eps
+:677, sum :711, max :736, min :773).  On TPU the edges arrive pre-sorted by
+receiver (core/graph.py), so all reductions are sorted-segment ops that XLA
+lowers without a full scatter; the fused multi-aggregator used by PNA computes
+sum / count / max / min / sum-of-squares in one pass over the gathered
+messages.
+
+Numerics match PyG aggregation semantics (the golden model the reference
+tests against, gen_test_data.py:216-317):
+  * empty segments produce 0 for every aggregator (PyG scatter fills zeros),
+  * std = sqrt(relu(E[x^2] - E[x]^2) + 1e-5) per PyG StdAggregation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "segment_sum",
+    "segment_mean",
+    "segment_max",
+    "segment_min",
+    "segment_std",
+    "segment_multi",
+    "segment_softmax",
+]
+
+_STD_EPS = 1e-5  # PyG StdAggregation epsilon (reference gnn_builder_lib.h:700)
+
+
+def segment_sum(data, segment_ids, num_segments):
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments, indices_are_sorted=True
+    )
+
+
+def segment_count(segment_ids, num_segments, dtype=jnp.float32):
+    ones = jnp.ones(segment_ids.shape + (1,), dtype=dtype)
+    return segment_sum(ones, segment_ids, num_segments)
+
+
+def segment_mean(data, segment_ids, num_segments, count=None):
+    s = segment_sum(data, segment_ids, num_segments)
+    if count is None:
+        count = segment_count(segment_ids, num_segments, data.dtype)
+    return s / jnp.maximum(count, 1.0)
+
+
+def segment_max(data, segment_ids, num_segments, count=None):
+    m = jax.ops.segment_max(
+        data, segment_ids, num_segments, indices_are_sorted=True
+    )
+    # empty segments -> 0 (PyG convention); segment_max yields -inf there
+    if count is None:
+        count = segment_count(segment_ids, num_segments, data.dtype)
+    return jnp.where(count > 0, m, 0.0).astype(data.dtype)
+
+
+def segment_min(data, segment_ids, num_segments, count=None):
+    m = jax.ops.segment_min(
+        data, segment_ids, num_segments, indices_are_sorted=True
+    )
+    if count is None:
+        count = segment_count(segment_ids, num_segments, data.dtype)
+    return jnp.where(count > 0, m, 0.0).astype(data.dtype)
+
+
+def segment_std(data, segment_ids, num_segments, count=None):
+    if count is None:
+        count = segment_count(segment_ids, num_segments, data.dtype)
+    denom = jnp.maximum(count, 1.0)
+    mean = segment_sum(data, segment_ids, num_segments) / denom
+    mean_sq = segment_sum(data * data, segment_ids, num_segments) / denom
+    var = jax.nn.relu(mean_sq - mean * mean)
+    return jnp.sqrt(var + _STD_EPS)
+
+
+def segment_multi(data, segment_ids, num_segments, aggregators, count=None):
+    """Compute several aggregations of the same messages in one logical pass.
+
+    Returns dict {name: [num_segments, F]}.  Shares the sum/count work between
+    mean and std; XLA fuses the gathered-message reads.
+    """
+    if count is None:
+        count = segment_count(segment_ids, num_segments, data.dtype)
+    out = {}
+    need_mean = "mean" in aggregators or "std" in aggregators
+    s = None
+    if "sum" in aggregators or need_mean:
+        s = segment_sum(data, segment_ids, num_segments)
+    if "sum" in aggregators:
+        out["sum"] = s
+    if need_mean:
+        mean = s / jnp.maximum(count, 1.0)
+        if "mean" in aggregators:
+            out["mean"] = mean
+        if "std" in aggregators:
+            mean_sq = segment_sum(
+                data * data, segment_ids, num_segments
+            ) / jnp.maximum(count, 1.0)
+            var = jax.nn.relu(mean_sq - mean * mean)
+            out["std"] = jnp.sqrt(var + _STD_EPS)
+    if "max" in aggregators:
+        out["max"] = segment_max(data, segment_ids, num_segments, count)
+    if "min" in aggregators:
+        out["min"] = segment_min(data, segment_ids, num_segments, count)
+    return out
+
+
+def segment_softmax(logits, segment_ids, num_segments):
+    """Numerically-stable softmax over each receiver's incoming edges.
+
+    Used by GAT attention (the kernel the reference left as TODO,
+    gnn_builder_lib.h:2343).  ``logits`` is [E] or [E, H].
+    """
+    m = jax.ops.segment_max(
+        logits, segment_ids, num_segments, indices_are_sorted=True
+    )
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    shifted = logits - m[segment_ids]
+    e = jnp.exp(shifted)
+    denom = segment_sum(e, segment_ids, num_segments)
+    return e / jnp.maximum(denom[segment_ids], 1e-16)
