@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: PNA on QM9 (the reference's hardest conv and the
+BASELINE.json metric) — canonical 6-layer model, throughput in graphs/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+vs_baseline compares against the reference's best published QM9 PNA number:
+fpga_par at 1.707 ms/graph == 585.8 graphs/s (BASELINE.md, batch=1 on a
+xcu280).  We report steady-state throughput at the best batch size on one
+TPU chip; batch=1 marginal latency is an auxiliary field.  All timings use
+marginal measurement (gnnbuilder_tpu/bench/timing.py) because
+block_until_ready does not actually block through the axon TPU relay.
+"""
+
+import json
+import sys
+
+REF_PNA_QM9_LATENCY_S = 1.707e-3  # BASELINE.md fpga_par pna/qm9
+REF_PNA_QM9_GRAPHS_PER_S = 1.0 / REF_PNA_QM9_LATENCY_S
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.bench.canonical import canonical_batches, canonical_model
+    from gnnbuilder_tpu.bench.timing import marginal_time
+
+    log(f"devices: {jax.devices()}")
+
+    graphs, _ = canonical_batches("qm9", n_graphs=256, batch_size=1)
+    model = canonical_model("pna", "qm9", graphs=graphs)
+
+    def measure(bs, n_lo=5, n_hi=25):
+        gs, batches = canonical_batches(
+            "qm9", n_graphs=max(bs * 2, 64), batch_size=bs
+        )
+        b = batches[0]
+        p = gnnb.Program(
+            model,
+            max_nodes=b.num_nodes,
+            max_edges=b.num_edges,
+            max_graphs=b.num_graphs,
+        )
+        p.init_params(b)
+        f = p.compile(b)
+        dt = marginal_time(f, p.params, b, n_lo=n_lo, n_hi=n_hi)
+        return dt
+
+    lat_b1 = measure(1, n_lo=10, n_hi=60)
+    log(f"batch=1 marginal latency: {lat_b1*1e3:.3f} ms/graph")
+
+    best_tput, best_bs = 0.0, 1
+    for bs in (256, 1024, 4096):
+        dt = measure(bs)
+        tput = bs / dt
+        log(f"batch={bs}: {dt*1e3:.2f} ms/call -> {tput:,.0f} graphs/s")
+        if tput > best_tput:
+            best_tput, best_bs = tput, bs
+
+    print(
+        json.dumps(
+            {
+                "metric": "qm9_pna_throughput",
+                "value": round(best_tput, 1),
+                "unit": "graphs/s",
+                "vs_baseline": round(best_tput / REF_PNA_QM9_GRAPHS_PER_S, 2),
+                "latency_b1_ms": round(lat_b1 * 1e3, 3),
+                "best_batch_size": best_bs,
+                "baseline": "fpga_par pna/qm9 1.707 ms/graph (BASELINE.md)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -158,19 +158,15 @@ class Program:
             cost = cost[0] if cost else {}
         return dict(cost or {})
 
-    def benchmark(
-        self, batch: GraphBatch, iters: int = 50, warmup: int = 5
-    ) -> dict:
+    def benchmark(self, batch: GraphBatch, iters: int = 25) -> dict:
         """Measured wall-clock per forward call — the analog of the C-sim
-        testbench timing loop (model_tb.cpp.jinja:167-204)."""
+        testbench timing loop (model_tb.cpp.jinja:167-204).  Uses marginal
+        timing (bench/timing.py) because block_until_ready is unreliable on
+        relayed TPU backends."""
+        from gnnbuilder_tpu.bench.timing import marginal_time
+
         fwd = self.compile(batch)
-        for _ in range(warmup):
-            fwd(self.params, batch).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(self.params, batch)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
+        dt = marginal_time(fwd, self.params, batch, n_hi=iters)
         real_graphs = int(np.asarray(batch.graph_mask).sum())
         real_edges = int(np.asarray(batch.edge_mask).sum())
         return {

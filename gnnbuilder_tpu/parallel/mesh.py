@@ -1,0 +1,40 @@
+"""Device mesh construction for multi-chip scaling.
+
+The reference is a single-device accelerator generator with no distribution
+story (SURVEY.md section 2.4); here multi-chip is first-class: a 2-D
+("dp", "tp") mesh where
+
+* ``dp`` (data/edge parallel) shards the flat node/edge arrays of a
+  GraphBatch — the edge-partitioned large-graph/batch axis (the GNN analog
+  of sequence/context parallelism, BASELINE.json north star), and
+* ``tp`` (tensor parallel) shards weight matrices along output features —
+  the multi-chip generalization of the reference's intra-kernel p_in/p_out
+  unroll factors (models.py:32, gnn_builder_lib.h:819-831).
+
+Collectives ride ICI via XLA GSPMD; no NCCL/MPI analog is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+__all__ = ["make_mesh"]
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        assert n % tp == 0, (n, tp)
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.array(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))

@@ -1,0 +1,82 @@
+"""Sharding specs for graph batches and parameters over a ("dp","tp") mesh.
+
+Edge-partitioning layout: node rows, edge rows and graph rows of a
+``GraphBatch`` are all sharded along ``dp``.  Message gathers then read
+remote node features; XLA GSPMD lowers them to ICI collectives
+(all-gather / all-to-all) automatically — correctness first, with the
+hand-overlapped Pallas path as the optimization layer on top (ops/pallas).
+
+Parameters shard along ``tp`` on the output-feature dimension wherever it is
+divisible; everything else replicates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnnbuilder_tpu.core.graph import GraphBatch
+
+__all__ = ["batch_shardings", "param_shardings", "shard_batch", "shard_params"]
+
+
+def batch_shardings(mesh: Mesh, batch: GraphBatch) -> GraphBatch:
+    """A GraphBatch-shaped pytree of NamedShardings (dp edge partitioning)."""
+
+    def node(_):
+        return NamedSharding(mesh, P("dp"))
+
+    rep = NamedSharding(mesh, P())
+    return GraphBatch(
+        node_feat=NamedSharding(mesh, P("dp", None)),
+        senders=NamedSharding(mesh, P("dp")),
+        receivers=NamedSharding(mesh, P("dp")),
+        edge_feat=(
+            NamedSharding(mesh, P("dp", None))
+            if batch.edge_feat is not None
+            else None
+        ),
+        node_graph=node(None),
+        in_degree=node(None),
+        row_offsets=rep,  # [N+1] — replicated (small)
+        n_node=rep,
+        n_edge=rep,
+        node_mask=node(None),
+        edge_mask=node(None),
+        graph_mask=rep,
+        num_graphs_static=batch.num_graphs_static,
+    )
+
+
+def shard_batch(mesh: Mesh, batch: GraphBatch) -> GraphBatch:
+    sh = batch_shardings(mesh, batch)
+
+    def put(x, s):
+        if x is None or isinstance(x, int):
+            return x
+        return jax.device_put(x, s)
+
+    return jax.tree.map(
+        put, batch, sh, is_leaf=lambda x: x is None
+    )
+
+
+def param_shardings(mesh: Mesh, params):
+    """PartitionSpec tree: 2-D kernels shard output features over tp."""
+    tp = mesh.shape["tp"]
+
+    def spec(p):
+        if hasattr(p, "ndim") and p.ndim == 2 and p.shape[1] % tp == 0 and tp > 1:
+            return NamedSharding(mesh, P(None, "tp"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, params)
+
+
+def shard_params(mesh: Mesh, params):
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, s), params, param_shardings(mesh, params)
+    )
