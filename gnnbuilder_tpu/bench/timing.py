@@ -34,6 +34,9 @@ def marginal_time(
     fn, *args, n_lo: int = 5, n_hi: int = 25, warmup: int = 3, repeats: int = 2
 ) -> float:
     """Marginal seconds per ``fn(*args)`` call, relay overhead cancelled."""
+    if n_hi <= n_lo:  # keep a measurable gap for any caller-supplied iters
+        n_lo = max(1, n_hi // 2)
+        n_hi = max(n_lo + 1, n_hi)
     for _ in range(warmup):
         timed_fence(fn(*args))
 

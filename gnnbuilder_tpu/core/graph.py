@@ -136,21 +136,16 @@ def build_graph_batch(
 
     xs, eidx, eattr = [], [], []
     has_edge_feat = graphs[0].edge_attr is not None if graphs else False
-    node_off = 0
-    node_graph, n_node, n_edge = [], [], []
-    for gi, g in enumerate(graphs):
-        n = int(g.x.shape[0])
-        e = int(g.edge_index.shape[1])
+    n_node, n_edge = [], []
+    for g in graphs:
         xs.append(np.asarray(g.x, dtype=dtype))
-        eidx.append(np.asarray(g.edge_index, dtype=np.int64) + node_off)
+        eidx.append(np.asarray(g.edge_index, dtype=np.int64))
         if has_edge_feat:
             eattr.append(np.asarray(g.edge_attr, dtype=dtype))
-        node_graph.append(np.full((n,), gi, dtype=np.int32))
-        n_node.append(n)
-        n_edge.append(e)
-        node_off += n
+        n_node.append(int(g.x.shape[0]))
+        n_edge.append(int(g.edge_index.shape[1]))
 
-    num_nodes = node_off
+    num_nodes = int(sum(n_node))
     num_edges = int(sum(n_edge))
     num_graphs = len(graphs)
 
@@ -177,8 +172,12 @@ def build_graph_batch(
         if num_edges
         else np.zeros((2, 0), dtype=np.int64)
     )
-    senders_raw = edge_index[0].astype(np.int64)
-    receivers_raw = edge_index[1].astype(np.int64)
+    senders_raw, receivers_raw, node_graph = packing.concat_graphs(
+        np.asarray(n_edge, dtype=np.int64),
+        np.asarray(n_node, dtype=np.int64),
+        edge_index,
+        num_nodes,
+    )
 
     ghost = n_pad - 1  # pad nodes region holds the ghost node at the end
 
@@ -194,11 +193,9 @@ def build_graph_batch(
             ef[:num_edges] = np.concatenate(eattr, axis=0)[perm]
         edge_feat = ef
 
-    ng = np.full((n_pad,), num_graphs, dtype=np.int32)  # pad -> ghost graph id
-    if num_nodes:
-        ng[:num_nodes] = np.concatenate(node_graph)
-    # extend ghost graph id to full padded graph count - 1
-    ng[num_nodes:] = g_pad - 1
+    ng = np.empty((n_pad,), dtype=np.int32)
+    ng[:num_nodes] = node_graph
+    ng[num_nodes:] = g_pad - 1  # pad nodes -> ghost graph id
 
     nn_ = np.zeros((g_pad,), dtype=np.int32)
     ne_ = np.zeros((g_pad,), dtype=np.int32)

@@ -17,7 +17,35 @@ import numpy as np
 
 from gnnbuilder_tpu.native import lib as _native
 
-__all__ = ["sort_and_csr"]
+__all__ = ["sort_and_csr", "concat_graphs"]
+
+
+def concat_graphs(
+    edge_counts: np.ndarray,
+    node_counts: np.ndarray,
+    edge_index: np.ndarray,
+    total_nodes: int,
+):
+    """Offset per-graph edge ids into global batch ids + per-node graph ids.
+
+    ``edge_index`` is [2, total_edges], the graph-major concatenation of the
+    raw per-graph edge arrays.  Returns (senders i64, receivers i64,
+    node_graph i32) in flat batch coordinates.
+    """
+    num_graphs = int(edge_counts.shape[0])
+    if _native.available() and edge_index.shape[1] > 0:
+        return _native.concat_edges(
+            edge_counts, node_counts, edge_index, total_nodes
+        )
+    node_offsets = np.zeros((num_graphs,), dtype=np.int64)
+    np.cumsum(node_counts[:-1], out=node_offsets[1:])
+    per_edge_off = np.repeat(node_offsets, edge_counts)
+    senders = edge_index[0].astype(np.int64) + per_edge_off
+    receivers = edge_index[1].astype(np.int64) + per_edge_off
+    node_graph = np.repeat(
+        np.arange(num_graphs, dtype=np.int32), node_counts
+    )
+    return senders, receivers, node_graph
 
 
 def sort_and_csr(

@@ -17,15 +17,26 @@ _SO_PATH = os.path.join(_HERE, "libgnnb_packing.so")
 _lib = None
 
 
+_load_failed = False
+
+
 def _load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH):
+    if _load_failed:
         return None
+    if not os.path.exists(_SO_PATH):
+        # lazy one-shot build attempt (no-op without a toolchain)
+        from gnnbuilder_tpu.native import build as _build
+
+        if not _build.build(verbose=False):
+            _load_failed = True
+            return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
+        _load_failed = True
         return None
     i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
@@ -44,6 +55,18 @@ def _load():
         i32p,  # out in_degree [n_pad]
     ]
     lib.gnnb_sort_and_csr.restype = ctypes.c_int
+    lib.gnnb_concat_edges.argtypes = [
+        i64p,  # edge_counts [num_graphs]
+        i64p,  # node_counts [num_graphs]
+        i64p,  # edges_concat [2 * total_edges]
+        ctypes.c_int64,  # num_graphs
+        ctypes.c_int64,  # total_edges
+        i64p,  # out senders [total_edges]
+        i64p,  # out receivers [total_edges]
+        i32p,  # out node_graph [total_nodes]
+        ctypes.c_int64,  # total_nodes
+    ]
+    lib.gnnb_concat_edges.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -78,3 +101,33 @@ def sort_and_csr(senders, receivers, num_nodes, n_pad, e_pad, ghost):
     if rc != 0:
         raise RuntimeError(f"gnnb_sort_and_csr failed with code {rc}")
     return s_out, r_out, perm, row_offsets, in_degree
+
+
+def concat_edges(edge_counts, node_counts, edges_concat, total_nodes):
+    """Offset per-graph edge ids into global ids + emit per-node graph ids.
+
+    ``edges_concat`` is [2, total_edges] (graph-major concatenation of raw
+    per-graph edge_index arrays).  Returns (senders[total_edges] i64,
+    receivers[total_edges] i64, node_graph[total_nodes] i32).
+    """
+    lib = _load()
+    assert lib is not None
+    num_graphs = int(edge_counts.shape[0])
+    total_edges = int(edges_concat.shape[1])
+    s_out = np.empty((total_edges,), dtype=np.int64)
+    r_out = np.empty((total_edges,), dtype=np.int64)
+    node_graph = np.empty((total_nodes,), dtype=np.int32)
+    rc = lib.gnnb_concat_edges(
+        np.ascontiguousarray(edge_counts, dtype=np.int64),
+        np.ascontiguousarray(node_counts, dtype=np.int64),
+        np.ascontiguousarray(edges_concat, dtype=np.int64).reshape(-1),
+        num_graphs,
+        total_edges,
+        s_out,
+        r_out,
+        node_graph,
+        total_nodes,
+    )
+    if rc != 0:
+        raise RuntimeError(f"gnnb_concat_edges failed with code {rc}")
+    return s_out, r_out, node_graph
