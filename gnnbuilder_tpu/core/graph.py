@@ -62,6 +62,13 @@ class GraphBatch:
     node_mask: jax.Array            # [N] bool, True for real nodes
     edge_mask: jax.Array            # [E] bool, True for real edges
     graph_mask: jax.Array           # [G] bool, True for real graphs
+    # --- optional ELL (padded neighbor table) layout for scatter-free
+    # aggregation: nbr slot d of node v holds its d-th incoming neighbor /
+    # edge (pad slots -> ghost ids; valid iff d < in_degree[v]).  The analog
+    # of the reference's gather_node_neighbors tables
+    # (gnn_builder_lib.h:1168-1207), built host-side by the packer.
+    nbr_nodes: Optional[jax.Array] = None   # [N, W] int32
+    nbr_edges: Optional[jax.Array] = None   # [N, W] int32
 
     # static metadata (not traced)
     num_graphs_static: int = dataclasses.field(
@@ -83,6 +90,10 @@ class GraphBatch:
     @property
     def feature_dim(self) -> int:
         return self.node_feat.shape[1]
+
+    @property
+    def ell_width(self) -> Optional[int]:
+        return None if self.nbr_nodes is None else self.nbr_nodes.shape[1]
 
     def replace(self, **kw) -> "GraphBatch":
         return dataclasses.replace(self, **kw)
@@ -114,6 +125,11 @@ def pad_sizes(
     return n_pad, e_pad, g_pad
 
 
+# in-degree above which the ELL layout stops paying off (gather+reduce work
+# scales with N*ell_width; power-law graphs should use the flat segment path)
+ELL_MAX_WIDTH = 64
+
+
 def build_graph_batch(
     graphs,
     node_budget: Optional[int] = None,
@@ -121,6 +137,7 @@ def build_graph_batch(
     graph_budget: Optional[int] = None,
     node_multiple: int = 8,
     edge_multiple: int = 8,
+    ell_width: Optional[int] = None,
     dtype=np.float32,
 ) -> GraphBatch:
     """Pack a list of host graphs into one padded ``GraphBatch``.
@@ -185,6 +202,22 @@ def build_graph_batch(
         senders_raw, receivers_raw, num_nodes, n_pad, e_pad, ghost
     )
 
+    # ELL neighbor tables (scatter-free aggregation layout).  Width policy:
+    # None -> auto (batch max in-degree rounded to a multiple of 4, skipped
+    # for high-degree batches); 0 -> disabled; int -> fixed bucket width.
+    max_deg = int(in_degree.max()) if num_edges else 0
+    if ell_width is None:
+        w = max(_round_up(max_deg, 4), 4)
+        ell_width = w if w <= ELL_MAX_WIDTH else 0
+    nbr_nodes = nbr_edges = None
+    if ell_width:
+        assert ell_width >= max_deg, (
+            f"ell_width={ell_width} < batch max in-degree {max_deg}"
+        )
+        nbr_nodes, nbr_edges = packing.build_ell(
+            senders, row_offsets, e_pad, ell_width, ghost
+        )
+
     edge_feat = None
     if has_edge_feat:
         fe = eattr[0].shape[1]
@@ -224,5 +257,7 @@ def build_graph_batch(
         node_mask=jnp.asarray(node_mask),
         edge_mask=jnp.asarray(edge_mask),
         graph_mask=jnp.asarray(graph_mask),
+        nbr_nodes=jnp.asarray(nbr_nodes) if nbr_nodes is not None else None,
+        nbr_edges=jnp.asarray(nbr_edges) if nbr_edges is not None else None,
         num_graphs_static=g_pad,
     )

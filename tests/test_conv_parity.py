@@ -17,9 +17,11 @@ ATOL = 2e-4  # f32; reference parity bar was 1e-3 (test.cpp:1146)
 F_IN, F_OUT = 8, 12
 
 
-def _setup(conv_type, seed=0, **kw):
+def _setup(conv_type, seed=0, ell=True, **kw):
     g = er_graph(n=100, p=0.05, node_dim=F_IN, edge_dim=4, seed=seed)
-    batch = build_graph_batch([g])
+    # ell_width=None -> auto ELL fast path; 0 -> flat sorted-segment path
+    batch = build_graph_batch([g], ell_width=None if ell else 0)
+    assert (batch.nbr_nodes is not None) == ell
     n_real = g.num_nodes
 
     torch.manual_seed(seed)
@@ -40,6 +42,7 @@ def _run_jax(conv, batch, params):
     return np.asarray(out)
 
 
+@pytest.mark.parametrize("ell", [True, False], ids=["ell", "flat"])
 @pytest.mark.parametrize(
     "conv_type,kw",
     [
@@ -54,13 +57,13 @@ def _run_jax(conv, batch, params):
         ("simple", {"f_out": F_IN, "aggregation": "max"}),
     ],
 )
-def test_conv_parity(conv_type, kw):
+def test_conv_parity(conv_type, kw, ell):
     kw = dict(kw)
     f_out = kw.get("f_out", F_OUT)
     tkw = dict(kw)
     jkw = dict(kw)
     jkw.pop("f_out", None)
-    g, batch, n_real, tconv, golden = _setup(conv_type, **tkw)
+    g, batch, n_real, tconv, golden = _setup(conv_type, ell=ell, **tkw)
 
     jcls = gnnb.SUPPORTED_GNN_CONVS[conv_type]
     conv = jcls(in_channels=F_IN, out_channels=f_out, **jkw)
@@ -71,11 +74,12 @@ def test_conv_parity(conv_type, kw):
     np.testing.assert_allclose(out[:n_real], golden, atol=ATOL, rtol=1e-4)
 
 
+@pytest.mark.parametrize("ell", [True, False], ids=["ell", "flat"])
 @pytest.mark.parametrize("heads,concat", [(1, True), (4, True), (4, False)])
-def test_gat_parity(heads, concat):
+def test_gat_parity(heads, concat, ell):
     """GAT — the layer the reference only TODO'd (gnn_builder_lib.h:2343)."""
     g, batch, n_real, tconv, golden = _setup(
-        "gat", heads=heads, concat=concat
+        "gat", heads=heads, concat=concat, ell=ell
     )
     conv = gnnb.GATConv(
         in_channels=F_IN, out_channels=F_OUT, heads=heads, concat=concat

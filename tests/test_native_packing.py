@@ -85,3 +85,36 @@ def test_row_offsets_consistent_with_sorted_receivers():
         seg = ro[offs[v] : offs[v + 1]]
         assert (seg == v).all()
     assert offs[-1] == e_pad
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+@pytest.mark.parametrize("seed,num_nodes,num_edges,W", [(0, 100, 450, 12), (5, 40, 80, 8)])
+def test_build_ell_native_matches_numpy(seed, num_nodes, num_edges, W):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, num_nodes, num_edges).astype(np.int64)
+    r = rng.integers(0, num_nodes, num_edges).astype(np.int64)
+    n_pad = ((num_nodes + 8) // 8) * 8
+    e_pad = ((num_edges + 7) // 8) * 8
+    ghost = n_pad - 1
+    so, ro, perm, offs, deg = packing.sort_and_csr(s, r, num_nodes, n_pad, e_pad, ghost)
+    W = max(W, int(deg.max()))
+    got = native.build_ell(so, offs, e_pad, W, ghost)
+
+    # numpy fallback path (force by calling the module-level implementation)
+    nbr_nodes = np.full((n_pad, W), ghost, np.int32)
+    nbr_edges = np.full((n_pad, W), e_pad - 1, np.int32)
+    for v in range(n_pad):
+        lo, hi = offs[v], offs[v + 1]
+        ln = min(hi - lo, W)
+        nbr_nodes[v, :ln] = so[lo : lo + ln]
+        nbr_edges[v, :ln] = np.arange(lo, lo + ln)
+    np.testing.assert_array_equal(got[0], nbr_nodes)
+    np.testing.assert_array_equal(got[1], nbr_edges)
+
+    # semantic check: ELL gather-sum == scatter segment-sum on real rows
+    x = rng.standard_normal((n_pad, 16)).astype(np.float32)
+    mask = np.arange(W)[None, :] < deg[:, None]
+    ell_sum = np.where(mask[..., None], x[got[0]], 0.0).sum(axis=1)
+    seg = np.zeros_like(x)
+    np.add.at(seg, r, x[s])
+    np.testing.assert_allclose(ell_sum[:num_nodes], seg[:num_nodes], atol=1e-5)
