@@ -27,6 +27,7 @@ from gnnbuilder_tpu.nn.model import GNNModel
 from gnnbuilder_tpu.nn.pool import GlobalPooling, SUPPORTED_GLOBAL_POOLING_AGGRS
 from gnnbuilder_tpu.compile.program import Program
 from gnnbuilder_tpu.compile.precision import Precision
+from gnnbuilder_tpu.dse import DSEEngine, DSEConfig, CostModel
 from gnnbuilder_tpu.utils.stats import (
     compute_average_degree,
     compute_average_nodes_and_edges,
@@ -56,6 +57,9 @@ __all__ = [
     "SUPPORTED_GLOBAL_POOLING_AGGRS",
     "Program",
     "Precision",
+    "DSEEngine",
+    "DSEConfig",
+    "CostModel",
     "compute_max_nodes_and_edges",
     "compute_average_nodes_and_edges",
     "compute_median_nodes_and_edges",

@@ -1,0 +1,97 @@
+"""DSEEngine — design-space exploration driver.
+
+The reference declared this API but left it a stub (dse.py:6-9, its
+``gnnbuilder/dse_models/`` holding only a ``.touch``); this is the real
+implementation: given a model family + dataset, sweep/refine execution
+configs using the learned cost model, then (optionally) measure the top
+candidates for ground truth — the predict-then-verify loop its experiments
+ran by hand (process_dse_runtime.py:74-113).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from gnnbuilder_tpu.dse.measure import measure_config, measure_many
+from gnnbuilder_tpu.dse.model import CostModel, fit_cost_model
+from gnnbuilder_tpu.dse.space import DSEConfig, full_space, sample_space
+
+__all__ = ["DSEEngine"]
+
+
+class DSEEngine:
+    """Explore execution configs for a model spec on a dataset.
+
+    Typical flow::
+
+        eng = DSEEngine(dataset="qm9")
+        rows = eng.build_corpus(n=40)        # measure a seed corpus
+        eng.fit()                            # learned latency model (+MAPE)
+        best = eng.optimize(candidates)      # rank by prediction
+        truth = eng.verify(best[:3])         # measure winners
+    """
+
+    def __init__(
+        self,
+        dataset: str = "qm9",
+        corpus_csv: Optional[str] = None,
+        objective: str = "latency_per_graph_us",
+    ):
+        self.dataset = dataset
+        self.corpus_csv = corpus_csv
+        self.objective = objective
+        self.rows: list[dict] = []
+        self.cost_model: Optional[CostModel] = None
+        self.mape: Optional[float] = None
+        if corpus_csv and os.path.exists(corpus_csv):
+            import csv
+
+            with open(corpus_csv) as f:
+                self.rows = list(csv.DictReader(f))
+
+    # ------------------------------------------------------------- corpus
+    def build_corpus(
+        self, n: int = 40, seed: int = 0, axes: Optional[dict] = None,
+        iters: int = 10,
+    ) -> list[dict]:
+        cfgs = sample_space(n, seed=seed, axes=axes)
+        self.rows = measure_many(
+            cfgs, dataset=self.dataset, iters=iters, out_csv=self.corpus_csv
+        )
+        return self.rows
+
+    # ---------------------------------------------------------------- fit
+    def fit(self, target: Optional[str] = None) -> float:
+        target = target or self.objective
+        if not self.rows:
+            raise RuntimeError("no corpus; call build_corpus() first")
+        self.cost_model, self.mape = fit_cost_model(self.rows, target=target)
+        return self.mape
+
+    # ------------------------------------------------------------ predict
+    def predict(self, cfgs: Sequence[DSEConfig]) -> np.ndarray:
+        if self.cost_model is None:
+            self.fit()
+        return self.cost_model.predict(cfgs)
+
+    def optimize(
+        self,
+        candidates: Optional[Sequence[DSEConfig]] = None,
+        top_k: int = 5,
+    ) -> list[tuple[DSEConfig, float]]:
+        """Rank candidate configs by predicted objective (ascending)."""
+        if candidates is None:
+            candidates = list(full_space())
+        preds = self.predict(candidates)
+        order = np.argsort(preds)[:top_k]
+        return [(candidates[i], float(preds[i])) for i in order]
+
+    # ------------------------------------------------------------- verify
+    def verify(self, cfgs: Sequence[DSEConfig], iters: int = 15) -> list[dict]:
+        """Measure ground truth for the predicted winners."""
+        return [
+            measure_config(c, dataset=self.dataset, iters=iters) for c in cfgs
+        ]

@@ -1,0 +1,150 @@
+"""DSE measurement harness — builds and times one design point.
+
+The analog of the reference's build_single_combo
+(experiments/build_dse_models.py:102-187), with the hours-long Vitis csynth
+replaced by a jit compile + marginal-timed execution, and the csynth
+resource report replaced by compiled-HLO cost analysis (FLOPs / bytes
+accessed / peak memory), via Program.cost_analysis.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from gnnbuilder_tpu.compile.program import Program
+from gnnbuilder_tpu.data.datasets import DATASET_SPECS
+from gnnbuilder_tpu.dse.space import DSEConfig
+from gnnbuilder_tpu.nn.model import GNNModel
+
+__all__ = ["measure_config", "measure_many"]
+
+
+def _build_model(cfg: DSEConfig, node_dim: int, edge_dim: int) -> GNNModel:
+    conv_kwargs = {"delta": 2.0} if cfg.conv == "pna" else {}
+    return GNNModel(
+        graph_input_feature_dim=node_dim,
+        graph_input_edge_dim=edge_dim,
+        gnn_conv=cfg.conv,
+        gnn_hidden_dim=cfg.gnn_hidden_dim,
+        gnn_num_layers=cfg.gnn_num_layers,
+        gnn_output_dim=cfg.gnn_output_dim,
+        gnn_skip_connection=cfg.gnn_skip_connection,
+        pooling_aggrs=("add", "mean", "max"),
+        mlp_hidden_dim=cfg.mlp_hidden_dim,
+        mlp_hidden_layers=cfg.mlp_hidden_layers,
+        mlp_out_dim=1,
+        conv_kwargs=conv_kwargs,
+    )
+
+
+def measure_config(
+    cfg: DSEConfig,
+    dataset: str = "qm9",
+    iters: int = 15,
+    seed: int = 0,
+) -> dict:
+    """Compile + time one config; returns a flat result row.
+
+    Row fields mirror the reference's perf_data.csv columns
+    (process_dse_models.py:119-139): the config dict + measured latency (us)
+    + the resource analogs (flops, bytes accessed, peak memory).
+    """
+    from gnnbuilder_tpu.bench.canonical import canonical_batches
+
+    spec = DATASET_SPECS[dataset]
+    model = _build_model(cfg, spec.node_dim, spec.edge_dim)
+
+    n_graphs = max(cfg.batch_size, 32)
+    _, batches = canonical_batches(
+        dataset, n_graphs=n_graphs * 2, batch_size=cfg.batch_size, seed=seed
+    )
+    batch = batches[0]
+    if cfg.ell_width == 0 and batch.nbr_nodes is not None:
+        batch = batch.replace(nbr_nodes=None, nbr_edges=None)
+
+    prog = Program(
+        model,
+        max_nodes=batch.num_nodes,
+        max_edges=batch.num_edges,
+        max_graphs=batch.num_graphs,
+        precision=cfg.precision,
+    )
+    prog.init_params(batch)
+
+    t0 = time.perf_counter()
+    prog.compile(batch)
+    compile_s = time.perf_counter() - t0
+
+    bench = prog.benchmark(batch, iters=iters)
+    cost = prog.cost_analysis(batch)
+
+    row = dict(cfg.to_dict())
+    row.update(
+        dataset=dataset,
+        num_nodes=batch.num_nodes,
+        num_edges=batch.num_edges,
+        latency_us=bench["latency_s"] * 1e6,
+        latency_per_graph_us=bench["latency_s"] * 1e6 / cfg.batch_size,
+        graphs_per_s=bench["graphs_per_s"],
+        edges_per_s=bench["edges_per_s"],
+        flops=float(cost.get("flops", 0.0)),
+        bytes_accessed=float(cost.get("bytes accessed", 0.0)),
+        compile_s=compile_s,
+    )
+    return row
+
+
+def measure_many(
+    cfgs,
+    dataset: str = "qm9",
+    iters: int = 15,
+    out_csv: Optional[str] = None,
+    verbose: bool = True,
+) -> list[dict]:
+    """Measure a list of configs; optionally append rows to a CSV with
+    resume-on-existing semantics (the reference resumes DSE sweeps via
+    existence checks, process_dse_models.py:164-166)."""
+    import csv
+    import os
+
+    done = set()
+    rows = []
+    if out_csv and os.path.exists(out_csv):
+        with open(out_csv) as f:
+            for existing in csv.DictReader(f):
+                done.add(existing.get("_key"))
+                rows.append(existing)
+
+    writer = None
+    fh = None
+    try:
+        for i, cfg in enumerate(cfgs):
+            key = repr(sorted(cfg.to_dict().items()))
+            if key in done:
+                continue
+            row = measure_config(cfg, dataset=dataset, iters=iters)
+            row["_key"] = key
+            rows.append(row)
+            if verbose:
+                print(
+                    f"[{i + 1}/{len(cfgs)}] {cfg.conv} h{cfg.gnn_hidden_dim} "
+                    f"L{cfg.gnn_num_layers} b{cfg.batch_size} {cfg.precision} "
+                    f"-> {row['latency_us']:.0f} us",
+                    flush=True,
+                )
+            if out_csv:
+                if writer is None:
+                    new = not os.path.exists(out_csv)
+                    fh = open(out_csv, "a", newline="")
+                    writer = csv.DictWriter(fh, fieldnames=list(row))
+                    if new:
+                        writer.writeheader()
+                writer.writerow(row)
+                fh.flush()
+    finally:
+        if fh:
+            fh.close()
+    return rows

@@ -1,0 +1,90 @@
+"""DSE configuration space — the TPU analog of the reference's 11-dim
+hardware design space (experiments/build_dse_models.py:42-99: conv type x
+dims x layers x skip x p-factors, 41,472 combos, 400 sampled).
+
+On TPU the tunable axes are the execution-policy knobs instead of HLS unroll
+factors: batch size (padding bucket), ELL width policy, precision policy,
+and padding multiples.  Model-architecture axes (conv/dims/layers/skip) stay,
+because the cost model must predict latency for *unseen* models — that is
+the whole point of DSE (predict in ms what measuring takes minutes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = ["DSEConfig", "full_space", "sample_space", "DEFAULT_AXES"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DSEConfig:
+    """One point in the design space.
+
+    Mirrors the reference's per-design dict (build_dse_models.py:102-130)
+    with TPU execution knobs in place of p_in/p_out/FPX.
+    """
+
+    conv: str = "gcn"
+    gnn_hidden_dim: int = 128
+    gnn_output_dim: int = 64
+    gnn_num_layers: int = 3
+    gnn_skip_connection: bool = True
+    mlp_hidden_dim: int = 64
+    mlp_hidden_layers: int = 4
+    # execution policy
+    batch_size: int = 256
+    precision: str = "f32"          # f32 | bf16
+    ell_width: Optional[int] = None  # None = auto, 0 = flat segment path
+    # dataset statistics the latency depends on
+    avg_nodes: float = 16.0
+    avg_edges: float = 34.0
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+# Axes mirror build_dse_models.py:42-80 where they are model axes, and add
+# the TPU execution-policy axes.
+DEFAULT_AXES = {
+    "conv": ["gcn", "gin", "sage", "pna"],
+    "gnn_hidden_dim": [64, 128, 256],
+    "gnn_output_dim": [32, 64],
+    "gnn_num_layers": [2, 3, 4, 6],
+    "gnn_skip_connection": [False, True],
+    "mlp_hidden_dim": [64],
+    "mlp_hidden_layers": [4],
+    "batch_size": [64, 256, 1024],
+    "precision": ["f32", "bf16"],
+    "ell_width": [None, 0],
+}
+
+
+def full_space(axes: Optional[dict] = None):
+    """Iterator over the full cartesian space (lazily)."""
+    axes = dict(DEFAULT_AXES if axes is None else axes)
+    keys = list(axes)
+    for combo in itertools.product(*(axes[k] for k in keys)):
+        yield DSEConfig(**dict(zip(keys, combo)))
+
+
+def space_size(axes: Optional[dict] = None) -> int:
+    axes = DEFAULT_AXES if axes is None else axes
+    n = 1
+    for v in axes.values():
+        n *= len(v)
+    return n
+
+
+def sample_space(
+    n: int, seed: int = 0, axes: Optional[dict] = None
+) -> list[DSEConfig]:
+    """Random sample without replacement — gen_model_combos analog
+    (build_dse_models.py:93-99, same seed-shuffled-prefix shape)."""
+    rng = np.random.default_rng(seed)
+    all_cfgs = list(full_space(axes))
+    idx = rng.permutation(len(all_cfgs))[:n]
+    return [all_cfgs[i] for i in idx]

@@ -1,0 +1,95 @@
+"""DSE subsystem: space sampling, measurement rows, cost-model fit/predict,
+engine optimize loop — the working version of the API the reference stubbed
+(dse.py:6-9) with the experiment logic of build_dse_models.py /
+process_dse_models.py."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gnnbuilder_tpu import dse
+from gnnbuilder_tpu.dse.space import DEFAULT_AXES
+
+TINY_AXES = {
+    "conv": ["gcn", "gin"],
+    "gnn_hidden_dim": [16, 32],
+    "gnn_output_dim": [8],
+    "gnn_num_layers": [2, 3],
+    "gnn_skip_connection": [False],
+    "mlp_hidden_dim": [8],
+    "mlp_hidden_layers": [1],
+    "batch_size": [4],
+    "precision": ["f32"],
+    "ell_width": [None, 0],
+}
+
+
+def test_space_sampling_deterministic():
+    a = dse.sample_space(10, seed=3)
+    b = dse.sample_space(10, seed=3)
+    assert a == b
+    assert len(set(a)) == 10  # without replacement
+
+
+def test_full_space_covers_axes():
+    cfgs = list(dse.full_space(TINY_AXES))
+    assert len(cfgs) == 2 * 2 * 2 * 2
+    assert {c.conv for c in cfgs} == {"gcn", "gin"}
+
+
+def test_transform_x_shape_and_encoding():
+    cfgs = dse.sample_space(5, seed=0)
+    X = dse.transform_x(cfgs)
+    assert X.shape == (5, len(dse.model.FEATURE_NAMES))
+    # one-hot sums to 1
+    np.testing.assert_array_equal(X[:, : len(dse.model.CONV_ONE_HOT)].sum(1), 1)
+
+
+def test_measure_fit_optimize_roundtrip(tmp_path):
+    cfgs = list(dse.full_space(TINY_AXES))[:6]
+    rows = dse.measure_many(
+        cfgs,
+        dataset="esol",
+        iters=4,
+        out_csv=str(tmp_path / "perf_data.csv"),
+        verbose=False,
+    )
+    assert len(rows) == 6
+    for r in rows:
+        assert r["latency_us"] > 0
+        assert r["flops"] >= 0
+
+    model, mape = dse.fit_cost_model(rows)
+    assert np.isfinite(mape)
+    preds = model.predict(cfgs)
+    assert preds.shape == (6,) and (preds > 0).all()
+
+    # pickle round trip (the reference ships its models as pickles,
+    # process_dse_models.py:465-474)
+    p = str(tmp_path / "model_direct.pk")
+    model.save(p)
+    loaded = dse.CostModel.load(p)
+    np.testing.assert_allclose(loaded.predict(cfgs), preds)
+
+    # resume semantics: re-measuring with the same CSV skips everything
+    rows2 = dse.measure_many(
+        cfgs, dataset="esol", iters=4,
+        out_csv=str(tmp_path / "perf_data.csv"), verbose=False,
+    )
+    assert len(rows2) == 6
+
+
+def test_engine_end_to_end(tmp_path):
+    eng = dse.DSEEngine(
+        dataset="esol", corpus_csv=str(tmp_path / "corpus.csv"),
+        objective="latency_us",
+    )
+    eng.build_corpus(n=5, axes=TINY_AXES, iters=3)
+    mape = eng.fit(target="latency_us")
+    assert np.isfinite(mape)
+    ranked = eng.optimize(list(dse.full_space(TINY_AXES)), top_k=3)
+    assert len(ranked) == 3
+    assert ranked[0][1] <= ranked[-1][1]
+    truth = eng.verify([ranked[0][0]], iters=3)
+    assert truth[0]["latency_us"] > 0
