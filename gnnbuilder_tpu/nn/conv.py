@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from gnnbuilder_tpu.core.graph import GraphBatch
-from gnnbuilder_tpu.nn.linear import Linear, PairLinear
+from gnnbuilder_tpu.nn.linear import BlockScaledLinear, Linear, PairLinear
 from gnnbuilder_tpu.ops import ell, segment
 
 __all__ = [
@@ -224,7 +224,7 @@ class PNAConv(nn.Module):
         # edge matmul (same params/names as a fused Linear, so torch ports
         # are unchanged)
         self.pre_nn = PairLinear(self.in_channels, name="pre_nn")
-        self.post_nn = Linear(self.out_channels, name="post_nn")
+        self.post_nn = BlockScaledLinear(self.out_channels, name="post_nn")
         self.lin = Linear(self.out_channels, name="lin")
 
     def __call__(self, g: GraphBatch, x):
@@ -246,18 +246,25 @@ class PNAConv(nn.Module):
 
         deg = jnp.maximum(g.in_degree.astype(x.dtype), 1.0)[:, None]
         log_deg = jnp.log(deg + 1.0)
-        scaled = []
+        scales = []
         for s in self.scalers:
             if s == "identity":
-                scaled.append(agg_cat)
+                scales.append(None)
             elif s == "amplification":
-                scaled.append(agg_cat * (log_deg / self.delta))
+                scales.append(log_deg / self.delta)
             elif s == "attenuation":
-                scaled.append(agg_cat * (self.delta / log_deg))
+                scales.append(self.delta / log_deg)
             else:
                 raise ValueError(f"unknown scaler {s}")
-        out = jnp.concatenate([x] + scaled, axis=-1)  # 13F concat
-        return self.lin(self.post_nn(out))
+
+        # post_nn on the virtual [x || agg*scale_0 || agg*scale_1 || ...]
+        # concat, evaluated blockwise: out = x@K0 + sum_s c_s * (agg@K_s).
+        # Per-row scalers commute with the matmul (diag(c) A @ K = c * (A@K))
+        # so the reference's 13F concat buffer (concat_size = EMB*13,
+        # gnn_builder_lib.h:2092) never materializes — 31 MB of HBM round
+        # trip per layer gone at canonical batch sizes.
+        out = self.post_nn(x, agg_cat, scales)
+        return self.lin(out)
 
 
 class GATConv(nn.Module):

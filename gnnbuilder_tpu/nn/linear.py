@@ -60,6 +60,48 @@ class PairLinear(nn.Module):
         return u, v
 
 
+class BlockScaledLinear(nn.Module):
+    """Linear over a virtual concat ``[x || A*c_1 || ... || A*c_S]`` where
+    each ``c_s`` is a per-row (diagonal) scale — evaluated blockwise as
+    ``x@K_0 + bias + sum_s c_s * (A @ K_s)`` since per-row scaling commutes
+    with the matmul.  Same FLOPs, but the wide concat (the reference PNA's
+    EMB*13 buffer, gnn_builder_lib.h:2092) never hits memory.  Parameter
+    names/shapes match ``Linear`` on the real concat, so torch ports are
+    unchanged.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, a, scales):
+        Fx, Fa, S = x.shape[-1], a.shape[-1], len(scales)
+        fan = Fx + Fa * S
+        kernel = self.param(
+            "kernel", torch_kernel_init, (fan, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias",
+            lambda k, s, d: torch_bias_init(k, s, d, fan_in=fan),
+            (self.features,),
+            jnp.float32,
+        )
+        out = jnp.dot(x, kernel[:Fx], preferred_element_type=jnp.float32)
+        out = out + bias
+        # one matmul for all scaler blocks: [N, Fa] @ [Fa, S*features]
+        ks = jnp.concatenate(
+            [
+                kernel[Fx + i * Fa : Fx + (i + 1) * Fa]
+                for i in range(S)
+            ],
+            axis=1,
+        )
+        y = jnp.dot(a, ks, preferred_element_type=jnp.float32)
+        for i, c in enumerate(scales):
+            blk = y[:, i * self.features : (i + 1) * self.features]
+            out = out + (blk if c is None else c * blk)
+        return out
+
+
 class Linear(nn.Module):
     """nn.Dense with torch-style init and optional compute dtype policy."""
 
