@@ -37,8 +37,11 @@ def main():
     model = canonical_model("pna", "qm9", graphs=graphs)
 
     def measure(bs, n_lo=5, n_hi=25):
+        # node_multiple=256 aligns batches to the fused Pallas kernel's node
+        # tiles (ops/dispatch.py); ~1-2% extra padding
         gs, batches = canonical_batches(
-            "qm9", n_graphs=max(bs * 2, 64), batch_size=bs
+            "qm9", n_graphs=max(bs * 2, 64), batch_size=bs,
+            node_multiple=256,
         )
         b = batches[0]
         p = gnnb.Program(

@@ -74,6 +74,11 @@ class GraphBatch:
     num_graphs_static: int = dataclasses.field(
         metadata=dict(static=True), default=0
     )
+    # largest real graph in the batch (nodes) — bounds the Pallas window
+    # slack (ops/pallas/ell_agg.py); 0 = unknown, disables the fused path
+    max_graph_nodes_static: int = dataclasses.field(
+        metadata=dict(static=True), default=0
+    )
 
     @property
     def num_nodes(self) -> int:
@@ -260,4 +265,5 @@ def build_graph_batch(
         nbr_nodes=jnp.asarray(nbr_nodes) if nbr_nodes is not None else None,
         nbr_edges=jnp.asarray(nbr_edges) if nbr_edges is not None else None,
         num_graphs_static=g_pad,
+        max_graph_nodes_static=int(max(n_node)) if n_node else 0,
     )

@@ -58,6 +58,21 @@ def _use_ell(g: GraphBatch) -> bool:
     return g.nbr_nodes is not None
 
 
+def _fused_multi(g: GraphBatch, aggregators, v, u=None):
+    """Fused-Pallas multi-aggregate when the dispatch policy allows it;
+    returns the [N, A*F] concat in aggregator order, or None to fall back.
+    See ops/dispatch.py + ops/pallas/ell_agg.py."""
+    from gnnbuilder_tpu.ops import dispatch
+    from gnnbuilder_tpu.ops.pallas.ell_agg import fused_ell_aggregate_vjp
+
+    cfg = dispatch.fused_config(g, feature_dim=v.shape[-1])
+    if cfg is None:
+        return None
+    return fused_ell_aggregate_vjp(
+        v, g.nbr_nodes, g.in_degree, tuple(aggregators), u=u, **cfg
+    )
+
+
 class GCNConv(nn.Module):
     """GCN with self-loops and symmetric normalization (PyG GCNConv defaults).
 
@@ -88,7 +103,10 @@ class GCNConv(nn.Module):
         transform_first = self.out_channels <= self.in_channels
         h = self.lin(x) if transform_first else x
 
-        if _use_ell(g):
+        fused = _fused_multi(g, ("sum",), h * dis[:, None])
+        if fused is not None:
+            agg = dis[:, None] * fused
+        elif _use_ell(g):
             # separable norm: 1/sqrt((1+d_i)(1+d_j)) = dis_i * dis_j, so
             # scale once per node, sum neighbors, scale once per receiver
             y = h * dis[:, None]
@@ -120,12 +138,14 @@ class GINConv(nn.Module):
         self.lin1 = Linear(self.out_channels, name="lin1")
 
     def __call__(self, g: GraphBatch, x):
-        if _use_ell(g):
-            agg = ell.ell_sum(x, g.nbr_nodes, g.in_degree)
-        else:
-            agg = segment.segment_sum(
-                _gather(x, g.senders), g.receivers, g.num_nodes
-            )
+        agg = _fused_multi(g, ("sum",), x)
+        if agg is None:
+            if _use_ell(g):
+                agg = ell.ell_sum(x, g.nbr_nodes, g.in_degree)
+            else:
+                agg = segment.segment_sum(
+                    _gather(x, g.senders), g.receivers, g.num_nodes
+                )
         h = (1.0 + self.eps) * x + agg
         return self.lin1(jax.nn.relu(self.lin0(h)))
 
@@ -183,15 +203,17 @@ class SAGEConv(nn.Module):
         self.lin_r = Linear(self.out_channels, use_bias=False, name="lin_r")
 
     def __call__(self, g: GraphBatch, x):
-        if _use_ell(g):
-            agg = ell.ell_mean(x, g.nbr_nodes, g.in_degree)
-        else:
-            agg = segment.segment_mean(
-                _gather(x, g.senders),
-                g.receivers,
-                g.num_nodes,
-                count=g.in_degree.astype(x.dtype)[:, None],
-            )
+        agg = _fused_multi(g, ("mean",), x)
+        if agg is None:
+            if _use_ell(g):
+                agg = ell.ell_mean(x, g.nbr_nodes, g.in_degree)
+            else:
+                agg = segment.segment_mean(
+                    _gather(x, g.senders),
+                    g.receivers,
+                    g.num_nodes,
+                    count=g.in_degree.astype(x.dtype)[:, None],
+                )
         return self.lin_l(agg) + self.lin_r(x)
 
 
@@ -229,20 +251,56 @@ class PNAConv(nn.Module):
 
     def __call__(self, g: GraphBatch, x):
         n = g.num_nodes
+
+        # fully-fused Pallas layer (pre_nn + gather + 4 aggregators +
+        # scalers + post_nn + lin in one kernel, ops/pallas/pna_layer.py)
+        # when the dispatch policy and its static preconditions allow
+        if (
+            not self.is_initializing()
+            and tuple(self.aggregators) == PNA_AGGREGATORS
+            and tuple(self.scalers) == PNA_SCALERS
+        ):
+            from gnnbuilder_tpu.ops import dispatch
+            from gnnbuilder_tpu.ops.pallas.pna_layer import (
+                fused_pna_layer_vjp,
+                pna_layer_supported,
+            )
+
+            cfg = dispatch.fused_config(g, feature_dim=self.in_channels)
+            if cfg is not None and (
+                cfg["interpret"]
+                or pna_layer_supported(
+                    n, x.shape[-1], self.out_channels,
+                    cfg["tile_rows"], cfg["window_slack"],
+                )
+            ):
+                p = self.variables["params"]
+                return fused_pna_layer_vjp(
+                    x, g.nbr_nodes, g.in_degree,
+                    p["pre_nn"]["kernel"], p["pre_nn"]["bias"],
+                    p["post_nn"]["kernel"], p["post_nn"]["bias"],
+                    p["lin"]["kernel"], p["lin"]["bias"],
+                    self.delta, **cfg,
+                )
+
         u, v = self.pre_nn(x, x)  # u = x@W_i + b, v = x@W_j
         count = g.in_degree.astype(x.dtype)[:, None]
-        if _use_ell(g):
-            table = u[:, None, :] + ell.ell_gather(v, g.nbr_nodes)
-            mask = ell.ell_mask(g.nbr_nodes, g.in_degree)
-            aggs = ell.ell_multi_table(
-                table, g.in_degree, self.aggregators, mask
+        agg_cat = _fused_multi(g, self.aggregators, v, u=u)
+        if agg_cat is None:
+            if _use_ell(g):
+                table = u[:, None, :] + ell.ell_gather(v, g.nbr_nodes)
+                mask = ell.ell_mask(g.nbr_nodes, g.in_degree)
+                aggs = ell.ell_multi_table(
+                    table, g.in_degree, self.aggregators, mask
+                )
+            else:
+                h_edge = _gather(u, g.receivers) + _gather(v, g.senders)
+                aggs = segment.segment_multi(
+                    h_edge, g.receivers, n, self.aggregators, count=count
+                )
+            agg_cat = jnp.concatenate(
+                [aggs[a] for a in self.aggregators], axis=-1
             )
-        else:
-            h_edge = _gather(u, g.receivers) + _gather(v, g.senders)
-            aggs = segment.segment_multi(
-                h_edge, g.receivers, n, self.aggregators, count=count
-            )
-        agg_cat = jnp.concatenate([aggs[a] for a in self.aggregators], axis=-1)
 
         deg = jnp.maximum(g.in_degree.astype(x.dtype), 1.0)[:, None]
         log_deg = jnp.log(deg + 1.0)
@@ -371,6 +429,9 @@ class LGConv(nn.Module):
     def __call__(self, g: GraphBatch, x):
         deg = g.in_degree.astype(x.dtype)
         dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1.0)), 0.0)
+        fused = _fused_multi(g, ("sum",), x * dis[:, None])
+        if fused is not None:
+            return dis[:, None] * fused
         if _use_ell(g):
             y = x * dis[:, None]
             return dis[:, None] * ell.ell_sum(y, g.nbr_nodes, g.in_degree)
@@ -396,6 +457,11 @@ class SimpleConv(nn.Module):
 
     def __call__(self, g: GraphBatch, x):
         agg = self.aggregation
+        name = "sum" if agg == "add" else agg
+        if name in ("sum", "mean", "max", "min"):
+            fused = _fused_multi(g, (name,), x)
+            if fused is not None:
+                return fused
         if _use_ell(g):
             fns = {
                 "sum": ell.ell_sum,

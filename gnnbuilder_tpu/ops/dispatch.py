@@ -1,0 +1,78 @@
+"""Kernel dispatch policy: when to run the fused Pallas path.
+
+The compile layer's analog of the reference's per-layer template dispatch
+(``call_gnn_conv`` macro, templates/model.cpp.jinja:25-148): every
+aggregation has an XLA implementation (ops/ell.py, ops/segment.py) and a
+fused Pallas implementation (ops/pallas/); this module decides, per batch,
+which one runs — based on backend, batch geometry, and the kernel's static
+preconditions.  The decision is trace-time static (shapes + metadata only).
+
+Modes (set_fused_mode):
+* "auto"   — fused kernel on TPU whenever preconditions hold (default)
+* "never"  — XLA ops only
+* "always" — fused kernel wherever preconditions hold, interpret-mode off
+             TPU (used by tests to exercise the kernel on CPU)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from gnnbuilder_tpu.ops.pallas.ell_agg import supports
+
+__all__ = ["set_fused_mode", "get_fused_mode", "fused_config"]
+
+_MODE = "auto"
+_TILE_ROWS = 256          # default node-tile height (DSE-tunable)
+_SINGLE_TILE_MAX = 1024   # below this, one tile covers the whole batch
+
+
+def set_fused_mode(mode: str, tile_rows: Optional[int] = None) -> None:
+    global _MODE, _TILE_ROWS
+    if mode not in ("auto", "never", "always"):
+        raise ValueError(f"unknown fused mode {mode!r}")
+    _MODE = mode
+    if tile_rows is not None:
+        _TILE_ROWS = tile_rows
+
+
+def get_fused_mode() -> str:
+    return _MODE
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fused_config(g, feature_dim: Optional[int] = None) -> Optional[dict]:
+    """Return kernel kwargs {tile_rows, window_slack, interpret} if the fused
+    path applies to this batch, else None (callers fall back to XLA ops)."""
+    if _MODE == "never" or g.nbr_nodes is None:
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if _MODE == "auto" and not on_tpu:
+        return None
+    interpret = not on_tpu
+    # Mosaic DMA slices need lane (feature) alignment; unaligned layers
+    # (e.g. a raw 11-dim molecular input layer) use the XLA path
+    if not interpret and feature_dim is not None and feature_dim % 128 != 0:
+        return None
+
+    N = g.num_nodes
+    maxg = getattr(g, "max_graph_nodes_static", 0)
+    if maxg <= 0:
+        return None
+
+    # single tile: the window is the whole array, any graph layout is valid
+    if N <= _SINGLE_TILE_MAX and N % 8 == 0:
+        return dict(tile_rows=N, window_slack=0, interpret=interpret)
+
+    # tiled: graphs are contiguous, so rows [t*TN,(t+1)*TN) only reference
+    # ids within +-maxg of the tile bounds
+    slack = _round_up(maxg, 8)
+    for tn in (_TILE_ROWS, 256, 128, 512):
+        if supports(N, tn, slack) and tn >= 2 * slack:
+            return dict(tile_rows=tn, window_slack=slack, interpret=interpret)
+    return None

@@ -1,0 +1,322 @@
+"""Fused ELL multi-aggregate Pallas kernel — the framework's hot kernel.
+
+Replaces the XLA chain  gather [N,W,F] -> (+u broadcast) -> 4 masked
+reduces  with ONE pass per node tile that keeps the message table entirely
+in VMEM.  Measured on TPU v5e, the XLA chain moves ~800 MB of HBM for a
+batch-1024 QM9 PNA layer (each masked ``where`` materializes its own
+[N,W,F] copy and the row gather is re-fused per consumer); the fused kernel
+moves the information-theoretic minimum: read u,v [N,F], neighbor table
+[N,W], write agg concat [N,A*F].
+
+This is the TPU counterpart of the reference's streaming aggregation loop
+(gather_node_neighbors + incremental max/min/mean/std aggregators,
+gnn_builder_lib.h:1168-1207 and :642-802, driven per node by pna_conv_agg
+:1765-1834) — same dataflow idea (messages never round-trip to main
+memory), realized as a tiled MXU/VPU kernel instead of an HLS pipeline.
+
+Gather strategy.  Mosaic has no dynamic row gather, so neighbor rows are
+selected with a one-hot MXU matmul against a *windowed* slice of ``v``:
+
+* the packer lays graphs out contiguously and edges never cross graphs, so
+  every neighbor id of node-tile ``t`` (rows [t*TN, (t+1)*TN)) lies in
+  ``[t*TN - maxg, t*TN + TN + maxg)`` where maxg = largest graph in the
+  batch.  The window schedule is therefore a HOST-SIDE CONSTANT — scalar-
+  prefetched, no data-dependent control flow;
+* pad slots hold the ghost id, which simply misses the window for most
+  tiles -> all-zero one-hot row -> contributes 0, and is masked anyway;
+* a one-hot f32 matmul selects exactly one row per slot (products are
+  0*x or 1*x), so the gather is numerically exact.
+
+p_in/p_out analog: ``tile_rows`` (TN) and ``window_slack`` are this
+kernel's parallelism knobs, exposed to the DSE autotuner the way the
+reference exposes unroll factors (models.py:30-314).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_ell_aggregate", "fused_ell_aggregate_vjp", "supports"]
+
+_STD_EPS = 1e-5  # PyG StdAggregation epsilon (reference gnn_builder_lib.h:700)
+
+
+def supports(num_nodes: int, tile_rows: int, window_slack: int) -> bool:
+    """Whether the fused kernel's static preconditions hold for this batch."""
+    tw = tile_rows + 2 * window_slack
+    return (
+        num_nodes % tile_rows == 0
+        and num_nodes >= tw
+        and tw % 8 == 0
+        and tile_rows % 8 == 0
+    )
+
+
+def _window_starts(n: int, tile_rows: int, window: int, slack: int) -> np.ndarray:
+    t = np.arange(n // tile_rows, dtype=np.int32)
+    ws = np.clip(t * tile_rows - slack, 0, n - window)
+    return ws.astype(np.int32)
+
+
+def _kernel(
+    # scalar prefetch
+    ws_ref,
+    # inputs
+    u_ref,        # [TN, F] or None (see factory)
+    v_hbm,        # [N, F] in ANY/HBM
+    nbr_ref,      # [TN, W] int32
+    deg_ref,      # [TN, 1] int32
+    # output
+    out_ref,      # [TN, A*F]
+    # scratch
+    v_win,        # [TW, F]
+    dma_sem,
+    *,
+    aggregators: Sequence[str],
+    W: int,
+    TW: int,
+    has_u: bool,
+):
+    i = pl.program_id(0)
+    start = pl.multiple_of(ws_ref[i], 8)
+
+    copy = pltpu.make_async_copy(
+        v_hbm.at[pl.ds(start, TW), :], v_win, dma_sem
+    )
+    copy.start()
+
+    TN = nbr_ref.shape[0]
+    F = v_win.shape[1]
+    dtype = v_win.dtype
+
+    ids_local = nbr_ref[:] - start  # [TN, W]
+    deg = deg_ref[:]  # [TN, 1]
+    u = u_ref[:] if has_u else None
+
+    copy.wait()
+    vwin = v_win[:]
+
+    need_sum = "sum" in aggregators or "mean" in aggregators or "std" in aggregators
+    need_sq = "std" in aggregators
+    need_max = "max" in aggregators
+    need_min = "min" in aggregators
+
+    neg = jnp.full((TN, F), -jnp.inf, dtype)
+    pos = jnp.full((TN, F), jnp.inf, dtype)
+    zero = jnp.zeros((TN, F), dtype)
+    s_acc = zero
+    sq_acc = zero
+    mx_acc = neg
+    mn_acc = pos
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TN, TW), 1)
+    for w in range(W):
+        onehot = (ids_local[:, w][:, None] == lane).astype(dtype)  # [TN, TW]
+        # HIGHEST: Mosaic's default matmul precision is one-pass bf16, which
+        # would truncate the gathered values; the selection must be exact
+        g = jnp.dot(
+            onehot,
+            vwin,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        msg = (u + g) if has_u else g
+        valid = (w < deg)  # [TN, 1] bool, broadcasts over F
+        if need_sum:
+            s_acc = s_acc + jnp.where(valid, msg, 0.0)
+        if need_sq:
+            sq_acc = sq_acc + jnp.where(valid, msg * msg, 0.0)
+        if need_max:
+            mx_acc = jnp.maximum(mx_acc, jnp.where(valid, msg, neg))
+        if need_min:
+            mn_acc = jnp.minimum(mn_acc, jnp.where(valid, msg, pos))
+
+    degf = deg.astype(dtype)
+    denom = jnp.maximum(degf, 1.0)
+    nonempty = deg > 0  # [TN, 1]
+
+    outs = []
+    for a in aggregators:
+        if a == "sum":
+            outs.append(s_acc)
+        elif a == "mean":
+            outs.append(s_acc / denom)
+        elif a == "std":
+            mean = s_acc / denom
+            var = jnp.maximum(sq_acc / denom - mean * mean, 0.0)
+            outs.append(jnp.sqrt(var + _STD_EPS))
+        elif a == "max":
+            outs.append(jnp.where(nonempty, mx_acc, 0.0))
+        elif a == "min":
+            outs.append(jnp.where(nonempty, mn_acc, 0.0))
+        else:
+            raise ValueError(f"unknown aggregator {a}")
+    out_ref[:] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "aggregators", "tile_rows", "window_slack", "interpret",
+    ),
+)
+def fused_ell_aggregate(
+    v: jax.Array,                 # [N, F] neighbor-side values
+    nbr_nodes: jax.Array,         # [N, W] int32 ELL table
+    in_degree: jax.Array,         # [N] int32
+    aggregators: tuple,
+    u: Optional[jax.Array] = None,  # [N, F] receiver-side shift (PNA's u_i)
+    tile_rows: int = 256,
+    window_slack: int = 64,
+    interpret: bool = False,
+):
+    """All ``aggregators`` of ``(u_i +) v_j`` over each node's ELL slots,
+    concatenated [N, len(aggregators)*F] in aggregator order.
+
+    Preconditions (checked): N divisible by tile_rows, window fits, and —
+    guaranteed by the packer, asserted by the caller — every neighbor id of
+    rows [t*TN,(t+1)*TN) lies within ``t*TN ± window_slack`` (graphs are
+    contiguous and smaller than window_slack).
+    """
+    N, F = v.shape
+    W = nbr_nodes.shape[1]
+    TN = tile_rows
+    TW = TN + 2 * window_slack
+    if not supports(N, TN, window_slack):
+        raise ValueError(
+            f"fused_ell_aggregate preconditions failed: N={N} TN={TN} TW={TW}"
+        )
+    A = len(aggregators)
+    ws = jnp.asarray(_window_starts(N, TN, TW, window_slack))
+    deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
+    has_u = u is not None
+
+    kern = functools.partial(
+        _kernel, aggregators=tuple(aggregators), W=W, TW=TW, has_u=has_u
+    )
+
+    # index maps receive (grid idx, scalar-prefetch ref)
+    in_specs = [
+        pl.BlockSpec(
+            (TN, F), lambda i, ws: (i, 0), memory_space=pltpu.VMEM
+        ),  # u (dummy zeros if unused)
+        pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM, DMA'd
+        pl.BlockSpec((TN, W), lambda i, ws: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TN, 1), lambda i, ws: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // TN,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (TN, A * F), lambda i, ws: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TW, F), v.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    u_in = u if has_u else jnp.zeros((N, F), v.dtype)
+    flops = N * W * TW * F * 2  # one-hot gather matmuls dominate
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, A * F), v.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(2 * N * F + N * A * F) * v.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ws, u_in, v, nbr_nodes, deg2d)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, XLA-reference backward.
+# The backward re-derives gradients through the ops/ell.py implementation
+# (identical numerics), so training can use the fused forward today; a
+# hand-written Pallas VJP can swap in underneath later without API change.
+# ---------------------------------------------------------------------------
+
+
+def _reference(v, u, nbr_nodes, in_degree, aggregators):
+    from gnnbuilder_tpu.ops import ell
+
+    table = ell.ell_gather(v, nbr_nodes)
+    if u is not None:
+        table = u[:, None, :] + table
+    mask = ell.ell_mask(nbr_nodes, in_degree)
+    d = ell.ell_multi_table(table, in_degree, aggregators, mask)
+    return jnp.concatenate([d[a] for a in aggregators], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_vjp_fn(aggregators, tile_rows, window_slack, has_u, interpret):
+    @jax.custom_vjp
+    def f(v, u, nbr_nodes, in_degree):
+        return fused_ell_aggregate(
+            v,
+            nbr_nodes,
+            in_degree,
+            aggregators,
+            u=u if has_u else None,
+            tile_rows=tile_rows,
+            window_slack=window_slack,
+            interpret=interpret,
+        )
+
+    def fwd(v, u, nbr_nodes, in_degree):
+        return f(v, u, nbr_nodes, in_degree), (v, u, nbr_nodes, in_degree)
+
+    def bwd(res, ct):
+        v, u, nbr_nodes, in_degree = res
+        if has_u:
+            _, vjp = jax.vjp(
+                lambda vv, uu: _reference(
+                    vv, uu, nbr_nodes, in_degree, aggregators
+                ),
+                v,
+                u,
+            )
+            dv, du = vjp(ct)
+        else:
+            _, vjp = jax.vjp(
+                lambda vv: _reference(
+                    vv, None, nbr_nodes, in_degree, aggregators
+                ),
+                v,
+            )
+            (dv,) = vjp(ct)
+            du = jnp.zeros_like(u)
+        zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+        return dv, du, zero_i(nbr_nodes), zero_i(in_degree)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_ell_aggregate_vjp(
+    v,
+    nbr_nodes,
+    in_degree,
+    aggregators,
+    u=None,
+    tile_rows: int = 256,
+    window_slack: int = 64,
+    interpret: bool = False,
+):
+    """Differentiable fused aggregate (Pallas fwd, XLA-reference bwd)."""
+    has_u = u is not None
+    fn = _make_vjp_fn(
+        tuple(aggregators), tile_rows, window_slack, has_u, interpret
+    )
+    u_in = u if has_u else jnp.zeros_like(v)
+    return fn(v, u_in, nbr_nodes, in_degree)

@@ -59,6 +59,7 @@ def batch_shardings(mesh: Mesh, batch: GraphBatch) -> GraphBatch:
             else None
         ),
         num_graphs_static=batch.num_graphs_static,
+        max_graph_nodes_static=batch.max_graph_nodes_static,
     )
 
 

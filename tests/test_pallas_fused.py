@@ -1,0 +1,201 @@
+"""Fused Pallas ELL-aggregate kernel: parity vs the XLA ops (interpret mode
+on CPU — the float-C-sim analog), gradient equivalence through the custom
+VJP, and conv-level integration via the dispatch policy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gnnbuilder_tpu as gnnb
+from gnnbuilder_tpu.data.datasets import FakeDataset
+from gnnbuilder_tpu.ops import dispatch, ell
+from gnnbuilder_tpu.ops.pallas.ell_agg import (
+    fused_ell_aggregate,
+    fused_ell_aggregate_vjp,
+    supports,
+)
+
+AGGS = ("max", "min", "mean", "std")
+
+
+def _batch(num_graphs=24, node_budget=512, seed=3):
+    graphs = FakeDataset(
+        num_graphs=num_graphs, avg_num_nodes=14, node_dim=8, edge_dim=4,
+        seed=seed,
+    )
+    return gnnb.build_graph_batch(graphs, node_budget=node_budget)
+
+
+def _ref_concat(v, u, b, aggs):
+    table = ell.ell_gather(v, b.nbr_nodes)
+    if u is not None:
+        table = u[:, None, :] + table
+    mask = ell.ell_mask(b.nbr_nodes, b.in_degree)
+    d = ell.ell_multi_table(table, b.in_degree, aggs, mask)
+    return jnp.concatenate([d[a] for a in aggs], -1)
+
+
+@pytest.mark.parametrize("tile_rows,slack", [(128, 32), (256, 32), (512, 0)])
+def test_fused_matches_ell_reference(tile_rows, slack):
+    b = _batch()
+    N, F = b.num_nodes, 16
+    assert N == 512 and b.max_graph_nodes_static <= 32
+    if not supports(N, tile_rows, slack):
+        pytest.skip("precondition")
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((N, F)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, F)), jnp.float32)
+    got = fused_ell_aggregate(
+        v, b.nbr_nodes, b.in_degree, AGGS, u=u,
+        tile_rows=tile_rows, window_slack=slack, interpret=True,
+    )
+    ref = _ref_concat(v, u, b, AGGS)
+    # std near-empty rows amplify 1-ulp gather differences by ~1/(2 sqrt(eps))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+def test_fused_no_u_sum():
+    b = _batch()
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal((b.num_nodes, 16)), jnp.float32)
+    got = fused_ell_aggregate(
+        v, b.nbr_nodes, b.in_degree, ("sum",),
+        tile_rows=128, window_slack=32, interpret=True,
+    )
+    ref = ell.ell_sum(v, b.nbr_nodes, b.in_degree)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_vjp_matches_xla_grad():
+    b = _batch()
+    N, F = b.num_nodes, 16
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal((N, F)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, F)), jnp.float32)
+
+    def loss_fused(v, u):
+        out = fused_ell_aggregate_vjp(
+            v, b.nbr_nodes, b.in_degree, AGGS, u=u,
+            tile_rows=128, window_slack=32, interpret=True,
+        )
+        return jnp.sum(out * out)
+
+    def loss_ref(v, u):
+        out = _ref_concat(v, u, b, AGGS)
+        return jnp.sum(out * out)
+
+    gv, gu = jax.grad(loss_fused, argnums=(0, 1))(v, u)
+    rv, ru = jax.grad(loss_ref, argnums=(0, 1))(v, u)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=2e-3,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(ru), atol=2e-3,
+                               rtol=1e-4)
+
+
+def test_dispatch_policy():
+    b = _batch()  # N=512, multi-tile on "always"
+    try:
+        dispatch.set_fused_mode("never")
+        assert dispatch.fused_config(b) is None
+        dispatch.set_fused_mode("always")
+        cfg = dispatch.fused_config(b)
+        assert cfg is not None and cfg["interpret"] is True
+        # flat batch (no ELL tables) never dispatches
+        flat = b.replace(nbr_nodes=None, nbr_edges=None)
+        assert dispatch.fused_config(flat) is None
+        # auto off-TPU falls back to XLA
+        dispatch.set_fused_mode("auto")
+        assert dispatch.fused_config(b) is None
+    finally:
+        dispatch.set_fused_mode("auto")
+
+
+@pytest.mark.parametrize("conv_type", ["pna", "gin", "sage", "gcn", "lg", "simple"])
+def test_model_forward_fused_matches_xla(conv_type):
+    """Whole-model forward with fused kernels == XLA path (interpret mode)."""
+    b = _batch(num_graphs=12, node_budget=256)
+    kw = dict(
+        graph_input_feature_dim=8, gnn_hidden_dim=16, gnn_num_layers=3,
+        gnn_output_dim=16 if conv_type in ("lg", "simple") else 12,
+        gnn_conv=conv_type, pooling_aggrs=("add", "mean"), mlp_out_dim=1,
+        conv_kwargs={"delta": 2.0} if conv_type == "pna" else {},
+    )
+    if conv_type in ("lg", "simple"):
+        kw["gnn_hidden_dim"] = 8
+        kw["gnn_output_dim"] = 8
+    model = gnnb.GNNModel(**kw)
+    params = model.init(jax.random.PRNGKey(0), b)
+    ref = np.asarray(model.apply(params, b))
+    try:
+        dispatch.set_fused_mode("always")
+        got = np.asarray(model.apply(params, b))
+    finally:
+        dispatch.set_fused_mode("auto")
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
+
+
+def test_full_pna_layer_kernel_matches_reference():
+    """Whole-PNA-layer fused kernel (ops/pallas/pna_layer.py) vs the XLA
+    reference math, interpret mode."""
+    from gnnbuilder_tpu.ops.pallas.pna_layer import (
+        fused_pna_layer,
+        fused_pna_layer_vjp,
+        pna_layer_reference,
+    )
+
+    b = _batch()
+    N, Fin = b.num_nodes, 16
+    F, Fout = Fin, 16
+    rng = np.random.default_rng(4)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32)
+    x = r(N, Fin)
+    w_pre, b_pre = r(2 * Fin, F), r(F)
+    k_post, b_post = r(Fin + 12 * F, Fout), r(Fout)
+    w_lin, b_lin = r(Fout, Fout), r(Fout)
+    args = (x, b.nbr_nodes, b.in_degree, w_pre, b_pre, k_post, b_post,
+            w_lin, b_lin)
+    got = fused_pna_layer(*args, 2.0, tile_rows=128, window_slack=32,
+                          interpret=True)
+    ref = pna_layer_reference(*args, 2.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4,
+                               rtol=1e-3)
+
+    # gradient path (custom VJP -> XLA reference backward)
+    def loss_fused(x, w):
+        out = fused_pna_layer_vjp(
+            x, b.nbr_nodes, b.in_degree, w, b_pre, k_post, b_post,
+            w_lin, b_lin, 2.0, tile_rows=128, window_slack=32,
+            interpret=True)
+        return jnp.sum(out * out)
+
+    def loss_ref(x, w):
+        out = pna_layer_reference(x, b.nbr_nodes, b.in_degree, w, b_pre,
+                                  k_post, b_post, w_lin, b_lin, 2.0)
+        return jnp.sum(out * out)
+
+    gx, gw = jax.grad(loss_fused, argnums=(0, 1))(x, w_pre)
+    rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, w_pre)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=2e-3,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=2e-3,
+                               rtol=1e-3)
+
+
+def test_pna_conv_uses_full_layer_kernel():
+    """PNAConv dispatches to the fused layer under mode 'always' and matches
+    its own XLA path."""
+    b = _batch(num_graphs=12, node_budget=256)
+    conv = gnnb.PNAConv(in_channels=16, out_channels=16, delta=2.0)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((b.num_nodes, 16)),
+        jnp.float32,
+    )
+    params = conv.init(jax.random.PRNGKey(0), b, x)
+    ref = np.asarray(conv.apply(params, b, x))
+    try:
+        dispatch.set_fused_mode("always")
+        got = np.asarray(conv.apply(params, b, x))
+    finally:
+        dispatch.set_fused_mode("auto")
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
