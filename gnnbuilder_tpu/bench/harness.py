@@ -1,0 +1,198 @@
+"""Benchmark harness — the conv x dataset sweep of the reference's
+experiments (build_base_benchmarks.py / build_gnnbuilder_benchmarks.py).
+
+Backends:
+  * ``tpu``       — this framework's compiled Program on the default JAX
+                    backend (the fpga_par analog), batch=1 latency and
+                    best-batch throughput;
+  * ``torch_cpu`` — the pure-torch golden model single-threaded on CPU
+                    (the reference's PyG-CPU baseline analog,
+                    build_base_benchmarks.py:158-239; we pin via
+                    torch.set_num_threads(1) instead of sched_setaffinity).
+
+Results are written in the reference's flat results-file format — one value
+per ``<metric>_<backend>_<conv>_<dataset>.txt`` (its experiments parse these
+back in process_and_plot_data.py:22-45) — plus one machine-readable JSON.
+Energy counters (RAPL / nvidia-smi in the reference) have no TPU-relay
+equivalent here and are omitted.
+
+CLI:  python -m gnnbuilder_tpu.bench.harness --convs gcn,pna --datasets esol
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = ["run_grid", "bench_tpu", "bench_torch_cpu"]
+
+# the reference's benchmark grid (build_gnnbuilder_benchmarks.py:128-148)
+DEFAULT_CONVS = ("gcn", "gin", "pna", "sage")
+DEFAULT_DATASETS = ("qm9", "esol", "freesolv", "lipo", "hiv")
+
+# BASELINE.md fpga_par latencies (s/graph, batch=1) for vs_baseline ratios
+FPGA_PAR_BASELINE_S = {
+    ("gcn", "qm9"): 0.498e-3,
+    ("pna", "qm9"): 1.707e-3,
+    ("sage", "qm9"): 0.439e-3,
+}
+
+
+def bench_tpu(
+    conv: str,
+    dataset: str,
+    batch_sizes: Sequence[int] = (1, 256),
+    n_graphs: int = 512,
+    iters: int = 20,
+) -> dict:
+    """Compiled-Program latency/throughput for the canonical model."""
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.bench.canonical import canonical_batches, canonical_model
+    from gnnbuilder_tpu.bench.timing import marginal_time
+
+    out = {}
+    graphs = None
+    for bs in batch_sizes:
+        graphs, batches = canonical_batches(
+            dataset,
+            n_graphs=max(n_graphs, bs + 1),
+            batch_size=bs,
+            node_multiple=256 if bs > 8 else 8,
+        )
+        b = batches[0]
+        model = canonical_model(conv, dataset, graphs=graphs)
+        prog = gnnb.Program(
+            model,
+            max_nodes=b.num_nodes,
+            max_edges=b.num_edges,
+            max_graphs=b.num_graphs,
+        )
+        prog.init_params(b)
+        fwd = prog.compile(b)
+        dt = marginal_time(fwd, prog.params, b, n_lo=5, n_hi=iters)
+        real_edges = int(np.asarray(b.edge_mask).sum())
+        out[f"latency_b{bs}_s"] = dt
+        out[f"graphs_per_s_b{bs}"] = bs / dt
+        out[f"edges_per_s_b{bs}"] = real_edges / dt
+    out["latency_s"] = out[f"latency_b{batch_sizes[0]}_s"]
+    best = max(batch_sizes, key=lambda bs: out[f"graphs_per_s_b{bs}"])
+    out["best_batch_size"] = best
+    out["graphs_per_s"] = out[f"graphs_per_s_b{best}"]
+    out["edges_per_s"] = out[f"edges_per_s_b{best}"]
+    return out
+
+
+def bench_torch_cpu(
+    conv: str, dataset: str, n_graphs: int = 64, reps: int = 3
+) -> dict:
+    """Pure-torch golden model, single-threaded batch=1 CPU — the PyG-CPU
+    baseline analog (build_base_benchmarks.py:158-239)."""
+    import torch
+
+    from gnnbuilder_tpu.bench.canonical import CANONICAL
+    from gnnbuilder_tpu.data.datasets import DATASET_SPECS, load_dataset
+    from gnnbuilder_tpu.utils.stats import compute_pna_delta
+    from gnnbuilder_tpu.verify import torch_ref as tr
+
+    torch.set_num_threads(1)
+    spec = DATASET_SPECS[dataset]
+    graphs = load_dataset(dataset, n=n_graphs)
+    kw = dict(CANONICAL)
+    conv_kwargs = {}
+    if conv == "pna":
+        conv_kwargs["delta"] = compute_pna_delta(graphs)
+    tmodel = tr.TorchGNNModel(
+        graph_input_feature_dim=spec.node_dim,
+        graph_input_edge_dim=spec.edge_dim,
+        gnn_conv=conv,
+        conv_kwargs=conv_kwargs,
+        **kw,
+    )
+    tmodel.eval()
+    tensors = [
+        (torch.tensor(g.x), torch.tensor(g.edge_index)) for g in graphs
+    ]
+    with torch.no_grad():
+        for tx, tei in tensors[:4]:  # warmup
+            tmodel(tx, tei, num_graphs=1)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for tx, tei in tensors:
+                tmodel(tx, tei, num_graphs=1)
+        dt = (time.perf_counter() - t0) / (reps * len(tensors))
+    return {"latency_s": dt, "graphs_per_s": 1.0 / dt}
+
+
+_BACKENDS = {"tpu": bench_tpu, "torch_cpu": bench_torch_cpu}
+
+
+def run_grid(
+    convs: Sequence[str] = DEFAULT_CONVS,
+    datasets: Sequence[str] = DEFAULT_DATASETS,
+    backends: Sequence[str] = ("tpu",),
+    results_dir: str = "results",
+    verbose: bool = True,
+    **kw,
+) -> list[dict]:
+    """Run the grid; write reference-format flat files + results.json."""
+    os.makedirs(results_dir, exist_ok=True)
+    rows = []
+    for backend in backends:
+        fn = _BACKENDS[backend]
+        for conv in convs:
+            for ds in datasets:
+                r = fn(conv, ds, **kw)
+                r.update(backend=backend, conv=conv, dataset=ds)
+                base = FPGA_PAR_BASELINE_S.get((conv, ds))
+                if base is not None:
+                    r["vs_fpga_par"] = base / r["latency_s"]
+                rows.append(r)
+                # reference flat format: one value per file, parsed back by
+                # process_and_plot_data.py:22-45
+                for metric in ("latency_s", "graphs_per_s"):
+                    path = os.path.join(
+                        results_dir, f"{metric}_{backend}_{conv}_{ds}.txt"
+                    )
+                    with open(path, "w") as f:
+                        f.write(f"{r[metric]}\n")
+                if verbose:
+                    extra = (
+                        f" ({r['vs_fpga_par']:.0f}x fpga_par)"
+                        if "vs_fpga_par" in r
+                        else ""
+                    )
+                    print(
+                        f"{backend:10s} {conv:5s} {ds:8s} "
+                        f"{r['latency_s'] * 1e3:8.3f} ms/graph"
+                        f"{extra}",
+                        flush=True,
+                    )
+    with open(os.path.join(results_dir, "results.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--convs", default=",".join(DEFAULT_CONVS))
+    ap.add_argument("--datasets", default=",".join(DEFAULT_DATASETS))
+    ap.add_argument("--backends", default="tpu")
+    ap.add_argument("--results-dir", default="results")
+    ap.add_argument("--n-graphs", type=int, default=512)
+    args = ap.parse_args()
+    run_grid(
+        convs=args.convs.split(","),
+        datasets=args.datasets.split(","),
+        backends=args.backends.split(","),
+        results_dir=args.results_dir,
+        n_graphs=args.n_graphs,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,23 @@ class Program:
         fwd = self.compile(batch)
         return fwd(self.params, batch)
 
+    # ---------------------------------------------------------------- verify
+    def gen_testbench_data(self, graphs, out_dir: str, max_graphs=None):
+        """Serialize params + per-graph goldens in the reference's binary
+        testbench format (code_gen.py:227-305); see verify/golden.py."""
+        from gnnbuilder_tpu.verify import golden
+
+        return golden.gen_testbench_data(
+            self, graphs, out_dir, max_graphs=max_graphs
+        )
+
+    def run_parity_check(self, graphs, golden_dir: str) -> dict:
+        """MAE vs serialized goldens — the build_and_run_testbench analog
+        (code_gen.py:339-395)."""
+        from gnnbuilder_tpu.verify import golden
+
+        return golden.parity_check(self, graphs, golden_dir)
+
     # ------------------------------------------------------------- diagnostics
     def cost_analysis(self, example_batch: Optional[GraphBatch] = None) -> dict:
         """Compiled-HLO cost analysis: FLOPs and bytes accessed — the analog

@@ -1,0 +1,152 @@
+"""Golden-data serialization in the reference's testbench binary format.
+
+The reference dumps every model parameter and per-graph tensors as raw
+little-endian binaries consumed by its C++ testbench
+(``gen_testbench_data`` code_gen.py:227-305, ``serialize_tensor``
+utils.py:113-115, name combiner utils.py:99-100), indexed by a
+``dataset_info.txt``.  This module reproduces that artifact layout so a
+project generated here can be diffed/parity-checked against reference
+fixtures byte-for-byte, and provides the reverse loaders + the MAE parity
+check that its testbench prints (model_tb.cpp.jinja:242-258,
+parsed back at code_gen.py:384-395).
+
+Layout under ``out_dir``::
+
+    model_parameters/<layer>_<param>.bin   float32 raw
+    graph_<i>_info.bin                     int32 [num_nodes, num_edges]
+    graph_<i>_coo.bin                      int32 [2, E] edge list
+    graph_<i>_node_features.bin            float32 [n, F]
+    graph_<i>_model_golden_output.bin      float32 [out_dim]
+    dataset_info.txt                       index (num_graphs + per-graph dims)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+__all__ = [
+    "serialize_tensor",
+    "serialize_params",
+    "gen_testbench_data",
+    "load_golden_outputs",
+    "parity_check",
+]
+
+
+def serialize_tensor(t, path: str) -> None:
+    """Raw binary dump — semantics of reference utils.py:113-115."""
+    np.ascontiguousarray(np.asarray(t)).tofile(path)
+
+
+def _param_name_combiner(layer: str, param: str) -> str:
+    # reference layer_param_name_combiner (utils.py:99-100)
+    return f"{layer}_{param}"
+
+
+def _flatten_params(params) -> dict:
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(prefix + [k], v)
+        else:
+            name = _param_name_combiner(
+                "_".join(prefix[:-1]) or "root", prefix[-1]
+            )
+            flat[name] = np.asarray(node, dtype=np.float32)
+
+    root = params.get("params", params) if isinstance(params, dict) else params
+    walk([], root)
+    return flat
+
+
+def serialize_params(params, out_dir: str) -> list[str]:
+    """Every parameter tensor -> ``model_parameters/<layer>_<param>.bin``
+    (reference code_gen.py:239-246)."""
+    pdir = os.path.join(out_dir, "model_parameters")
+    os.makedirs(pdir, exist_ok=True)
+    written = []
+    for name, arr in sorted(_flatten_params(params).items()):
+        path = os.path.join(pdir, f"{name}.bin")
+        serialize_tensor(arr, path)
+        written.append(path)
+    return written
+
+
+def gen_testbench_data(
+    program,
+    graphs: Sequence,
+    out_dir: str,
+    max_graphs: Optional[int] = None,
+) -> dict:
+    """Serialize parameters + per-graph inputs + the model's golden outputs
+    (reference code_gen.py:227-305: the golden forward pass over the whole
+    dataset is the hot loop there too)."""
+    os.makedirs(out_dir, exist_ok=True)
+    if program.params is None:
+        program.init_params()
+    serialize_params(program.params, out_dir)
+
+    n = len(graphs) if max_graphs is None else min(len(graphs), max_graphs)
+    lines = [str(n)]
+    outs = []
+    for i in range(n):
+        g = graphs[i]
+        num_nodes = int(g.x.shape[0])
+        num_edges = int(g.edge_index.shape[1])
+        serialize_tensor(
+            np.asarray([num_nodes, num_edges], np.int32),
+            os.path.join(out_dir, f"graph_{i}_info.bin"),
+        )
+        serialize_tensor(
+            np.asarray(g.edge_index, np.int32),
+            os.path.join(out_dir, f"graph_{i}_coo.bin"),
+        )
+        serialize_tensor(
+            np.asarray(g.x, np.float32),
+            os.path.join(out_dir, f"graph_{i}_node_features.bin"),
+        )
+        batch = program.batch([g])
+        out = np.asarray(program.forward(batch))[0].astype(np.float32)
+        serialize_tensor(
+            out, os.path.join(out_dir, f"graph_{i}_model_golden_output.bin")
+        )
+        outs.append(out)
+        lines.append(f"{i} {num_nodes} {num_edges} {out.shape[-1]}")
+    with open(os.path.join(out_dir, "dataset_info.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return {"num_graphs": n, "out_dim": outs[0].shape[-1] if outs else 0}
+
+
+def load_golden_outputs(out_dir: str) -> list[np.ndarray]:
+    with open(os.path.join(out_dir, "dataset_info.txt")) as f:
+        lines = f.read().strip().splitlines()
+    n = int(lines[0])
+    outs = []
+    for line in lines[1 : n + 1]:
+        idx, _, _, dim = (int(v) for v in line.split())
+        outs.append(
+            np.fromfile(
+                os.path.join(out_dir, f"graph_{idx}_model_golden_output.bin"),
+                dtype=np.float32,
+            ).reshape(dim)
+        )
+    return outs
+
+
+def parity_check(program, graphs: Sequence, golden_dir: str) -> dict:
+    """Replay the dataset through the compiled program and report MAE vs the
+    serialized goldens — the testbench's model_output_mae
+    (model_tb.cpp.jinja:242-258 / code_gen.py:384-395)."""
+    goldens = load_golden_outputs(golden_dir)
+    errs = []
+    for g, golden in zip(graphs, goldens):
+        out = np.asarray(program.forward(program.batch([g])))[0]
+        errs.append(np.abs(out - golden).mean())
+    mae = float(np.mean(errs)) if errs else 0.0
+    return {"model_output_mae": mae, "num_graphs": len(errs)}
