@@ -36,7 +36,9 @@ def main():
     graphs, _ = canonical_batches("qm9", n_graphs=256, batch_size=1)
     model = canonical_model("pna", "qm9", graphs=graphs)
 
-    def measure(bs, n_lo=5, n_hi=25):
+    def measure(bs, n_lo=5, n_hi=25, return_info=False):
+        import numpy as np
+
         # node_multiple=256 aligns batches to the fused Pallas kernel's node
         # tiles (ops/dispatch.py); ~1-2% extra padding
         gs, batches = canonical_batches(
@@ -53,18 +55,39 @@ def main():
         p.init_params(b)
         f = p.compile(b)
         dt = marginal_time(f, p.params, b, n_lo=n_lo, n_hi=n_hi)
+        if return_info:
+            real_edges = int(np.asarray(b.edge_mask).sum())
+            return dt, (p, b, real_edges)
         return dt
 
     lat_b1 = measure(1, n_lo=10, n_hi=60)
     log(f"batch=1 marginal latency: {lat_b1*1e3:.3f} ms/graph")
 
-    best_tput, best_bs = 0.0, 1
-    for bs in (256, 1024, 4096):
-        dt = measure(bs)
+    best_tput, best_bs, best = 0.0, 1, None
+    for bs in (128, 256, 512, 1024):
+        dt, binfo = measure(bs, return_info=True)
         tput = bs / dt
         log(f"batch={bs}: {dt*1e3:.2f} ms/call -> {tput:,.0f} graphs/s")
         if tput > best_tput:
-            best_tput, best_bs = tput, bs
+            best_tput, best_bs, best = tput, bs, (dt, binfo)
+
+    # roofline accounting for the winning config (BASELINE.json edges/s target)
+    from gnnbuilder_tpu.bench.roofline import program_min_bytes, roofline_report
+
+    dt, (prog, batch, real_edges) = best
+    cost = prog.cost_analysis(batch)
+    roof = roofline_report(
+        dt,
+        flops=float(cost.get("flops", 0.0)),
+        min_bytes=program_min_bytes(prog, batch),
+        xla_bytes=float(cost.get("bytes accessed", 0.0)),
+        num_edges=real_edges,
+    )
+    log(
+        f"roofline: {roof['fraction_of_roofline']*100:.0f}% of "
+        f"{roof['bound']}-bound minimum; {roof['edges_per_s']:,.0f} edges/s "
+        f"(roofline {roof['roofline_edges_per_s']:,.0f})"
+    )
 
     print(
         json.dumps(
@@ -75,6 +98,10 @@ def main():
                 "vs_baseline": round(best_tput / REF_PNA_QM9_GRAPHS_PER_S, 2),
                 "latency_b1_ms": round(lat_b1 * 1e3, 3),
                 "best_batch_size": best_bs,
+                "edges_per_s": round(roof["edges_per_s"], 1),
+                "fraction_of_roofline": round(
+                    roof["fraction_of_roofline"], 3
+                ),
                 "baseline": "fpga_par pna/qm9 1.707 ms/graph (BASELINE.md)",
             }
         )
