@@ -15,11 +15,25 @@ int8 x int8 -> i32, so the useful points are:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import dataclasses
 
 import jax.numpy as jnp
 
-__all__ = ["Precision"]
+__all__ = ["Precision", "active_precision"]
+
+# trace-time precision context: Program.activate()s it around model.apply so
+# layers (nn/linear.py) can pick the quantized compute path without plumbing
+# a flag through every module signature
+_ACTIVE: contextvars.ContextVar = contextvars.ContextVar(
+    "gnnb_precision", default=None
+)
+
+
+def active_precision():
+    """The Precision currently activated by the enclosing Program (or None)."""
+    return _ACTIVE.get()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,10 +62,20 @@ class Precision:
         except AttributeError:
             raise ValueError(f"unknown precision {name!r}") from None
 
+    @contextlib.contextmanager
+    def activate(self):
+        tok = _ACTIVE.set(self)
+        try:
+            yield self
+        finally:
+            _ACTIVE.reset(tok)
+
     def cast_params(self, params):
         import jax
 
-        if self.name == "f32":
+        if self.name in ("f32", "int8"):
+            # int8 keeps master weights in f32; layers quantize per-matmul
+            # (symmetric per-channel, ops/quant.py) under activate()
             return params
         if self.name == "bf16":
             return jax.tree.map(
@@ -60,9 +84,7 @@ class Precision:
                 else p,
                 params,
             )
-        raise NotImplementedError(
-            "int8 parameter quantization is applied per-kernel; see dse/"
-        )
+        raise NotImplementedError(self.name)
 
     def __str__(self) -> str:
         return self.name

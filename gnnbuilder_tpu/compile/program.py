@@ -118,7 +118,8 @@ class Program:
                 batch = batch.with_node_feat(
                     batch.node_feat.astype(jnp.bfloat16)
                 )
-            out = model.apply(params, batch)
+            with prec.activate():
+                out = model.apply(params, batch)
             return out.astype(jnp.float32)
 
         return fwd

@@ -112,15 +112,25 @@ class Linear(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from gnnbuilder_tpu.compile.precision import active_precision
+
         fan_in = x.shape[-1]
         kernel = self.param(
             "kernel", torch_kernel_init, (fan_in, self.features), self.param_dtype
         )
-        y = jnp.dot(
-            x.astype(self.dtype) if self.dtype else x,
-            kernel.astype(self.dtype) if self.dtype else kernel,
-            preferred_element_type=jnp.float32,
-        )
+        prec = active_precision()
+        if prec is not None and prec.name == "int8":
+            # MXU int8 path: per-channel weight + per-row activation scales
+            # (ops/quant.py) — the FPX fixed-point analog
+            from gnnbuilder_tpu.ops.quant import int8_matmul
+
+            y = int8_matmul(x, kernel.astype(jnp.float32))
+        else:
+            y = jnp.dot(
+                x.astype(self.dtype) if self.dtype else x,
+                kernel.astype(self.dtype) if self.dtype else kernel,
+                preferred_element_type=jnp.float32,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias",

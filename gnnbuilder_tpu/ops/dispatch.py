@@ -51,6 +51,11 @@ def fused_config(g, feature_dim: Optional[int] = None) -> Optional[dict]:
     path applies to this batch, else None (callers fall back to XLA ops)."""
     if _MODE == "never" or g.nbr_nodes is None:
         return None
+    from gnnbuilder_tpu.compile.precision import active_precision
+
+    prec = active_precision()
+    if prec is not None and prec.name == "int8":
+        return None  # fused kernels are f32/bf16; int8 runs the XLA path
     on_tpu = jax.default_backend() == "tpu"
     if _MODE == "auto" and not on_tpu:
         return None

@@ -1,0 +1,59 @@
+"""Int8 quantized path: op-level accuracy, precision context plumbing, and
+whole-Program int8 forward vs f32 (the FPX fixed-point analog —
+the reference's fpga_par runs FPX(16,10), code_gen.py:39-52)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gnnbuilder_tpu as gnnb
+from gnnbuilder_tpu.compile.precision import Precision, active_precision
+from gnnbuilder_tpu.data.datasets import FakeDataset
+from gnnbuilder_tpu.ops import quant
+
+
+def test_int8_matmul_accuracy():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((32, 16)) * 0.2, jnp.float32)
+    got = np.asarray(quant.int8_matmul(x, w))
+    ref = np.asarray(x @ w)
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel  # 8-bit symmetric quantization error bound
+
+
+def test_quantize_roundtrip():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((24, 8)), jnp.float32)
+    q, s = quant.quantize_weight(w)
+    back = np.asarray(q, np.float32) * np.asarray(s)[None, :]
+    assert np.abs(back - np.asarray(w)).max() < np.asarray(s).max() * 0.51
+
+
+def test_precision_context():
+    assert active_precision() is None
+    with Precision.int8().activate() as p:
+        assert active_precision() is p
+    assert active_precision() is None
+
+
+def test_program_int8_forward_close_to_f32():
+    graphs = FakeDataset(num_graphs=8, avg_num_nodes=12, node_dim=8, seed=4)
+    model = gnnb.GNNModel(
+        graph_input_feature_dim=8, gnn_hidden_dim=16, gnn_num_layers=3,
+        gnn_output_dim=16, gnn_conv="gcn", pooling_aggrs=("mean",),
+        mlp_out_dim=1,
+    )
+    p32 = gnnb.Program(model, max_nodes=256, max_edges=512, max_graphs=9)
+    b = p32.batch(graphs)
+    p32.init_params(b)
+    out32 = np.asarray(p32.forward(b))
+
+    p8 = gnnb.Program(model, max_nodes=256, max_edges=512, max_graphs=9,
+                      precision="int8")
+    p8.set_params(p32.params)
+    out8 = np.asarray(p8.forward(b))
+    denom = np.abs(out32).max() + 1e-6
+    rel = np.abs(out8 - out32).max() / denom
+    assert rel < 0.15, rel  # quantization noise accumulates over 3 layers
+    assert np.isfinite(out8).all()
