@@ -39,11 +39,12 @@ def main():
     def measure(bs, n_lo=5, n_hi=25, return_info=False):
         import numpy as np
 
-        # node_multiple=256 aligns batches to the fused Pallas kernel's node
-        # tiles (ops/dispatch.py); ~1-2% extra padding
+        # node_multiple=256 aligns larger batches to the fused Pallas
+        # kernel's node tiles (ops/dispatch.py); tiny batches keep tight
+        # padding and the XLA path, which wins at that scale
         gs, batches = canonical_batches(
             "qm9", n_graphs=max(bs * 2, 64), batch_size=bs,
-            node_multiple=256,
+            node_multiple=256 if bs >= 64 else 8,
         )
         b = batches[0]
         p = gnnb.Program(
@@ -64,7 +65,7 @@ def main():
     log(f"batch=1 marginal latency: {lat_b1*1e3:.3f} ms/graph")
 
     best_tput, best_bs, best = 0.0, 1, None
-    for bs in (128, 256, 512, 1024):
+    for bs in (256, 1024):
         dt, binfo = measure(bs, return_info=True)
         tput = bs / dt
         log(f"batch={bs}: {dt*1e3:.2f} ms/call -> {tput:,.0f} graphs/s")

@@ -9,6 +9,7 @@ never leaks into gradients.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, Optional
 
@@ -122,3 +123,32 @@ def stack_targets(graphs, num_graphs_padded: int, target_dim: int = 1):
         if g.y is not None:
             out[i] = np.asarray(g.y, dtype=np.float32).reshape(-1)[:target_dim]
     return jnp.asarray(out)
+
+
+# ----------------------------------------------------------------- checkpoint
+def save_checkpoint(path: str, params, opt_state=None, step: int = 0) -> str:
+    """Persist params (+ optimizer state) with orbax — the checkpoint/resume
+    subsystem the reference lacks entirely (SURVEY.md §5: its only persisted
+    artifacts are serialized parameter binaries and DSE pickles)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": params, "step": step}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, like=None):
+    """Restore a checkpoint; ``like`` (same-structure pytree of arrays)
+    enables exact dtype/shape restoration."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        return ckptr.restore(path, like)
+    return ckptr.restore(path)
