@@ -36,7 +36,7 @@ def main():
     graphs, _ = canonical_batches("qm9", n_graphs=256, batch_size=1)
     model = canonical_model("pna", "qm9", graphs=graphs)
 
-    def measure(bs, n_lo=5, n_hi=25, return_info=False):
+    def measure(bs, n_lo=5, n_hi=25, return_info=False, repeats=2):
         import numpy as np
 
         # node_multiple=256 aligns larger batches to the fused Pallas
@@ -55,13 +55,14 @@ def main():
         )
         p.init_params(b)
         f = p.compile(b)
-        dt = marginal_time(f, p.params, b, n_lo=n_lo, n_hi=n_hi)
+        dt = marginal_time(f, p.params, b, n_lo=n_lo, n_hi=n_hi,
+                           repeats=repeats)
         if return_info:
             real_edges = int(np.asarray(b.edge_mask).sum())
             return dt, (p, b, real_edges)
         return dt
 
-    lat_b1 = measure(1, n_lo=10, n_hi=60)
+    lat_b1 = measure(1, n_lo=10, n_hi=60, repeats=4)
     log(f"batch=1 marginal latency: {lat_b1*1e3:.3f} ms/graph")
 
     best_tput, best_bs, best = 0.0, 1, None

@@ -262,20 +262,19 @@ class PNAConv(nn.Module):
         ):
             from gnnbuilder_tpu.ops import dispatch
             from gnnbuilder_tpu.ops.pallas.pna_layer import (
-                fused_pna_layer_vjp,
-                pna_layer_supported,
+                fused_pna_layer_auto,
             )
 
-            cfg = dispatch.fused_config(g, feature_dim=self.in_channels)
-            if cfg is not None and (
-                cfg["interpret"]
-                or pna_layer_supported(
-                    n, x.shape[-1], self.out_channels,
-                    cfg["tile_rows"], cfg["window_slack"],
-                )
-            ):
+            # feature alignment is handled by the kernel's auto-padding —
+            # but padding only pays off at scale; tiny batches keep
+            # unaligned layers on the XLA path
+            aligned = (
+                x.shape[-1] % 128 == 0 and self.out_channels % 128 == 0
+            )
+            cfg = dispatch.fused_config(g)
+            if cfg is not None and not (not aligned and n < 512):
                 p = self.variables["params"]
-                return fused_pna_layer_vjp(
+                return fused_pna_layer_auto(
                     x, g.nbr_nodes, g.in_degree,
                     p["pre_nn"]["kernel"], p["pre_nn"]["bias"],
                     p["post_nn"]["kernel"], p["post_nn"]["bias"],

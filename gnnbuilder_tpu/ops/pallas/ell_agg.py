@@ -127,16 +127,19 @@ def _kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        msg = (u + g) if has_u else g
+        # aggregate over g alone; the constant per-row shift u is applied
+        # after the reduction (commutes for sum/mean/max/min, std is
+        # shift-invariant) — avoids u-induced cancellation amplified by the
+        # sqrt-eps in std for low-degree rows
         valid = (w < deg)  # [TN, 1] bool, broadcasts over F
         if need_sum:
-            s_acc = s_acc + jnp.where(valid, msg, 0.0)
+            s_acc = s_acc + jnp.where(valid, g, 0.0)
         if need_sq:
-            sq_acc = sq_acc + jnp.where(valid, msg * msg, 0.0)
+            sq_acc = sq_acc + jnp.where(valid, g * g, 0.0)
         if need_max:
-            mx_acc = jnp.maximum(mx_acc, jnp.where(valid, msg, neg))
+            mx_acc = jnp.maximum(mx_acc, jnp.where(valid, g, neg))
         if need_min:
-            mn_acc = jnp.minimum(mn_acc, jnp.where(valid, msg, pos))
+            mn_acc = jnp.minimum(mn_acc, jnp.where(valid, g, pos))
 
     degf = deg.astype(dtype)
     denom = jnp.maximum(degf, 1.0)
@@ -145,17 +148,27 @@ def _kernel(
     outs = []
     for a in aggregators:
         if a == "sum":
-            outs.append(s_acc)
+            s = s_acc + degf * u if has_u else s_acc
+            outs.append(s)
         elif a == "mean":
-            outs.append(s_acc / denom)
+            m = s_acc / denom
+            if has_u:
+                m = jnp.where(nonempty, u + m, 0.0)
+            outs.append(m)
         elif a == "std":
-            mean = s_acc / denom
-            var = jnp.maximum(sq_acc / denom - mean * mean, 0.0)
+            mean_g = s_acc / denom
+            var = jnp.maximum(sq_acc / denom - mean_g * mean_g, 0.0)
             outs.append(jnp.sqrt(var + _STD_EPS))
         elif a == "max":
-            outs.append(jnp.where(nonempty, mx_acc, 0.0))
+            m = mx_acc
+            if has_u:
+                m = u + m
+            outs.append(jnp.where(nonempty, m, 0.0))
         elif a == "min":
-            outs.append(jnp.where(nonempty, mn_acc, 0.0))
+            m = mn_acc
+            if has_u:
+                m = u + m
+            outs.append(jnp.where(nonempty, m, 0.0))
         else:
             raise ValueError(f"unknown aggregator {a}")
     out_ref[:] = jnp.concatenate(outs, axis=-1)

@@ -73,6 +73,7 @@ def _kernel(
     W: int,
     TW: int,
     delta: float,
+    gather_mode: str = "split2",
 ):
     i = pl.program_id(0)
     start = pl.multiple_of(ws_ref[i], 8)
@@ -103,25 +104,53 @@ def _kernel(
     pos = jnp.full((TN, F), jnp.inf, jnp.float32)
     zero = jnp.zeros((TN, F), jnp.float32)
     s_acc, sq_acc, mx_acc, mn_acc = zero, zero, neg, pos
+
+    # one-hot gather precision (see module docstring): Mosaic's default
+    # matmul is one-pass bf16.  "split2" = hi/lo bf16 split, 2 passes,
+    # ~1e-5 rel (v_hi+v_lo recover ~16 mantissa bits); "highest" = 6-pass
+    # exact; "bf16" = 1 pass (bf16 precision mode).
+    if gather_mode == "split2":
+        v_hi = vwin.astype(jnp.bfloat16)
+        v_lo = (vwin - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     for w in range(W):
-        onehot = (ids_local[:, w][:, None] == lane).astype(jnp.float32)
-        g = jnp.dot(onehot, vwin, preferred_element_type=jnp.float32,
-                    precision=_HI)
-        msg = u + g
+        if gather_mode == "highest":
+            onehot = (ids_local[:, w][:, None] == lane).astype(jnp.float32)
+            g = jnp.dot(onehot, vwin, preferred_element_type=jnp.float32,
+                        precision=_HI)
+        elif gather_mode == "split2":
+            onehot = (ids_local[:, w][:, None] == lane).astype(jnp.bfloat16)
+            g = jnp.dot(
+                onehot, v_hi, preferred_element_type=jnp.float32
+            ) + jnp.dot(onehot, v_lo, preferred_element_type=jnp.float32)
+        elif gather_mode == "bf16":
+            onehot = (ids_local[:, w][:, None] == lane).astype(jnp.bfloat16)
+            g = jnp.dot(
+                onehot,
+                vwin.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            raise ValueError(f"unknown gather_mode {gather_mode}")
+        # aggregate over g alone and shift by u AFTER the reduction:
+        # mean/max/min commute with the constant per-row shift and std is
+        # shift-invariant, so no u-induced cancellation — in particular
+        # deg-1 rows get variance exactly 0 (same product subtracted from
+        # itself) instead of sqrt-eps-amplified gather noise
         valid = w < deg
-        s_acc = s_acc + jnp.where(valid, msg, 0.0)
-        sq_acc = sq_acc + jnp.where(valid, msg * msg, 0.0)
-        mx_acc = jnp.maximum(mx_acc, jnp.where(valid, msg, neg))
-        mn_acc = jnp.minimum(mn_acc, jnp.where(valid, msg, pos))
+        s_acc = s_acc + jnp.where(valid, g, 0.0)
+        sq_acc = sq_acc + jnp.where(valid, g * g, 0.0)
+        mx_acc = jnp.maximum(mx_acc, jnp.where(valid, g, neg))
+        mn_acc = jnp.minimum(mn_acc, jnp.where(valid, g, pos))
 
     degf = deg.astype(jnp.float32)
     denom = jnp.maximum(degf, 1.0)
     nonempty = deg > 0
-    mean = s_acc / denom
-    var = jnp.maximum(sq_acc / denom - mean * mean, 0.0)
+    mean_g = s_acc / denom
+    var = jnp.maximum(sq_acc / denom - mean_g * mean_g, 0.0)
     std = jnp.sqrt(var + _STD_EPS)
-    mx = jnp.where(nonempty, mx_acc, 0.0)
-    mn = jnp.where(nonempty, mn_acc, 0.0)
+    mean = jnp.where(nonempty, u + mean_g, 0.0)
+    mx = jnp.where(nonempty, u + mx_acc, 0.0)
+    mn = jnp.where(nonempty, u + mn_acc, 0.0)
     # aggregator order fixed: (max, min, mean, std) == PNA_AGGREGATORS
     agg_cat = jnp.concatenate([mx, mn, mean, std], axis=-1)  # [TN, 4F]
 
@@ -145,7 +174,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("delta", "tile_rows", "window_slack", "interpret"),
+    static_argnames=(
+        "delta", "tile_rows", "window_slack", "interpret", "gather_mode",
+    ),
 )
 def fused_pna_layer(
     x,            # [N, Fin]
@@ -161,6 +192,7 @@ def fused_pna_layer(
     tile_rows: int = 256,
     window_slack: int = 64,
     interpret: bool = False,
+    gather_mode: str = "split2",
 ):
     N, Fin = x.shape
     F = w_pre.shape[1]
@@ -180,7 +212,9 @@ def fused_pna_layer(
         axis=1,
     )  # [4F, 3*Fout]
 
-    kern = functools.partial(_kernel, W=W, TW=TW, delta=float(delta))
+    kern = functools.partial(
+        _kernel, W=W, TW=TW, delta=float(delta), gather_mode=gather_mode
+    )
 
     def blk(shape):
         return pl.BlockSpec(shape, lambda i, s: (i, 0), memory_space=pltpu.VMEM)
@@ -272,12 +306,12 @@ def pna_layer_reference(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_vjp_fn(delta, tile_rows, window_slack, interpret):
+def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode):
     @jax.custom_vjp
     def f(x, nbr, deg, w_pre, b_pre, k_post, b_post, w_lin, b_lin):
         return fused_pna_layer(
             x, nbr, deg, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
-            delta, tile_rows, window_slack, interpret,
+            delta, tile_rows, window_slack, interpret, gather_mode,
         )
 
     def fwd(x, nbr, deg, *p):
@@ -300,9 +334,80 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret):
 def fused_pna_layer_vjp(
     x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
     delta, tile_rows=256, window_slack=64, interpret=False,
+    gather_mode="split2",
 ):
-    fn = _make_vjp_fn(float(delta), tile_rows, window_slack, interpret)
+    fn = _make_vjp_fn(
+        float(delta), tile_rows, window_slack, interpret, gather_mode
+    )
     return fn(
         x, nbr_nodes, in_degree.astype(jnp.int32),
         w_pre, b_pre, k_post, b_post, w_lin, b_lin,
+    )
+
+
+def _pad_cols(a, to):
+    pad = to - a.shape[1]
+    if pad <= 0:
+        return a
+    return jnp.pad(a, ((0, 0), (0, pad)))
+
+
+def _pad_rows(a, to):
+    pad = to - a.shape[0]
+    if pad <= 0:
+        return a
+    return jnp.pad(a, ((0, pad), (0, 0)))
+
+
+def _rup(x, m=128):
+    return ((x + m - 1) // m) * m
+
+
+def fused_pna_layer_auto(
+    x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
+    delta, tile_rows=256, window_slack=64, interpret=False,
+    gather_mode="split2",
+):
+    """fused_pna_layer_vjp with automatic zero-padding of unaligned feature
+    dims to MXU lanes (128).
+
+    Zero pad lanes are inert end to end: padded x lanes produce zero v
+    lanes; aggregator pad lanes feed zero rows of the (padded) post_nn
+    kernel; the padded output columns are sliced off.  This lets the raw
+    11-dim molecular input layer and the 64-dim output layer run fused
+    instead of falling back to the slow XLA path.  Padding happens outside
+    the custom VJP, so gradients slice back automatically.
+    """
+    N, Fin = x.shape
+    F = w_pre.shape[1]          # pre_nn width (== in_channels for PNA)
+    Fout = w_lin.shape[1]
+    Fin_p, F_p, Fout_p = _rup(Fin), _rup(F), _rup(Fout)
+
+    if (Fin_p, F_p, Fout_p) != (Fin, F, Fout):
+        xp = _pad_cols(x, Fin_p)
+        # pre kernel: pad each half's rows to Fin_p and cols to F_p
+        w_i = _pad_cols(_pad_rows(w_pre[:Fin], Fin_p), F_p)
+        w_j = _pad_cols(_pad_rows(w_pre[Fin:], Fin_p), F_p)
+        w_pre_p = jnp.concatenate([w_i, w_j], axis=0)
+        b_pre_p = jnp.pad(b_pre, (0, F_p - F))
+        # post kernel: self block rows Fin->Fin_p; each of the 12 aggregator
+        # blocks rows F->F_p; cols Fout->Fout_p
+        blocks = [_pad_rows(k_post[:Fin], Fin_p)]
+        for i in range(12):
+            lo = Fin + i * F
+            blocks.append(_pad_rows(k_post[lo : lo + F], F_p))
+        k_post_p = _pad_cols(jnp.concatenate(blocks, axis=0), Fout_p)
+        b_post_p = jnp.pad(b_post, (0, Fout_p - Fout))
+        w_lin_p = _pad_cols(_pad_rows(w_lin, Fout_p), Fout_p)
+        b_lin_p = jnp.pad(b_lin, (0, Fout_p - Fout))
+        out = fused_pna_layer_vjp(
+            xp, nbr_nodes, in_degree, w_pre_p, b_pre_p, k_post_p, b_post_p,
+            w_lin_p, b_lin_p, delta, tile_rows, window_slack, interpret,
+            gather_mode,
+        )
+        return out[:, :Fout]
+
+    return fused_pna_layer_vjp(
+        x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
+        delta, tile_rows, window_slack, interpret, gather_mode,
     )
