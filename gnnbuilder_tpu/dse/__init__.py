@@ -19,6 +19,7 @@ from gnnbuilder_tpu.dse.model import (
     transform_x,
 )
 from gnnbuilder_tpu.dse.space import DSEConfig, full_space, sample_space
+from gnnbuilder_tpu.dse.analysis import dse_speedup_report
 
 __all__ = [
     "DSEEngine",
@@ -31,4 +32,5 @@ __all__ = [
     "cv_mape",
     "fit_cost_model",
     "transform_x",
+    "dse_speedup_report",
 ]

@@ -21,6 +21,7 @@ from gnnbuilder_tpu.dse.space import DSEConfig
 __all__ = [
     "transform_x",
     "fit_cost_model",
+    "rows_to_configs",
     "CostModel",
     "cv_mape",
 ]
@@ -147,12 +148,8 @@ def cv_mape(
     return float(np.mean(mapes))
 
 
-def fit_cost_model(
-    rows: Sequence[dict],
-    target: str = "latency_us",
-    out_path: Optional[str] = None,
-) -> tuple[CostModel, float]:
-    """Fit from measure_many() rows; returns (model, cv_mape)."""
+def rows_to_configs(rows: Sequence[dict]) -> list[DSEConfig]:
+    """Rebuild DSEConfigs from result rows (CSV round trips stringify)."""
     cfg_fields = set(DSEConfig.__dataclass_fields__)
     cfgs = []
     for r in rows:
@@ -160,7 +157,6 @@ def fit_cost_model(
         for k in cfg_fields:
             v = r[k]
             if isinstance(v, str) and k not in ("conv", "precision"):
-                # CSV round trip stringifies everything
                 if v in ("", "None"):
                     v = None
                 elif v in ("True", "False"):
@@ -169,6 +165,16 @@ def fit_cost_model(
                     v = float(v) if "." in v else int(v)
             kw[k] = v
         cfgs.append(DSEConfig(**kw))
+    return cfgs
+
+
+def fit_cost_model(
+    rows: Sequence[dict],
+    target: str = "latency_us",
+    out_path: Optional[str] = None,
+) -> tuple[CostModel, float]:
+    """Fit from measure_many() rows; returns (model, cv_mape)."""
+    cfgs = rows_to_configs(rows)
     y = np.asarray([float(r[target]) for r in rows])
     model = CostModel(target=target).fit(cfgs, y)
     mape = cv_mape(cfgs, y)

@@ -93,3 +93,12 @@ def test_engine_end_to_end(tmp_path):
     assert ranked[0][1] <= ranked[-1][1]
     truth = eng.verify([ranked[0][0]], iters=3)
     assert truth[0]["latency_us"] > 0
+
+
+def test_speedup_report(tmp_path):
+    cfgs = list(dse.full_space(TINY_AXES))[:4]
+    rows = dse.measure_many(cfgs, dataset="esol", iters=3, verbose=False)
+    rep = dse.dse_speedup_report(rows, n_timing_reps=5)
+    assert rep["num_designs"] == 4
+    assert rep["predict_s_per_design"] < 1.0
+    assert rep["speedup"] > 1.0  # measuring costs more than predicting
