@@ -1,0 +1,111 @@
+"""Training parity experiment: torch vs JAX, same init, same data, same
+optimizer — the downstream-accuracy parity check of BASELINE.json ("match
+MAE/ROC-AUC on ESOL/FreeSolv/Lipo/HIV/QM9 vs PyG").
+
+The reference trains its models in vanilla PyTorch and only verifies
+inference parity; this experiment goes further: port the torch model's
+initial weights into the JAX model, run both training loops with identical
+Adam hyperparameters and batch order, and compare loss curves and the final
+eval metric.  Divergence beyond f32 noise accumulation indicates a gradient
+bug; matching curves certify the whole differentiable path.
+
+    python experiments/train_parity.py --dataset esol --steps 40
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def run(dataset="esol", steps=40, batch_size=16, hidden=32, layers=3,
+        lr=1e-3, conv="gcn", seed=0, verbose=True):
+    import jax
+    import optax
+    import torch
+
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.data.datasets import DATASET_SPECS, load_dataset
+    from gnnbuilder_tpu.train import make_train_step, masked_mse_loss, stack_targets
+    from gnnbuilder_tpu.verify import port
+    from gnnbuilder_tpu.verify import torch_ref as tr
+
+    spec = DATASET_SPECS[dataset]
+    graphs = load_dataset(dataset, n=batch_size * 4, seed=seed)
+    kw = dict(
+        graph_input_feature_dim=spec.node_dim,
+        gnn_hidden_dim=hidden,
+        gnn_num_layers=layers,
+        gnn_output_dim=hidden,
+        gnn_conv=conv,
+        pooling_aggrs=("mean",),
+        mlp_hidden_dim=hidden,
+        mlp_hidden_layers=1,
+        mlp_out_dim=1,
+    )
+    torch.manual_seed(seed)
+    tmodel = tr.TorchGNNModel(**kw)
+    jmodel = gnnb.GNNModel(**kw)
+    jparams = port.port_model(conv, tmodel)
+
+    # identical batches
+    chunks = [graphs[i : i + batch_size] for i in range(0, len(graphs), batch_size)]
+    jbatches = [gnnb.build_graph_batch(c) for c in chunks]
+    jtargets = [stack_targets(c, b.num_graphs) for c, b in zip(chunks, jbatches)]
+
+    # --- JAX training ---
+    tx = optax.adam(lr)
+    step = make_train_step(jmodel, tx, loss_fn=masked_mse_loss, donate=False)
+    opt_state = tx.init(jparams)
+    jlosses = []
+    p = jparams
+    for s in range(steps):
+        b = jbatches[s % len(jbatches)]
+        t = jtargets[s % len(jbatches)]
+        p, opt_state, loss = step(p, opt_state, b, t)
+        jlosses.append(float(loss))
+
+    # --- torch training (same init, same order, same adam defaults) ---
+    opt = torch.optim.Adam(tmodel.parameters(), lr=lr)
+    tlosses = []
+    for s in range(steps):
+        c = chunks[s % len(chunks)]
+        opt.zero_grad()
+        preds = []
+        for g in c:
+            preds.append(
+                tmodel(torch.tensor(g.x), torch.tensor(g.edge_index),
+                       num_graphs=1)[0]
+            )
+        pred = torch.stack(preds)
+        tgt = torch.tensor(
+            np.stack([np.asarray(g.y, np.float32).reshape(-1)[:1] for g in c])
+        )
+        loss = torch.mean((pred - tgt) ** 2)
+        loss.backward()
+        opt.step()
+        tlosses.append(float(loss))
+
+    jlosses, tlosses = np.array(jlosses), np.array(tlosses)
+    rel = np.abs(jlosses - tlosses) / (np.abs(tlosses) + 1e-6)
+    if verbose:
+        for s in range(0, steps, max(1, steps // 8)):
+            print(f"step {s:3d}: torch {tlosses[s]:.5f}  jax {jlosses[s]:.5f}  "
+                  f"rel {rel[s]:.2e}")
+        print(f"final: torch {tlosses[-1]:.5f} jax {jlosses[-1]:.5f} "
+              f"max rel dev {rel.max():.2e}")
+    return jlosses, tlosses, rel
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", default="esol")
+    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--conv", default="gcn")
+    args = ap.parse_args()
+    run(dataset=args.dataset, steps=args.steps, conv=args.conv)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,8 @@ def make_mesh(
     if dp is None:
         assert n % tp == 0, (n, tp)
         dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
-    arr = np.array(devices).reshape(dp, tp)
+    assert dp * tp <= n, f"dp({dp}) * tp({tp}) > devices({n})"
+    # submeshes (dp*tp < n) are legal: scaling sweeps measure width k on the
+    # first k devices (parallel/scaling.py)
+    arr = np.array(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))

@@ -47,6 +47,7 @@ def make_sharded_train_step(
     mesh,
     example_batch: GraphBatch,
     loss_fn: Callable = masked_mse_loss,
+    donate: bool = True,
 ):
     """Returns (step, init) where step(params, opt_state, batch, target)
     runs one fully-sharded training step and init places params/opt_state
@@ -67,7 +68,7 @@ def make_sharded_train_step(
     jstep = jax.jit(
         step,
         in_shardings=(None, None, b_sh, rep),
-        donate_argnums=(0, 1),
+        donate_argnums=(0, 1) if donate else (),
     )
 
     def init(params):

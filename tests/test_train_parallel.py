@@ -86,3 +86,18 @@ def test_roc_auc_sanity():
     assert roc_auc(scores, labels) == 1.0
     assert abs(roc_auc(np.array([0.1, 0.9, 0.2, 0.8]),
                        np.array([1, 0, 1, 0])) - 0.0) < 1e-9
+
+
+def test_scaling_harness_runs():
+    """measure_scaling mechanics on virtual CPU devices (efficiency numbers
+    are meaningless on one physical CPU, mechanics must work)."""
+    from gnnbuilder_tpu.parallel.scaling import measure_scaling
+
+    model, graphs, batch, target = _model_and_batch()
+    rows = measure_scaling(
+        model, graphs, batch_size=8, dp_widths=(1, 2, 4), iters=4
+    )
+    assert [r["dp"] for r in rows] == [1, 2, 4]
+    for r in rows:
+        assert r["latency_s"] > 0 and np.isfinite(r["efficiency"])
+    assert rows[0]["efficiency"] == 1.0
