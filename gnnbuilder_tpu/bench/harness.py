@@ -74,7 +74,12 @@ def bench_tpu(
         )
         prog.init_params(b)
         fwd = prog.compile(b)
-        dt = marginal_time(fwd, prog.params, b, n_lo=5, n_hi=iters)
+        # relay noise ~50-100 us per fence: small/fast configs need a wide
+        # call-count gap for the marginal difference to resolve
+        n_lo, n_hi = (20, 20 + max(iters * 5, 100)) if bs <= 8 else (5, iters)
+        dt = marginal_time(
+            fwd, prog.params, b, n_lo=n_lo, n_hi=n_hi, repeats=3
+        )
         real_edges = int(np.asarray(b.edge_mask).sum())
         out[f"latency_b{bs}_s"] = dt
         out[f"graphs_per_s_b{bs}"] = bs / dt

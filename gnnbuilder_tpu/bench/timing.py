@@ -48,10 +48,12 @@ def marginal_time(
         timed_fence(out)
         return time.perf_counter() - t0
 
-    best = float("inf")
+    estimates = []
     for _ in range(repeats):
         t_lo = run(n_lo)
         t_hi = run(n_hi)
-        per_call = (t_hi - t_lo) / (n_hi - n_lo)
-        best = min(best, per_call)
-    return max(best, 1e-9)
+        estimates.append((t_hi - t_lo) / (n_hi - n_lo))
+    # median: relay noise has heavy positive outliers (a min would bias low
+    # through the symmetric component)
+    est = float(np.median(estimates))
+    return max(est, 1e-9)

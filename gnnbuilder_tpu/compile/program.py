@@ -142,6 +142,41 @@ class Program:
         fwd = self.compile(batch)
         return fwd(self.params, batch)
 
+    # ----------------------------------------------------------------- export
+    def export(self, path: str, example_batch: Optional[GraphBatch] = None):
+        """Serialize the compiled forward as a StableHLO artifact
+        (jax.export) — the deployable analog of the reference's generated
+        project (gen_hw_model -> .xo/.xclbin, code_gen.py:201-213,457-489):
+        a self-contained program another process/runtime can load and run
+        without this framework or the model definition."""
+        from jax import export as jexport
+
+        if self.params is None:
+            self.init_params(example_batch)
+        if example_batch is None:
+            example_batch = self._dummy_batch()
+        fwd = self._forward_fn()
+        args = (self.params, example_batch)
+        specs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+            if hasattr(a, "shape")
+            else a,
+            args,
+        )
+        exp = jexport.export(jax.jit(fwd))(*specs)
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        return path
+
+    @staticmethod
+    def load_exported(path: str):
+        """Load a serialized program; returns fn(params, batch) -> output."""
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            exp = jexport.deserialize(f.read())
+        return exp.call
+
     # ---------------------------------------------------------------- verify
     def gen_testbench_data(self, graphs, out_dir: str, max_graphs=None):
         """Serialize params + per-graph goldens in the reference's binary

@@ -107,6 +107,23 @@ class GraphBatch:
         return self.replace(node_feat=x)
 
 
+# register GraphBatch for jax.export serialization (Program.export): the
+# pytree auxdata is the tuple of static metadata fields
+try:
+    import json as _json
+
+    from jax import export as _jexport
+
+    _jexport.register_pytree_node_serialization(
+        GraphBatch,
+        serialized_name="gnnbuilder_tpu.core.graph.GraphBatch",
+        serialize_auxdata=lambda aux: _json.dumps(list(aux)).encode(),
+        deserialize_auxdata=lambda b: tuple(_json.loads(b.decode())),
+    )
+except (ImportError, AttributeError, ValueError):  # older jax / re-import
+    pass
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

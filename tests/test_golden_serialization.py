@@ -81,3 +81,20 @@ def test_param_serialization_names(tmp_path):
     # reference naming: <layer path>_<param>.bin (utils.py:99-100)
     assert any("kernel.bin" in n for n in names)
     assert any("bias.bin" in n for n in names)
+
+
+def test_program_export_roundtrip(tmp_path):
+    """StableHLO export/load — the deployable-artifact analog of the
+    reference's generated project (code_gen.py:201-213)."""
+    import numpy as np
+
+    graphs = FakeDataset(num_graphs=1, avg_num_nodes=10, node_dim=8, seed=5)
+    prog = _program()
+    batch = prog.batch(graphs)
+    prog.init_params(batch)
+    want = np.asarray(prog.forward(batch))
+
+    p = prog.export(str(tmp_path / "model.stablehlo"), batch)
+    fn = gnnb.Program.load_exported(p)
+    got = np.asarray(fn(prog.params, batch))
+    np.testing.assert_allclose(got, want, atol=1e-6)
