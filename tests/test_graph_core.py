@@ -90,3 +90,31 @@ def test_budgets_respected():
     assert batch.num_nodes == 128
     assert batch.num_edges == 256
     assert batch.num_graphs == 8
+
+
+def test_validate_batch_passes_and_catches():
+    """validate_batch (the sanitizer, gen_test_data.py:129-173 analog)
+    accepts packer output and rejects corrupted batches."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import pytest
+
+    from gnnbuilder_tpu.core.validate import validate_batch
+    from gnnbuilder_tpu.data.datasets import FakeDataset
+
+    graphs = FakeDataset(num_graphs=6, avg_num_nodes=12, node_dim=8, seed=9)
+    b = build_graph_batch(graphs)
+    validate_batch(b)
+
+    # corrupt the sort order
+    bad = b.replace(
+        receivers=jnp.asarray(np.asarray(b.receivers)[::-1].copy())
+    )
+    with pytest.raises(AssertionError):
+        validate_batch(bad)
+
+    # corrupt the degree table
+    bad2 = b.replace(in_degree=b.in_degree + 1)
+    with pytest.raises(AssertionError):
+        validate_batch(bad2)
