@@ -101,3 +101,33 @@ def test_scaling_harness_runs():
     for r in rows:
         assert r["latency_s"] > 0 and np.isfinite(r["efficiency"])
     assert rows[0]["efficiency"] == 1.0
+
+
+def test_halo_exchange_ell_sum_matches_global():
+    """Explicit shard_map edge-partitioned aggregation (halo exchange over
+    ring neighbors) == the single-device ELL sum — the hand-written
+    formulation of the BASELINE north star's boundary exchange."""
+    import jax.numpy as jnp
+
+    from gnnbuilder_tpu.ops import ell
+    from gnnbuilder_tpu.parallel.halo import ell_sum_sharded
+
+    graphs = FakeDataset(num_graphs=32, avg_num_nodes=14, node_dim=8, seed=5)
+    dp = 8
+    batch = build_graph_batch(graphs, node_multiple=dp * 8)
+    assert batch.num_nodes % dp == 0
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch.num_nodes, 16)),
+        jnp.float32,
+    )
+    want = np.asarray(ell.ell_sum(x, batch.nbr_nodes, batch.in_degree))
+
+    mesh = make_mesh(dp=dp, tp=1)
+    halo = ((batch.max_graph_nodes_static + 7) // 8) * 8
+    got = np.asarray(
+        ell_sum_sharded(
+            mesh, x, batch.nbr_nodes, batch.in_degree, halo=halo
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
