@@ -103,6 +103,5 @@ def ell_sum_sharded(
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis)),
         out_specs=P(axis, None),
-        check_rep=False,
     )
     return fn(x, nbr_nodes, in_degree)
