@@ -145,13 +145,19 @@ def run_grid(
     **kw,
 ) -> list[dict]:
     """Run the grid; write reference-format flat files + results.json."""
+    import inspect
+
     os.makedirs(results_dir, exist_ok=True)
     rows = []
     for backend in backends:
         fn = _BACKENDS[backend]
+        # backends accept disjoint kwargs (iters/batch_sizes vs reps):
+        # route only what each signature takes
+        accepted = set(inspect.signature(fn).parameters)
+        bkw = {k: v for k, v in kw.items() if k in accepted}
         for conv in convs:
             for ds in datasets:
-                r = fn(conv, ds, **kw)
+                r = fn(conv, ds, **bkw)
                 r.update(backend=backend, conv=conv, dataset=ds)
                 base = FPGA_PAR_BASELINE_S.get((conv, ds))
                 if base is not None:

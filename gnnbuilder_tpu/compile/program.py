@@ -202,9 +202,9 @@ class Program:
             self.init_params(example_batch)
         if example_batch is None:
             example_batch = self._dummy_batch()
-        lowered = jax.jit(
-            lambda p, b: self.model.apply(p, b)
-        ).lower(self.params, example_batch)
+        # analyze the SAME program forward() runs: precision context active
+        # (int8/bf16 change both the compute path and the kernel dispatch)
+        lowered = self._forward_fn().lower(self.params, example_batch)
         compiled = lowered.compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, list):  # older jax returns [dict]

@@ -39,7 +39,12 @@ def dse_speedup_report(rows: Sequence[dict], n_timing_reps: int = 50) -> dict:
     predict_s = (time.perf_counter() - t0) / n_timing_reps
 
     measure_s = float(
-        np.mean([float(r.get("compile_s", 0.0)) for r in rows])
+        np.mean(
+            [
+                float(r.get("measure_s", r.get("compile_s", 0.0)))
+                for r in rows
+            ]
+        )
     )
     return {
         "num_designs": len(rows),

@@ -54,14 +54,23 @@ def measure_config(
     """
     from gnnbuilder_tpu.bench.canonical import canonical_batches
 
+    import dataclasses
+
     spec = DATASET_SPECS[dataset]
     model = _build_model(cfg, spec.node_dim, spec.edge_dim)
 
     n_graphs = max(cfg.batch_size, 32)
-    _, batches = canonical_batches(
+    graphs, batches = canonical_batches(
         dataset, n_graphs=n_graphs * 2, batch_size=cfg.batch_size, seed=seed
     )
     batch = batches[0]
+    # populate the dataset-statistics features the cost model learns from
+    # (a hiv row must not look like a qm9 row)
+    cfg = dataclasses.replace(
+        cfg,
+        avg_nodes=float(np.mean([g.num_nodes for g in graphs])),
+        avg_edges=float(np.mean([g.num_edges for g in graphs])),
+    )
     if cfg.ell_width == 0 and batch.nbr_nodes is not None:
         batch = batch.replace(nbr_nodes=None, nbr_edges=None)
 
@@ -78,7 +87,9 @@ def measure_config(
     prog.compile(batch)
     compile_s = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
     bench = prog.benchmark(batch, iters=iters)
+    bench_s = time.perf_counter() - t0
     cost = prog.cost_analysis(batch)
 
     row = dict(cfg.to_dict())
@@ -93,6 +104,7 @@ def measure_config(
         flops=float(cost.get("flops", 0.0)),
         bytes_accessed=float(cost.get("bytes accessed", 0.0)),
         compile_s=compile_s,
+        measure_s=compile_s + bench_s,
     )
     return row
 

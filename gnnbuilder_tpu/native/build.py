@@ -15,7 +15,12 @@ import sys
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(_HERE, "packing.cpp")
-SO_PATH = os.path.join(_HERE, "libgnnb_packing.so")
+
+
+def _so_path() -> str:
+    from gnnbuilder_tpu.native.lib import _SO_PATH
+
+    return _SO_PATH
 
 
 def build(verbose: bool = True) -> bool:
@@ -23,6 +28,7 @@ def build(verbose: bool = True) -> bool:
     gxx = shutil.which("g++") or shutil.which("clang++")
     if gxx is None or not os.path.exists(SRC):
         return False
+    SO_PATH = _so_path()
     cmd = [
         gxx,
         "-O3",
@@ -52,6 +58,17 @@ def build(verbose: bool = True) -> bool:
                 print(proc.stderr, file=sys.stderr)
             return False
     os.replace(SO_PATH + ".tmp", SO_PATH)
+    # clean superseded ABI versions
+    for f in os.listdir(_HERE):
+        if (
+            f.startswith("libgnnb_packing")
+            and f.endswith(".so")
+            and os.path.join(_HERE, f) != SO_PATH
+        ):
+            try:
+                os.remove(os.path.join(_HERE, f))
+            except OSError:
+                pass
     if verbose:
         print(f"built {SO_PATH}")
     return True

@@ -12,10 +12,13 @@ import os
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO_PATH = os.path.join(_HERE, "libgnnb_packing.so")
+_ABI_VERSION = 2  # must match gnnb_abi_version() in packing.cpp
+# ABI-versioned filename: dlopen caches by path within a process, so a
+# rebuild after an ABI bump must land at a NEW path to be loadable without
+# restarting (stale versions are just ignored)
+_SO_PATH = os.path.join(_HERE, f"libgnnb_packing.abi{_ABI_VERSION}.so")
 
 _lib = None
-_ABI_VERSION = 2  # must match gnnb_abi_version() in packing.cpp
 
 
 _load_failed = False

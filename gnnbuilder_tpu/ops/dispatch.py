@@ -22,11 +22,35 @@ import jax
 
 from gnnbuilder_tpu.ops.pallas.ell_agg import supports
 
-__all__ = ["set_fused_mode", "get_fused_mode", "fused_config"]
+__all__ = [
+    "set_fused_mode",
+    "get_fused_mode",
+    "fused_config",
+    "no_fused",
+]
 
 _MODE = "auto"
 _TILE_ROWS = 256          # default node-tile height (DSE-tunable)
 _SINGLE_TILE_MAX = 1024   # below this, one tile covers the whole batch
+
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+# pallas_call has no GSPMD partitioning rule: sharded computations
+# (parallel/train.py) disable fused dispatch for their trace via this
+# context rather than silently all-gathering global arrays per chip
+_SUPPRESSED: _contextvars.ContextVar = _contextvars.ContextVar(
+    "gnnb_fused_suppressed", default=False
+)
+
+
+@_contextlib.contextmanager
+def no_fused():
+    tok = _SUPPRESSED.set(True)
+    try:
+        yield
+    finally:
+        _SUPPRESSED.reset(tok)
 
 
 def set_fused_mode(mode: str, tile_rows: Optional[int] = None) -> None:
@@ -42,14 +66,13 @@ def get_fused_mode() -> str:
     return _MODE
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from gnnbuilder_tpu.core.graph import _round_up
 
 
 def fused_config(g, feature_dim: Optional[int] = None) -> Optional[dict]:
     """Return kernel kwargs {tile_rows, window_slack, interpret} if the fused
     path applies to this batch, else None (callers fall back to XLA ops)."""
-    if _MODE == "never" or g.nbr_nodes is None:
+    if _MODE == "never" or g.nbr_nodes is None or _SUPPRESSED.get():
         return None
     from gnnbuilder_tpu.compile.precision import active_precision
 

@@ -43,9 +43,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_ell_aggregate", "fused_ell_aggregate_vjp", "supports"]
+from gnnbuilder_tpu.ops.ell import _STD_EPS  # single source of truth
 
-_STD_EPS = 1e-5  # PyG StdAggregation epsilon (reference gnn_builder_lib.h:700)
+__all__ = ["fused_ell_aggregate", "fused_ell_aggregate_vjp", "supports"]
 
 
 def supports(num_nodes: int, tile_rows: int, window_slack: int) -> bool:
@@ -66,24 +66,20 @@ def _window_starts(n: int, tile_rows: int, window: int, slack: int) -> np.ndarra
 
 
 def _kernel(
-    # scalar prefetch
-    ws_ref,
-    # inputs
-    u_ref,        # [TN, F] or None (see factory)
-    v_hbm,        # [N, F] in ANY/HBM
-    nbr_ref,      # [TN, W] int32
-    deg_ref,      # [TN, 1] int32
-    # output
-    out_ref,      # [TN, A*F]
-    # scratch
-    v_win,        # [TW, F]
-    dma_sem,
-    *,
+    ws_ref,  # scalar prefetch
+    *refs,   # ([u_tile], v_hbm, nbr_tile, deg_tile, out, v_win, dma_sem)
     aggregators: Sequence[str],
     W: int,
     TW: int,
     has_u: bool,
 ):
+    # the u input exists only when the caller passes one — no zeros array
+    # is materialized/streamed for plain aggregations (GIN/SAGE/GCN/...)
+    if has_u:
+        u_ref, v_hbm, nbr_ref, deg_ref, out_ref, v_win, dma_sem = refs
+    else:
+        v_hbm, nbr_ref, deg_ref, out_ref, v_win, dma_sem = refs
+        u_ref = None
     i = pl.program_id(0)
     start = pl.multiple_of(ws_ref[i], 8)
 
@@ -217,13 +213,19 @@ def fused_ell_aggregate(
 
     # index maps receive (grid idx, scalar-prefetch ref)
     in_specs = [
-        pl.BlockSpec(
-            (TN, F), lambda i, ws: (i, 0), memory_space=pltpu.VMEM
-        ),  # u (dummy zeros if unused)
         pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM, DMA'd
         pl.BlockSpec((TN, W), lambda i, ws: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((TN, 1), lambda i, ws: (i, 0), memory_space=pltpu.VMEM),
     ]
+    inputs = [ws, v, nbr_nodes, deg2d]
+    if has_u:
+        in_specs.insert(
+            0,
+            pl.BlockSpec(
+                (TN, F), lambda i, ws: (i, 0), memory_space=pltpu.VMEM
+            ),
+        )
+        inputs.insert(1, u)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N // TN,),
@@ -236,7 +238,6 @@ def fused_ell_aggregate(
             pltpu.SemaphoreType.DMA,
         ],
     )
-    u_in = u if has_u else jnp.zeros((N, F), v.dtype)
     flops = N * W * TW * F * 2  # one-hot gather matmuls dominate
     out = pl.pallas_call(
         kern,
@@ -248,7 +249,7 @@ def fused_ell_aggregate(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(ws, u_in, v, nbr_nodes, deg2d)
+    )(*inputs)
     return out
 
 

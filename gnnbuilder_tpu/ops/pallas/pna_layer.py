@@ -36,11 +36,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gnnbuilder_tpu.ops.ell import _STD_EPS  # single source of truth
 from gnnbuilder_tpu.ops.pallas.ell_agg import _window_starts, supports
 
 __all__ = ["fused_pna_layer", "fused_pna_layer_vjp", "pna_layer_supported"]
 
-_STD_EPS = 1e-5
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -359,8 +359,11 @@ def _pad_rows(a, to):
     return jnp.pad(a, ((0, pad), (0, 0)))
 
 
+from gnnbuilder_tpu.core.graph import _round_up as _rup_any
+
+
 def _rup(x, m=128):
-    return ((x + m - 1) // m) * m
+    return _rup_any(x, m)
 
 
 def fused_pna_layer_auto(

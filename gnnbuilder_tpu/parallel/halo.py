@@ -80,7 +80,10 @@ def ell_sum_sharded(
     N = x.shape[0]
     assert N % n_dev == 0, (N, n_dev)
     n_local = N // n_dev
-    assert halo <= n_local, "halo larger than a shard"
+    # halo == 0 would make x_local[-0:] the WHOLE shard and corrupt the
+    # window layout; a zero halo has no use case (pad nodes still reference
+    # the ghost row at the array end), so require a positive one
+    assert 0 < halo <= n_local, f"halo must be in (0, {n_local}], got {halo}"
 
     def shard_fn(x_l, nbr_l, deg_l):
         # x_l: [n_local, F]; nbr_l: [n_local, W] global ids; deg_l: [n_local]

@@ -15,6 +15,7 @@ import jax
 import optax
 
 from gnnbuilder_tpu.core.graph import GraphBatch
+from gnnbuilder_tpu.ops.dispatch import no_fused
 from gnnbuilder_tpu.parallel.sharding import (
     batch_shardings,
     param_shardings,
@@ -30,7 +31,10 @@ def make_sharded_forward(model, mesh, example_batch: GraphBatch):
     b_sh = batch_shardings(mesh, example_batch)
 
     def fwd(params, batch):
-        return model.apply(params, batch)
+        # pallas_call has no GSPMD partitioning rule; sharded traces use
+        # the XLA ops (ops/dispatch.no_fused)
+        with no_fused():
+            return model.apply(params, batch)
 
     return jax.jit(
         fwd,
@@ -56,7 +60,8 @@ def make_sharded_train_step(
     rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
 
     def loss_wrap(params, batch: GraphBatch, target):
-        pred = model.apply(params, batch)
+        with no_fused():
+            pred = model.apply(params, batch)
         return loss_fn(pred, target, batch.graph_mask)
 
     def step(params, opt_state, batch, target):
