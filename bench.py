@@ -67,7 +67,9 @@ def main():
 
     best_tput, best_bs, best = 0.0, 1, None
     for bs in (256, 1024):
-        dt, binfo = measure(bs, return_info=True)
+        # median-of-5 marginal estimates: relay noise at sub-ms call times
+        # swings single estimates by 2-3x
+        dt, binfo = measure(bs, n_lo=5, n_hi=35, repeats=5, return_info=True)
         tput = bs / dt
         log(f"batch={bs}: {dt*1e3:.2f} ms/call -> {tput:,.0f} graphs/s")
         if tput > best_tput:

@@ -79,6 +79,9 @@ def fused_config(g, feature_dim: Optional[int] = None) -> Optional[dict]:
     prec = active_precision()
     if prec is not None and prec.name == "int8":
         return None  # fused kernels are f32/bf16; int8 runs the XLA path
+    # bf16 precision: single-pass bf16 one-hot gather matches the policy's
+    # numeric contract (split2 is the f32 default; pna_layer honors this)
+    gather_mode = "bf16" if prec is not None and prec.name == "bf16" else None
     on_tpu = jax.default_backend() == "tpu"
     if _MODE == "auto" and not on_tpu:
         return None
@@ -93,14 +96,22 @@ def fused_config(g, feature_dim: Optional[int] = None) -> Optional[dict]:
     if maxg <= 0:
         return None
 
+    def cfg(tile_rows, slack):
+        out = dict(
+            tile_rows=tile_rows, window_slack=slack, interpret=interpret
+        )
+        if gather_mode is not None:
+            out["gather_mode"] = gather_mode
+        return out
+
     # single tile: the window is the whole array, any graph layout is valid
     if N <= _SINGLE_TILE_MAX and N % 8 == 0:
-        return dict(tile_rows=N, window_slack=0, interpret=interpret)
+        return cfg(N, 0)
 
     # tiled: graphs are contiguous, so rows [t*TN,(t+1)*TN) only reference
     # ids within +-maxg of the tile bounds
     slack = _round_up(maxg, 8)
     for tn in (_TILE_ROWS, 256, 128, 512):
         if supports(N, tn, slack) and tn >= 2 * slack:
-            return dict(tile_rows=tn, window_slack=slack, interpret=interpret)
+            return cfg(tn, slack)
     return None

@@ -72,6 +72,7 @@ def _kernel(
     W: int,
     TW: int,
     has_u: bool,
+    gather_mode: str,
 ):
     # the u input exists only when the caller passes one — no zeros array
     # is materialized/streamed for plain aggregations (GIN/SAGE/GCN/...)
@@ -98,6 +99,11 @@ def _kernel(
 
     copy.wait()
     vwin = v_win[:]
+    if gather_mode == "split2":
+        v_hi = vwin.astype(jnp.bfloat16)
+        v_lo = (vwin - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    elif gather_mode == "bf16":
+        v_bf = vwin.astype(jnp.bfloat16)
 
     need_sum = "sum" in aggregators or "mean" in aggregators or "std" in aggregators
     need_sq = "std" in aggregators
@@ -114,15 +120,27 @@ def _kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (TN, TW), 1)
     for w in range(W):
-        onehot = (ids_local[:, w][:, None] == lane).astype(dtype)  # [TN, TW]
-        # HIGHEST: Mosaic's default matmul precision is one-pass bf16, which
-        # would truncate the gathered values; the selection must be exact
-        g = jnp.dot(
-            onehot,
-            vwin,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # gather precision: Mosaic's default matmul is one-pass bf16, so
+        # "highest" (default, exact), "split2" (hi/lo bf16, ~1e-5 rel), or
+        # "bf16" (one pass, for the bf16 precision policy)
+        if gather_mode == "highest":
+            onehot = (ids_local[:, w][:, None] == lane).astype(dtype)
+            g = jnp.dot(
+                onehot,
+                vwin,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        elif gather_mode == "split2":
+            onehot = (ids_local[:, w][:, None] == lane).astype(jnp.bfloat16)
+            g = jnp.dot(
+                onehot, v_hi, preferred_element_type=jnp.float32
+            ) + jnp.dot(onehot, v_lo, preferred_element_type=jnp.float32)
+        elif gather_mode == "bf16":
+            onehot = (ids_local[:, w][:, None] == lane).astype(jnp.bfloat16)
+            g = jnp.dot(onehot, v_bf, preferred_element_type=jnp.float32)
+        else:
+            raise ValueError(f"unknown gather_mode {gather_mode}")
         # aggregate over g alone; the constant per-row shift u is applied
         # after the reduction (commutes for sum/mean/max/min, std is
         # shift-invariant) — avoids u-induced cancellation amplified by the
@@ -174,6 +192,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "aggregators", "tile_rows", "window_slack", "interpret",
+        "gather_mode",
     ),
 )
 def fused_ell_aggregate(
@@ -185,6 +204,7 @@ def fused_ell_aggregate(
     tile_rows: int = 256,
     window_slack: int = 64,
     interpret: bool = False,
+    gather_mode: str = "highest",
 ):
     """All ``aggregators`` of ``(u_i +) v_j`` over each node's ELL slots,
     concatenated [N, len(aggregators)*F] in aggregator order.
@@ -208,7 +228,8 @@ def fused_ell_aggregate(
     has_u = u is not None
 
     kern = functools.partial(
-        _kernel, aggregators=tuple(aggregators), W=W, TW=TW, has_u=has_u
+        _kernel, aggregators=tuple(aggregators), W=W, TW=TW, has_u=has_u,
+        gather_mode=gather_mode,
     )
 
     # index maps receive (grid idx, scalar-prefetch ref)
@@ -273,7 +294,8 @@ def _reference(v, u, nbr_nodes, in_degree, aggregators):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_vjp_fn(aggregators, tile_rows, window_slack, has_u, interpret):
+def _make_vjp_fn(aggregators, tile_rows, window_slack, has_u, interpret,
+                 gather_mode):
     @jax.custom_vjp
     def f(v, u, nbr_nodes, in_degree):
         return fused_ell_aggregate(
@@ -285,6 +307,7 @@ def _make_vjp_fn(aggregators, tile_rows, window_slack, has_u, interpret):
             tile_rows=tile_rows,
             window_slack=window_slack,
             interpret=interpret,
+            gather_mode=gather_mode,
         )
 
     def fwd(v, u, nbr_nodes, in_degree):
@@ -326,11 +349,13 @@ def fused_ell_aggregate_vjp(
     tile_rows: int = 256,
     window_slack: int = 64,
     interpret: bool = False,
+    gather_mode: str = "highest",
 ):
     """Differentiable fused aggregate (Pallas fwd, XLA-reference bwd)."""
     has_u = u is not None
     fn = _make_vjp_fn(
-        tuple(aggregators), tile_rows, window_slack, has_u, interpret
+        tuple(aggregators), tile_rows, window_slack, has_u, interpret,
+        gather_mode,
     )
     u_in = u if has_u else jnp.zeros_like(v)
     return fn(v, u_in, nbr_nodes, in_degree)
