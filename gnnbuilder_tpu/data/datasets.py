@@ -145,6 +145,8 @@ def load_dataset(
 
 def _load_npz(path: str, n: Optional[int]) -> list[Graph]:
     data = np.load(path)
+    if "n_node" in data:
+        return _load_npz_flat(data, n)
     count = int(data["num_graphs"])
     if n is not None:
         count = min(count, n)
@@ -160,6 +162,37 @@ def _load_npz(path: str, n: Optional[int]) -> list[Graph]:
                     else None
                 ),
                 y=data[f"y_{i}"].astype(np.float32) if f"y_{i}" in data else None,
+            )
+        )
+    return out
+
+
+def _load_npz_flat(data, n: Optional[int]) -> list[Graph]:
+    """Flat ragged format written by scripts/export_pyg_datasets.py:
+    x [sum_n,F], ei [2,sum_e], y [G,T], n_node [G], n_edge [G]."""
+    n_node = data["n_node"].astype(np.int64)
+    n_edge = data["n_edge"].astype(np.int64)
+    count = len(n_node) if n is None else min(n, len(n_node))
+    x = data["x"]
+    ei = data["ei"]
+    y = data["y"] if "y" in data else None
+    ea = data["edge_attr"] if "edge_attr" in data else None
+    node_off = np.zeros(count + 1, np.int64)
+    np.cumsum(n_node[:count], out=node_off[1:])
+    edge_off = np.zeros(count + 1, np.int64)
+    np.cumsum(n_edge[:count], out=edge_off[1:])
+    out = []
+    for i in range(count):
+        ns, ne_ = node_off[i], node_off[i + 1]
+        es, ee = edge_off[i], edge_off[i + 1]
+        out.append(
+            Graph(
+                x=x[ns:ne_].astype(np.float32),
+                edge_index=ei[:, es:ee].astype(np.int64),
+                edge_attr=(
+                    ea[es:ee].astype(np.float32) if ea is not None else None
+                ),
+                y=y[i].astype(np.float32) if y is not None else None,
             )
         )
     return out

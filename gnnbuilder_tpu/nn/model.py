@@ -55,7 +55,14 @@ class GNNModel(nn.Module):
     mlp_p_out: int = 1
     conv_kwargs: Optional[dict] = None  # e.g. {"delta": 2.78} for PNA
 
-    def setup(self):
+    def __post_init__(self):
+        # eager validation at construction, like the reference's
+        # GNNModel.__init__ gates (models.py:489-502) — not deferred to the
+        # first trace
+        super().__post_init__()
+        self._validate()
+
+    def _validate(self):
         if self.gnn_conv not in SUPPORTED_GNN_CONVS:
             raise ValueError(
                 f"gnn_conv must be one of {sorted(SUPPORTED_GNN_CONVS)}"
@@ -78,7 +85,16 @@ class GNNModel(nn.Module):
                 "gnn_num_layers=0 requires graph_input_feature_dim =="
                 " gnn_output_dim"
             )
+        from gnnbuilder_tpu.nn.pool import SUPPORTED_GLOBAL_POOLING_AGGRS
 
+        for a in self.pooling_aggrs:
+            if a not in SUPPORTED_GLOBAL_POOLING_AGGRS:
+                raise ValueError(
+                    f"pooling aggregation {a!r} not supported; options: "
+                    f"{SUPPORTED_GLOBAL_POOLING_AGGRS}"
+                )
+
+    def setup(self):
         conv_cls = SUPPORTED_GNN_CONVS[self.gnn_conv]
         kw: dict[str, Any] = dict(self.conv_kwargs or {})
         if self.gnn_conv in _EDGE_CONVS:
