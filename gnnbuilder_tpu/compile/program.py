@@ -74,6 +74,36 @@ class Program:
         self._seed = seed
         self._compiled = {}
 
+    # ------------------------------------------------------------- construct
+    @classmethod
+    def from_dataset(
+        cls,
+        model: GNNModel,
+        graphs,
+        batch_size: int = 1,
+        headroom: float = 1.0,
+        **kw,
+    ) -> "Program":
+        """Size the padding bucket from dataset statistics — the reference's
+        flow of compute_max_nodes_and_edges -> Project(max_nodes=...)
+        (demos/demo.py:53-58, utils.py:9-16) as one call.
+
+        The bucket fits the ``batch_size`` largest graphs packed together
+        (times ``headroom``), so any batch drawn from ``graphs`` fits.
+        """
+        ns = sorted((g.x.shape[0] for g in graphs), reverse=True)
+        es = sorted((g.edge_index.shape[1] for g in graphs), reverse=True)
+        k = min(batch_size, len(ns))
+        max_nodes = int((sum(ns[:k]) + 1) * headroom) + 8
+        max_edges = int(max(sum(es[:k]), 1) * headroom) + 8
+        return cls(
+            model,
+            max_nodes=max_nodes,
+            max_edges=max_edges,
+            max_graphs=batch_size + 1,
+            **kw,
+        )
+
     # ------------------------------------------------------------------ init
     def init_params(self, example_batch: Optional[GraphBatch] = None):
         if example_batch is None:

@@ -98,3 +98,12 @@ def test_program_export_roundtrip(tmp_path):
     fn = gnnb.Program.load_exported(p)
     got = np.asarray(fn(prog.params, batch))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_program_from_dataset_buckets_fit():
+    graphs = FakeDataset(num_graphs=40, avg_num_nodes=15, node_dim=8, seed=6)
+    prog = gnnb.Program.from_dataset(_program().model, graphs, batch_size=8)
+    # any 8-graph batch from the dataset fits the bucket
+    for i in range(0, 40, 8):
+        b = prog.batch(graphs[i : i + 8])
+        assert b.num_nodes == prog.bucket.max_nodes
