@@ -61,7 +61,13 @@ def measure_config(
 
     n_graphs = max(cfg.batch_size, 32)
     graphs, batches = canonical_batches(
-        dataset, n_graphs=n_graphs * 2, batch_size=cfg.batch_size, seed=seed
+        dataset,
+        n_graphs=n_graphs * 2,
+        batch_size=cfg.batch_size,
+        seed=seed,
+        # align to the fused Pallas node tiles (ops/dispatch.py) exactly as
+        # deployment does — otherwise the corpus measures the XLA fallback
+        node_multiple=256 if cfg.batch_size >= 64 else 8,
     )
     batch = batches[0]
     # populate the dataset-statistics features the cost model learns from

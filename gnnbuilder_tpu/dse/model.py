@@ -172,10 +172,26 @@ def fit_cost_model(
     rows: Sequence[dict],
     target: str = "latency_us",
     out_path: Optional[str] = None,
+    floor: float = 1.0,
 ) -> tuple[CostModel, float]:
-    """Fit from measure_many() rows; returns (model, cv_mape)."""
+    """Fit from measure_many() rows; returns (model, cv_mape).
+
+    Rows whose target sits at/below ``floor`` (default 1 us) are dropped:
+    they are relay measurement-noise artifacts (marginal_time clamps
+    negative marginals to ~0) and a single such row poisons the MAPE by
+    orders of magnitude."""
     cfgs = rows_to_configs(rows)
     y = np.asarray([float(r[target]) for r in rows])
+    keep = y > floor
+    if not keep.all():
+        import warnings
+
+        warnings.warn(
+            f"dropping {int((~keep).sum())}/{len(y)} rows at the "
+            f"measurement noise floor (<= {floor})"
+        )
+        cfgs = [c for c, k in zip(cfgs, keep) if k]
+        y = y[keep]
     model = CostModel(target=target).fit(cfgs, y)
     mape = cv_mape(cfgs, y)
     if out_path:
