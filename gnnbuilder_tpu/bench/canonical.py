@@ -10,8 +10,6 @@ model TPU-side plus the padded batches to run it on.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from gnnbuilder_tpu.core.graph import build_graph_batch

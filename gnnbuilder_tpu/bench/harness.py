@@ -25,7 +25,7 @@ import argparse
 import json
 import os
 import time
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -20,8 +20,6 @@ simply stay resident in HBM between calls.
 from __future__ import annotations
 
 import dataclasses
-import time
-from functools import partial
 from typing import Any, Optional, Sequence
 
 import jax

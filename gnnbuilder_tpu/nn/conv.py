@@ -18,7 +18,7 @@ HLS unroll factors (they do not change semantics).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -16,8 +16,6 @@ tests against, gen_test_data.py:216-317):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

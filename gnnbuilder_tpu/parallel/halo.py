@@ -22,13 +22,10 @@ which all-gathers full node arrays when it cannot prove locality.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gnnbuilder_tpu.ops import ell
 

@@ -10,7 +10,7 @@ relative to linear scaling from the smallest width.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

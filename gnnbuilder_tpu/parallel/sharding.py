@@ -12,10 +12,7 @@ divisible; everything else replicates.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gnnbuilder_tpu.core.graph import GraphBatch

@@ -16,12 +16,7 @@ import optax
 
 from gnnbuilder_tpu.core.graph import GraphBatch
 from gnnbuilder_tpu.ops.dispatch import no_fused
-from gnnbuilder_tpu.parallel.sharding import (
-    batch_shardings,
-    param_shardings,
-    shard_batch,
-    shard_params,
-)
+from gnnbuilder_tpu.parallel.sharding import batch_shardings, shard_params
 from gnnbuilder_tpu.train import masked_mse_loss
 
 __all__ = ["make_sharded_train_step", "make_sharded_forward"]

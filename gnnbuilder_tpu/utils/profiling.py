@@ -13,7 +13,6 @@ testbench plus cycle counts from csynth (SURVEY.md §5).  Here:
 from __future__ import annotations
 
 import contextlib
-from typing import Optional
 
 __all__ = ["trace", "profile_program"]
 

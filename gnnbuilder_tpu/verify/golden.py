@@ -25,7 +25,6 @@ from __future__ import annotations
 import os
 from typing import Optional, Sequence
 
-import jax
 import numpy as np
 
 __all__ = [
