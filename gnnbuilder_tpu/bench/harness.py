@@ -183,8 +183,19 @@ def run_grid(
                         f"{extra}",
                         flush=True,
                     )
-    with open(os.path.join(results_dir, "results.json"), "w") as f:
-        json.dump(rows, f, indent=1)
+    # merge with prior runs (other backends) instead of clobbering
+    jpath = os.path.join(results_dir, "results.json")
+    merged = []
+    if os.path.exists(jpath):
+        with open(jpath) as f:
+            prior = json.load(f)
+        ran = {(r["backend"], r["conv"], r["dataset"]) for r in rows}
+        merged = [
+            r for r in prior
+            if (r["backend"], r["conv"], r["dataset"]) not in ran
+        ]
+    with open(jpath, "w") as f:
+        json.dump(merged + rows, f, indent=1)
     return rows
 
 
