@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gnnbuilder_tpu.ops import ell
 
-__all__ = ["ell_sum_sharded", "halo_exchange"]
+__all__ = ["ell_aggregate_sharded", "ell_sum_sharded", "halo_exchange"]
 
 
 def halo_exchange(x_local, halo: int, axis: str = "dp"):
@@ -58,16 +58,19 @@ def halo_exchange(x_local, halo: int, axis: str = "dp"):
     return jnp.concatenate([left_halo, x_local, right_halo], axis=0)
 
 
-def ell_sum_sharded(
+def ell_aggregate_sharded(
     mesh: Mesh,
     x,             # [N, F] node values (replicated or dp-sharded)
     nbr_nodes,     # [N, W] global ids, dp-sharded with the rows
     in_degree,     # [N]
     halo: int,
+    aggregators=("sum",),
     axis: str = "dp",
 ):
-    """Edge-partitioned ELL sum: each dp shard aggregates its own node rows
-    reading neighbor values from [local ± halo] only.
+    """Edge-partitioned ELL aggregation: each dp shard reduces its own node
+    rows reading neighbor values from [local ± halo] only; any combination
+    of sum/mean/max/min/std, concatenated [N, A*F] in aggregator order
+    (the sharded counterpart of ops/ell.ell_multi).
 
     ``halo`` must be >= the largest graph in the batch rounded up so that
     N/dp ± halo covers every neighbor id (guaranteed by the packer's graph
@@ -91,7 +94,8 @@ def ell_sum_sharded(
         # ghost/pad ids may fall outside the window: clamp and rely on the
         # degree mask (pad slots are invalid by construction)
         ids_local = jnp.clip(ids_local, 0, n_local + 2 * halo - 1)
-        return ell.ell_sum(xw, ids_local, deg_l)
+        d = ell.ell_multi(xw, ids_local, deg_l, aggregators)
+        return jnp.concatenate([d[a] for a in aggregators], axis=-1)
 
     try:
         from jax import shard_map
@@ -105,3 +109,10 @@ def ell_sum_sharded(
         out_specs=P(axis, None),
     )
     return fn(x, nbr_nodes, in_degree)
+
+
+def ell_sum_sharded(mesh, x, nbr_nodes, in_degree, halo, axis="dp"):
+    """Sum-only convenience wrapper over ell_aggregate_sharded."""
+    return ell_aggregate_sharded(
+        mesh, x, nbr_nodes, in_degree, halo, ("sum",), axis
+    )

@@ -131,3 +131,32 @@ def test_halo_exchange_ell_sum_matches_global():
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_halo_multi_aggregate_matches_global():
+    """Sharded multi-aggregation (sum+mean+max+min+std) over the halo path
+    == single-device ops/ell.ell_multi."""
+    import jax.numpy as jnp
+
+    from gnnbuilder_tpu.ops import ell
+    from gnnbuilder_tpu.parallel.halo import ell_aggregate_sharded
+
+    graphs = FakeDataset(num_graphs=32, avg_num_nodes=14, node_dim=8, seed=6)
+    dp = 4
+    batch = build_graph_batch(graphs, node_multiple=dp * 8)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((batch.num_nodes, 8)),
+        jnp.float32,
+    )
+    aggs = ("sum", "mean", "max", "min", "std")
+    d = ell.ell_multi(x, batch.nbr_nodes, batch.in_degree, aggs)
+    want = np.asarray(jnp.concatenate([d[a] for a in aggs], -1))
+
+    mesh = make_mesh(dp=dp, tp=1)
+    halo = ((batch.max_graph_nodes_static + 7) // 8) * 8
+    got = np.asarray(
+        ell_aggregate_sharded(
+            mesh, x, batch.nbr_nodes, batch.in_degree, halo, aggs
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
