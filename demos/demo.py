@@ -10,6 +10,11 @@ padding bucket).
     python demos/demo.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import tempfile
 
 import jax

@@ -7,6 +7,11 @@ model spec -> compiled Program -> golden-data serialization -> parity check
     python demos/simple_test.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import tempfile
 
 import gnnbuilder_tpu as gnnb

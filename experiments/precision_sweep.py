@@ -11,6 +11,11 @@ output deviation (vs the f32 golden) and task MAE for f32 / bf16 / int8.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -282,5 +282,11 @@ def build_graph_batch(
         nbr_nodes=jnp.asarray(nbr_nodes) if nbr_nodes is not None else None,
         nbr_edges=jnp.asarray(nbr_edges) if nbr_edges is not None else None,
         num_graphs_static=g_pad,
-        max_graph_nodes_static=int(max(n_node)) if n_node else 0,
+        # bucketed (multiple of 8): this is STATIC metadata — distinct
+        # values mean distinct jit cache entries, so exact per-batch maxima
+        # would recompile per batch; the Pallas window slack rounds up to 8
+        # anyway, so bucketing loses nothing
+        max_graph_nodes_static=(
+            _round_up(int(max(n_node)), 8) if n_node else 0
+        ),
     )
