@@ -116,23 +116,51 @@ class GraphLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         _END = object()
         err: list[BaseException] = []
+        cancel = threading.Event()
 
         def producer():
             try:
                 for c in chunks:
-                    q.put(self._pack(c))
+                    item = self._pack(c)
+                    # bounded put that notices consumer abandonment: if the
+                    # epoch() generator is closed early (break/exception in
+                    # the training loop), a blocking q.put would leak this
+                    # thread + its packed batches forever
+                    while not cancel.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if cancel.is_set():
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(_END)
+                while True:
+                    try:
+                        q.put(_END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        if cancel.is_set():
+                            break
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+        finally:
+            cancel.set()
+            # drain so a producer blocked mid-put can observe cancellation
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
         if err:
             raise err[0]

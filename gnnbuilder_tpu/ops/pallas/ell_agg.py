@@ -56,6 +56,9 @@ def supports(num_nodes: int, tile_rows: int, window_slack: int) -> bool:
         and num_nodes >= tw
         and tw % 8 == 0
         and tile_rows % 8 == 0
+        # the kernel asserts pl.multiple_of(window_start, 8); interior
+        # windows start at t*TN - slack, so slack itself must be 8-aligned
+        and window_slack % 8 == 0
     )
 
 
@@ -91,7 +94,11 @@ def _kernel(
 
     TN = nbr_ref.shape[0]
     F = v_win.shape[1]
-    dtype = v_win.dtype
+    # accumulate in f32 regardless of the input dtype (the gather matmuls
+    # emit f32 via preferred_element_type); the store casts to the output
+    # dtype, so a bf16 precision policy gets bf16 out without a dtype
+    # mismatch at the swap (round-1 advisor finding, high)
+    dtype = jnp.float32
 
     ids_local = nbr_ref[:] - start  # [TN, W]
     deg = deg_ref[:]  # [TN, 1]
@@ -124,7 +131,7 @@ def _kernel(
         # "highest" (default, exact), "split2" (hi/lo bf16, ~1e-5 rel), or
         # "bf16" (one pass, for the bf16 precision policy)
         if gather_mode == "highest":
-            onehot = (ids_local[:, w][:, None] == lane).astype(dtype)
+            onehot = (ids_local[:, w][:, None] == lane).astype(vwin.dtype)
             g = jnp.dot(
                 onehot,
                 vwin,
@@ -185,7 +192,7 @@ def _kernel(
             outs.append(jnp.where(nonempty, m, 0.0))
         else:
             raise ValueError(f"unknown aggregator {a}")
-    out_ref[:] = jnp.concatenate(outs, axis=-1)
+    out_ref[:] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
 
 
 @functools.partial(

@@ -10,14 +10,16 @@ fixtures byte-for-byte, and provides the reverse loaders + the MAE parity
 check that its testbench prints (model_tb.cpp.jinja:242-258,
 parsed back at code_gen.py:384-395).
 
-Layout under ``out_dir``::
+Layout under ``out_dir`` — byte-identical to the reference's
+``tb_data/`` tree (code_gen.py:227-305)::
 
-    model_parameters/<layer>_<param>.bin   float32 raw
-    graph_<i>_info.bin                     int32 [num_nodes, num_edges]
-    graph_<i>_coo.bin                      int32 [2, E] edge list
-    graph_<i>_node_features.bin            float32 [n, F]
-    graph_<i>_model_golden_output.bin      float32 [out_dim]
-    dataset_info.txt                       index (num_graphs + per-graph dims)
+    model_parameters/<layer>_<param>.bin        float32 raw
+    graphs/graph_<i>_info.bin                   int32 [num_nodes, num_edges]
+    graphs/graph_<i>_coo.bin                    int32 [E, 2] = edge_index.T
+    graphs/graph_<i>_node_features.bin          float32 [n, F]
+    graphs/graph_<i>_task_golden_output.bin     float32 (when labels given)
+    graphs/graph_<i>_model_golden_output.bin    float32 [out_dim]
+    dataset_info.txt                            "num_graphs N" + index lines
 """
 
 from __future__ import annotations
@@ -91,8 +93,17 @@ def gen_testbench_data(
         program.init_params()
     serialize_params(program.params, out_dir)
 
+    gdir = os.path.join(out_dir, "graphs")
+    os.makedirs(gdir, exist_ok=True)
+
     n = len(graphs) if max_graphs is None else min(len(graphs), max_graphs)
-    lines = [str(n)]
+    # reference dataset_info.txt format: header + one dataset index per line
+    # (code_gen.py:252-257)
+    with open(os.path.join(out_dir, "dataset_info.txt"), "w") as f:
+        f.write(f"num_graphs {n}\n")
+        for i in range(n):
+            f.write(f"{i}\n")
+
     outs = []
     for i in range(n):
         g = graphs[i]
@@ -100,40 +111,49 @@ def gen_testbench_data(
         num_edges = int(g.edge_index.shape[1])
         serialize_tensor(
             np.asarray([num_nodes, num_edges], np.int32),
-            os.path.join(out_dir, f"graph_{i}_info.bin"),
+            os.path.join(gdir, f"graph_{i}_info.bin"),
         )
+        # reference serializes edge_index.T: [E, 2] interleaved (from, to)
+        # pairs (code_gen.py:262)
         serialize_tensor(
-            np.asarray(g.edge_index, np.int32),
-            os.path.join(out_dir, f"graph_{i}_coo.bin"),
+            np.ascontiguousarray(np.asarray(g.edge_index, np.int32).T),
+            os.path.join(gdir, f"graph_{i}_coo.bin"),
         )
         serialize_tensor(
             np.asarray(g.x, np.float32),
-            os.path.join(out_dir, f"graph_{i}_node_features.bin"),
+            os.path.join(gdir, f"graph_{i}_node_features.bin"),
         )
+        y = getattr(g, "y", None)
+        if y is not None:
+            serialize_tensor(
+                np.asarray(y, np.float32).reshape(-1),
+                os.path.join(gdir, f"graph_{i}_task_golden_output.bin"),
+            )
         batch = program.batch([g])
         out = np.asarray(program.forward(batch))[0].astype(np.float32)
         serialize_tensor(
-            out, os.path.join(out_dir, f"graph_{i}_model_golden_output.bin")
+            out, os.path.join(gdir, f"graph_{i}_model_golden_output.bin")
         )
         outs.append(out)
-        lines.append(f"{i} {num_nodes} {num_edges} {out.shape[-1]}")
-    with open(os.path.join(out_dir, "dataset_info.txt"), "w") as f:
-        f.write("\n".join(lines) + "\n")
     return {"num_graphs": n, "out_dim": outs[0].shape[-1] if outs else 0}
 
 
 def load_golden_outputs(out_dir: str) -> list[np.ndarray]:
     with open(os.path.join(out_dir, "dataset_info.txt")) as f:
         lines = f.read().strip().splitlines()
-    n = int(lines[0])
+    head = lines[0].split()
+    assert head[0] == "num_graphs", f"bad dataset_info header: {lines[0]!r}"
+    n = int(head[1])
     outs = []
     for line in lines[1 : n + 1]:
-        idx, _, _, dim = (int(v) for v in line.split())
+        idx = int(line)
         outs.append(
             np.fromfile(
-                os.path.join(out_dir, f"graph_{idx}_model_golden_output.bin"),
+                os.path.join(
+                    out_dir, "graphs", f"graph_{idx}_model_golden_output.bin"
+                ),
                 dtype=np.float32,
-            ).reshape(dim)
+            )
         )
     return outs
 

@@ -39,20 +39,26 @@ def test_serialize_and_parity_roundtrip(tmp_path):
     first = np.fromfile(os.path.join(pdir, bins[0]), dtype=np.float32)
     assert first.size > 0
 
-    # per-graph binaries decode to the original inputs
+    # per-graph binaries live under graphs/ and decode to the original
+    # inputs; coo is edge_index.T ([E,2] (from,to) pairs, code_gen.py:262)
+    gdir = os.path.join(out_dir, "graphs")
     info0 = np.fromfile(
-        os.path.join(out_dir, "graph_0_info.bin"), dtype=np.int32
+        os.path.join(gdir, "graph_0_info.bin"), dtype=np.int32
     )
     assert info0[0] == graphs[0].num_nodes
     assert info0[1] == graphs[0].num_edges
     coo = np.fromfile(
-        os.path.join(out_dir, "graph_0_coo.bin"), dtype=np.int32
-    ).reshape(2, -1)
-    np.testing.assert_array_equal(coo, graphs[0].edge_index)
+        os.path.join(gdir, "graph_0_coo.bin"), dtype=np.int32
+    ).reshape(-1, 2)
+    np.testing.assert_array_equal(coo.T, graphs[0].edge_index)
     nf = np.fromfile(
-        os.path.join(out_dir, "graph_0_node_features.bin"), dtype=np.float32
+        os.path.join(gdir, "graph_0_node_features.bin"), dtype=np.float32
     ).reshape(graphs[0].num_nodes, 8)
     np.testing.assert_allclose(nf, graphs[0].x)
+
+    # dataset_info.txt uses the reference header format
+    with open(os.path.join(out_dir, "dataset_info.txt")) as f:
+        assert f.readline().strip() == "num_graphs 5"
 
     # golden outputs load + parity against the same program is ~exact
     outs = golden.load_golden_outputs(out_dir)

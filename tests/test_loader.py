@@ -55,3 +55,21 @@ def test_loader_trains():
             losses.append(float(loss))
     # synthetic targets: epoch-average loss should trend down
     assert np.mean(losses[-2:]) < np.mean(losses[:2]), losses
+
+
+def test_epoch_abandoned_early_does_not_leak_producer():
+    """Breaking out of epoch() must cancel the producer thread (round-1
+    advisor finding: blocking q.put leaked the thread per abandoned epoch)."""
+    import threading
+    import time
+
+    graphs = FakeDataset(num_graphs=64, avg_num_nodes=10, node_dim=8, seed=4)
+    loader = GraphLoader(graphs, batch_size=4, prefetch=1)
+    before = threading.active_count()
+    for i, (batch, tgt) in enumerate(loader.epoch()):
+        if i == 1:
+            break  # abandon mid-epoch with the queue full
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

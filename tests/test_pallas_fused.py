@@ -199,3 +199,56 @@ def test_pna_conv_uses_full_layer_kernel():
     finally:
         dispatch.set_fused_mode("auto")
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_fused_bf16_inputs_interpret():
+    """bf16 node features through the fused kernel (the bf16 precision
+    policy's path, gather_mode='bf16') — round-1 advisor high: the store
+    used to raise 'Invalid dtype for swap: Ref bfloat16, Value float32'."""
+    b = _batch()
+    N, F = b.num_nodes, 16
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.standard_normal((N, F)), jnp.bfloat16)
+    got = fused_ell_aggregate(
+        v, b.nbr_nodes, b.in_degree, AGGS,
+        tile_rows=256, window_slack=32, interpret=True,
+        gather_mode="bf16",
+    )
+    assert got.dtype == jnp.bfloat16
+    ref = _ref_concat(v.astype(jnp.float32), None, b, AGGS)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), atol=0.1, rtol=0.05
+    )
+
+
+def test_supports_rejects_unaligned_slack():
+    # window_slack must be 8-aligned (kernel asserts multiple_of on starts)
+    assert not supports(512, 128, 4)
+    assert supports(512, 128, 32)
+
+
+def test_bf16_program_forward_fused():
+    """End-to-end advisor repro: Program(precision='bf16') + non-PNA conv at
+    128-aligned dims must run under fused dispatch (mode 'always' exercises
+    the kernel in interpret mode off-TPU)."""
+    graphs = FakeDataset(
+        num_graphs=16, avg_num_nodes=14, node_dim=128, seed=11
+    )
+    model = gnnb.GNNModel(
+        graph_input_feature_dim=128,
+        gnn_hidden_dim=128,
+        gnn_num_layers=2,
+        gnn_output_dim=128,
+        gnn_conv="gin",
+        mlp_out_dim=1,
+    )
+    prog = gnnb.Program.from_dataset(model, graphs, batch_size=16,
+                                     precision="bf16")
+    batch = prog.batch(graphs[:16])
+    prog.init_params(batch)
+    dispatch.set_fused_mode("always")
+    try:
+        out = prog.forward(batch)
+    finally:
+        dispatch.set_fused_mode("auto")
+    assert np.isfinite(np.asarray(out, np.float32)).all()
