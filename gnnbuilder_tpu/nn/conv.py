@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from gnnbuilder_tpu.core.graph import GraphBatch
 from gnnbuilder_tpu.nn.linear import BlockScaledLinear, Linear, PairLinear
 from gnnbuilder_tpu.ops import ell, segment
+from gnnbuilder_tpu.ops.activations import get_activation
 
 __all__ = [
     "GCNConv",
@@ -39,6 +40,19 @@ __all__ = [
     "SimpleConv",
     "SUPPORTED_GNN_CONVS",
 ]
+
+
+def _finish(out, act, skip):
+    """Shared conv epilogue: optional skip add (reference models.py:562-564)
+    then optional activation (models.py:565-566).  Convs accept (act, skip)
+    at call time so fused kernels can absorb the epilogue into their last
+    tile stage; the XLA paths apply it here (XLA fuses it into adjacent
+    elementwise ops anyway).  Semantics are identical either way."""
+    if skip is not None:
+        out = out + skip
+    if act is not None:
+        out = get_activation(act)(out)
+    return out
 
 
 def _gather(x, idx):
@@ -56,6 +70,20 @@ def _use_ell(g: GraphBatch) -> bool:
     — ~7x faster on molecular batches (max in-degree <= ELL_MAX_WIDTH).
     """
     return g.nbr_nodes is not None
+
+
+def _layer_cfg(mod, g: GraphBatch, x):
+    """Whole-layer fused-kernel config for this batch, or None.  Mirrors the
+    PNAConv gate: auto-padding covers unaligned dims, but tiny unaligned
+    batches stay on the XLA path where padding costs more than it saves."""
+    if mod.is_initializing():
+        return None
+    from gnnbuilder_tpu.ops import dispatch
+
+    aligned = x.shape[-1] % 128 == 0 and mod.out_channels % 128 == 0
+    if not aligned and g.num_nodes < 512:
+        return None
+    return dispatch.fused_config(g, kind="layer")
 
 
 def _fused_multi(g: GraphBatch, aggregators, v, u=None):
@@ -95,10 +123,21 @@ class GCNConv(nn.Module):
             "bias", nn.initializers.zeros, (self.out_channels,)
         )
 
-    def __call__(self, g: GraphBatch, x):
+    def __call__(self, g: GraphBatch, x, act=None, skip=None):
         n = g.num_nodes
         deg = g.in_degree.astype(x.dtype) + 1.0  # +1 self loop
         dis = jax.lax.rsqrt(deg)
+
+        cfg = _layer_cfg(self, g, x)
+        if cfg is not None:
+            from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
+
+            # PyG order: transform first, then propagate; p_j = h_j / sqrt(1+d_j)
+            p_arr = self.lin(x) * dis[:, None]
+            return fused_mp_layer_auto(
+                p_arr, g.nbr_nodes, g.in_degree, "gcn",
+                b0=self.bias, skip=skip, act=act, **cfg,
+            )
 
         transform_first = self.out_channels <= self.in_channels
         h = self.lin(x) if transform_first else x
@@ -118,7 +157,7 @@ class GCNConv(nn.Module):
         agg = agg + h * (dis * dis)[:, None]  # self loop: norm_ii = 1/deg_i
 
         out = agg if transform_first else self.lin(agg)
-        return out + self.bias
+        return _finish(out + self.bias, act, skip)
 
 
 class GINConv(nn.Module):
@@ -137,7 +176,18 @@ class GINConv(nn.Module):
         self.lin0 = Linear(hidden, name="lin0")
         self.lin1 = Linear(self.out_channels, name="lin1")
 
-    def __call__(self, g: GraphBatch, x):
+    def __call__(self, g: GraphBatch, x, act=None, skip=None):
+        cfg = _layer_cfg(self, g, x)
+        if cfg is not None:
+            from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
+
+            p = self.variables["params"]
+            return fused_mp_layer_auto(
+                x, g.nbr_nodes, g.in_degree, "gin",
+                w0=p["lin0"]["kernel"], b0=p["lin0"]["bias"],
+                w1=p["lin1"]["kernel"], b1=p["lin1"]["bias"],
+                eps=self.eps, skip=skip, act=act, **cfg,
+            )
         agg = _fused_multi(g, ("sum",), x)
         if agg is None:
             if _use_ell(g):
@@ -147,7 +197,7 @@ class GINConv(nn.Module):
                     _gather(x, g.senders), g.receivers, g.num_nodes
                 )
         h = (1.0 + self.eps) * x + agg
-        return self.lin1(jax.nn.relu(self.lin0(h)))
+        return _finish(self.lin1(jax.nn.relu(self.lin0(h))), act, skip)
 
 
 class GINEConv(nn.Module):
@@ -170,7 +220,7 @@ class GINEConv(nn.Module):
         self.lin0 = Linear(hidden, name="lin0")
         self.lin1 = Linear(self.out_channels, name="lin1")
 
-    def __call__(self, g: GraphBatch, x):
+    def __call__(self, g: GraphBatch, x, act=None, skip=None):
         assert g.edge_feat is not None, "GINEConv requires edge features"
         e = self.lin_edge(g.edge_feat)
         if _use_ell(g):
@@ -178,7 +228,7 @@ class GINEConv(nn.Module):
             # table — both dense gathers, then a masked width reduce
             table = jax.nn.relu(
                 ell.ell_gather(x, g.nbr_nodes)
-                + ell.ell_gather(e, g.nbr_edges)
+                + ell.ell_gather(e, g.nbr_edges, node_rows=False)
             )
             mask = ell.ell_mask(g.nbr_nodes, g.in_degree)
             agg = jnp.sum(jnp.where(mask[..., None], table, 0.0), axis=1)
@@ -186,7 +236,7 @@ class GINEConv(nn.Module):
             msg = jax.nn.relu(_gather(x, g.senders) + e)
             agg = segment.segment_sum(msg, g.receivers, g.num_nodes)
         h = (1.0 + self.eps) * x + agg
-        return self.lin1(jax.nn.relu(self.lin0(h)))
+        return _finish(self.lin1(jax.nn.relu(self.lin0(h))), act, skip)
 
 
 class SAGEConv(nn.Module):
@@ -202,7 +252,18 @@ class SAGEConv(nn.Module):
         self.lin_l = Linear(self.out_channels, use_bias=True, name="lin_l")
         self.lin_r = Linear(self.out_channels, use_bias=False, name="lin_r")
 
-    def __call__(self, g: GraphBatch, x):
+    def __call__(self, g: GraphBatch, x, act=None, skip=None):
+        cfg = _layer_cfg(self, g, x)
+        if cfg is not None:
+            from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
+
+            p = self.variables["params"]
+            return fused_mp_layer_auto(
+                x, g.nbr_nodes, g.in_degree, "sage",
+                w0=p["lin_l"]["kernel"], b0=p["lin_l"]["bias"],
+                w1=p["lin_r"]["kernel"],
+                skip=skip, act=act, **cfg,
+            )
         agg = _fused_multi(g, ("mean",), x)
         if agg is None:
             if _use_ell(g):
@@ -214,7 +275,7 @@ class SAGEConv(nn.Module):
                     g.num_nodes,
                     count=g.in_degree.astype(x.dtype)[:, None],
                 )
-        return self.lin_l(agg) + self.lin_r(x)
+        return _finish(self.lin_l(agg) + self.lin_r(x), act, skip)
 
 
 PNA_AGGREGATORS = ("max", "min", "mean", "std")
@@ -249,12 +310,12 @@ class PNAConv(nn.Module):
         self.post_nn = BlockScaledLinear(self.out_channels, name="post_nn")
         self.lin = Linear(self.out_channels, name="lin")
 
-    def __call__(self, g: GraphBatch, x):
+    def __call__(self, g: GraphBatch, x, act=None, skip=None):
         n = g.num_nodes
 
         # fully-fused Pallas layer (pre_nn + gather + 4 aggregators +
-        # scalers + post_nn + lin in one kernel, ops/pallas/pna_layer.py)
-        # when the dispatch policy and its static preconditions allow
+        # scalers + post_nn + lin + skip/activation epilogue in one kernel,
+        # ops/pallas/pna_layer.py) when the dispatch policy allows
         if (
             not self.is_initializing()
             and tuple(self.aggregators) == PNA_AGGREGATORS
@@ -271,7 +332,7 @@ class PNAConv(nn.Module):
             aligned = (
                 x.shape[-1] % 128 == 0 and self.out_channels % 128 == 0
             )
-            cfg = dispatch.fused_config(g)
+            cfg = dispatch.fused_config(g, kind="layer")
             if cfg is not None and not (not aligned and n < 512):
                 p = self.variables["params"]
                 return fused_pna_layer_auto(
@@ -279,7 +340,7 @@ class PNAConv(nn.Module):
                     p["pre_nn"]["kernel"], p["pre_nn"]["bias"],
                     p["post_nn"]["kernel"], p["post_nn"]["bias"],
                     p["lin"]["kernel"], p["lin"]["bias"],
-                    self.delta, **cfg,
+                    self.delta, skip=skip, act=act, **cfg,
                 )
 
         u, v = self.pre_nn(x, x)  # u = x@W_i + b, v = x@W_j
@@ -321,7 +382,7 @@ class PNAConv(nn.Module):
         # gnn_builder_lib.h:2092) never materializes — 31 MB of HBM round
         # trip per layer gone at canonical batch sizes.
         out = self.post_nn(x, agg_cat, scales)
-        return self.lin(out)
+        return _finish(self.lin(out), act, skip)
 
 
 class GATConv(nn.Module):
@@ -353,7 +414,7 @@ class GATConv(nn.Module):
         out_dim = H * C if self.concat else C
         self.bias = self.param("bias", nn.initializers.zeros, (out_dim,))
 
-    def __call__(self, g: GraphBatch, x):
+    def __call__(self, g: GraphBatch, x, act=None, skip=None):
         n = g.num_nodes
         H, C = self.heads, self.out_channels
         h = self.lin(x).reshape(n, H, C)
@@ -377,7 +438,7 @@ class GATConv(nn.Module):
             else:
                 out = ell.ell_softmax_sum(lt, vt, mask)
             out = out.reshape(n, H * C) if self.concat else out.mean(axis=1)
-            return out + self.bias
+            return _finish(out + self.bias, act, skip)
 
         logits = jax.nn.leaky_relu(
             a_src[g.senders] + a_dst[g.receivers], self.negative_slope
@@ -408,7 +469,7 @@ class GATConv(nn.Module):
             )
 
         out = out.reshape(n, H * C) if self.concat else out.mean(axis=1)
-        return out + self.bias
+        return _finish(out + self.bias, act, skip)
 
 
 class LGConv(nn.Module):
@@ -425,18 +486,20 @@ class LGConv(nn.Module):
         if self.in_channels != self.out_channels:
             raise ValueError("LGConv requires in_channels == out_channels")
 
-    def __call__(self, g: GraphBatch, x):
+    def __call__(self, g: GraphBatch, x, act=None, skip=None):
         deg = g.in_degree.astype(x.dtype)
         dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1.0)), 0.0)
         fused = _fused_multi(g, ("sum",), x * dis[:, None])
         if fused is not None:
-            return dis[:, None] * fused
+            return _finish(dis[:, None] * fused, act, skip)
         if _use_ell(g):
             y = x * dis[:, None]
-            return dis[:, None] * ell.ell_sum(y, g.nbr_nodes, g.in_degree)
+            out = dis[:, None] * ell.ell_sum(y, g.nbr_nodes, g.in_degree)
+            return _finish(out, act, skip)
         norm = dis[g.senders] * dis[g.receivers]
         msg = _gather(x, g.senders) * norm[:, None]
-        return segment.segment_sum(msg, g.receivers, g.num_nodes)
+        out = segment.segment_sum(msg, g.receivers, g.num_nodes)
+        return _finish(out, act, skip)
 
 
 class SimpleConv(nn.Module):
@@ -454,13 +517,13 @@ class SimpleConv(nn.Module):
         if self.in_channels != self.out_channels:
             raise ValueError("SimpleConv requires in_channels == out_channels")
 
-    def __call__(self, g: GraphBatch, x):
+    def __call__(self, g: GraphBatch, x, act=None, skip=None):
         agg = self.aggregation
         name = "sum" if agg == "add" else agg
         if name in ("sum", "mean", "max", "min"):
             fused = _fused_multi(g, (name,), x)
             if fused is not None:
-                return fused
+                return _finish(fused, act, skip)
         if _use_ell(g):
             fns = {
                 "sum": ell.ell_sum,
@@ -471,19 +534,21 @@ class SimpleConv(nn.Module):
             }
             if agg not in fns:
                 raise ValueError(f"unknown aggregation {agg}")
-            return fns[agg](x, g.nbr_nodes, g.in_degree)
+            return _finish(fns[agg](x, g.nbr_nodes, g.in_degree), act, skip)
         msg = _gather(x, g.senders)
         n = g.num_nodes
         count = g.in_degree.astype(x.dtype)[:, None]
         if agg in ("sum", "add"):
-            return segment.segment_sum(msg, g.receivers, n)
-        if agg == "mean":
-            return segment.segment_mean(msg, g.receivers, n, count=count)
-        if agg == "max":
-            return segment.segment_max(msg, g.receivers, n, count=count)
-        if agg == "min":
-            return segment.segment_min(msg, g.receivers, n, count=count)
-        raise ValueError(f"unknown aggregation {agg}")
+            out = segment.segment_sum(msg, g.receivers, n)
+        elif agg == "mean":
+            out = segment.segment_mean(msg, g.receivers, n, count=count)
+        elif agg == "max":
+            out = segment.segment_max(msg, g.receivers, n, count=count)
+        elif agg == "min":
+            out = segment.segment_min(msg, g.receivers, n, count=count)
+        else:
+            raise ValueError(f"unknown aggregation {agg}")
+        return _finish(out, act, skip)
 
 
 # the reference's SUPPORTED_GNN_CONVS (models.py:453-459) plus the extra

@@ -23,7 +23,6 @@ from gnnbuilder_tpu.nn.pool import GlobalPooling
 from gnnbuilder_tpu.ops.activations import (
     OUTPUT_ACTIVATIONS,
     SUPPORTED_MODEL_ACTIVATIONS,
-    get_activation,
 )
 
 __all__ = ["GNNModel"]
@@ -115,7 +114,6 @@ class GNNModel(nn.Module):
                 )
             )
         self.gnn_convs = convs
-        self.act = get_activation(self.gnn_activation)
         self.global_pooling = GlobalPooling(
             aggrs=tuple(self.pooling_aggrs), name="global_pooling"
         )
@@ -181,11 +179,13 @@ class GNNModel(nn.Module):
         h = g.node_feat if x is None else x
         L = self.gnn_num_layers
         for i, conv in enumerate(self.gnn_convs):
-            h_in = h
-            h = conv(g, h)
-            if self.gnn_skip_connection and 0 < i < L - 1:
-                h = h + h_in
-            h = self.act(h)
+            # skip-add + activation are delegated to the conv so fused
+            # kernels can absorb them into their epilogue; the conv's XLA
+            # paths apply the identical math (nn/conv.py _finish)
+            skip = (
+                h if self.gnn_skip_connection and 0 < i < L - 1 else None
+            )
+            h = conv(g, h, act=self.gnn_activation, skip=skip)
         pooled = self.global_pooling(g, h)
         out = self.mlp_head(pooled)
         if self.output_activation is not None:

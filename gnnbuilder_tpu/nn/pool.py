@@ -51,18 +51,38 @@ class GlobalPooling(nn.Module):
         return len(self.aggrs)
 
     def __call__(self, g: GraphBatch, x):
+        import jax
+
+        from gnnbuilder_tpu.parallel.halo import active_halo
+
         n_graphs = g.num_graphs
         seg = g.node_graph
         count = g.n_node.astype(x.dtype)[:, None]
+        halo = active_halo()
         outs = []
         s = None
         if "add" in self.aggrs or "mean" in self.aggrs:
             s = segment.segment_sum(x, seg, n_graphs)
+            if halo is not None:
+                # inside shard_map each shard reduced its own node rows;
+                # per-graph partials combine across the axis
+                s = jax.lax.psum(s, halo[0])
         for a in self.aggrs:
             if a == "add":
                 outs.append(s)
             elif a == "mean":
                 outs.append(s / jnp.maximum(count, 1.0))
             elif a == "max":
-                outs.append(segment.segment_max(x, seg, n_graphs, count=count))
+                if halo is not None:
+                    m = jax.ops.segment_max(x, seg, num_segments=n_graphs)
+                    m = jnp.where(jnp.isfinite(m), m, -3e38)
+                    # pmax has no differentiation rule; all_gather + max is
+                    # the same reduction ([G, F] partials are tiny) and its
+                    # backward routes cotangents to the achieving shard
+                    m = jnp.max(jax.lax.all_gather(m, halo[0]), axis=0)
+                    outs.append(jnp.where(count > 0, m, 0.0))
+                else:
+                    outs.append(
+                        segment.segment_max(x, seg, n_graphs, count=count)
+                    )
         return jnp.concatenate(outs, axis=-1)

@@ -69,9 +69,21 @@ def get_fused_mode() -> str:
 from gnnbuilder_tpu.core.graph import _round_up
 
 
-def fused_config(g, feature_dim: Optional[int] = None) -> Optional[dict]:
-    """Return kernel kwargs {tile_rows, window_slack, interpret} if the fused
-    path applies to this batch, else None (callers fall back to XLA ops)."""
+def fused_config(
+    g, feature_dim: Optional[int] = None, kind: str = "agg"
+) -> Optional[dict]:
+    """Return kernel kwargs {tile_rows, window_slack, interpret, ...} if the
+    fused path applies to this batch, else None (callers fall back to XLA).
+
+    ``kind`` selects the target kernel family:
+      * "agg" — the multi-aggregate kernel (ops/pallas/ell_agg.py)
+      * "layer" — the whole-layer kernels (ops/pallas/pna_layer.py,
+        ops/pallas/mp_layer.py): prefer LARGE grid tiles (512/1024,
+        sub-tiled gather inside) and add the epilogue-matmul precision
+        ("mm"): one-pass bf16 on TPU — the same numeric contract as XLA's
+        default f32 matmul lowering — f32 in interpret mode so CPU parity
+        tests stay exact.
+    """
     if _MODE == "never" or g.nbr_nodes is None or _SUPPRESSED.get():
         return None
     from gnnbuilder_tpu.compile.precision import active_precision
@@ -102,7 +114,28 @@ def fused_config(g, feature_dim: Optional[int] = None) -> Optional[dict]:
         )
         if gather_mode is not None:
             out["gather_mode"] = gather_mode
+        if kind == "layer":
+            out["mm"] = "bf16" if on_tpu else "f32"
         return out
+
+    slack = _round_up(maxg, 8)
+
+    if kind == "layer":
+        from gnnbuilder_tpu.ops.pallas.pna_layer import (
+            supports as pna_supports,
+        )
+
+        # small batch: sub-tiled single grid tile when graphs fit the
+        # slack windows, else whole-array window (slack 0 disables
+        # sub-tiling — see pna_layer._sub_rows)
+        if N <= _SINGLE_TILE_MAX and N % 8 == 0:
+            if pna_supports(N, N, slack) and _sub_tile(N, slack) >= 2 * slack:
+                return cfg(N, slack)
+            return cfg(N, 0)
+        for tn in (1024, 512, _TILE_ROWS, 256, 128):
+            if pna_supports(N, tn, slack) and _sub_tile(tn, slack) >= 2 * slack:
+                return cfg(tn, slack)
+        return None
 
     # single tile: the window is the whole array, any graph layout is valid
     if N <= _SINGLE_TILE_MAX and N % 8 == 0:
@@ -110,8 +143,13 @@ def fused_config(g, feature_dim: Optional[int] = None) -> Optional[dict]:
 
     # tiled: graphs are contiguous, so rows [t*TN,(t+1)*TN) only reference
     # ids within +-maxg of the tile bounds
-    slack = _round_up(maxg, 8)
     for tn in (_TILE_ROWS, 256, 128, 512):
         if supports(N, tn, slack) and tn >= 2 * slack:
             return cfg(tn, slack)
     return None
+
+
+def _sub_tile(tn: int, slack: int) -> int:
+    from gnnbuilder_tpu.ops.pallas.pna_layer import _sub_rows
+
+    return _sub_rows(tn, slack)

@@ -42,8 +42,31 @@ def ell_mask(nbr_nodes, in_degree):
     return slot < in_degree[:, None]
 
 
-def ell_gather(values, table):
-    """Gather rows of ``values`` [M, F] by an ELL id table [N, W] -> [N, W, F]."""
+def ell_gather(values, table, node_rows: bool = True):
+    """Gather rows of ``values`` [M, F] by an ELL id table [N, W] -> [N, W, F].
+
+    Under an active halo scope (parallel/halo.halo_scope — tracing inside
+    shard_map on edge-partitioned node rows), ``values`` holds only this
+    shard's rows and ``table`` holds GLOBAL ids: the gather then reads from
+    the ring-exchanged [halo | local | halo] window.  Out-of-window ids
+    (ghost/pad slots) clamp to the window edge; every consumer masks them
+    by degree.  ``node_rows=False`` marks edge-indexed gathers (GINE),
+    which have no windowed formulation — unsupported under halo.
+    """
+    from gnnbuilder_tpu.parallel.halo import active_halo, halo_exchange
+
+    h = active_halo()
+    if h is not None:
+        if not node_rows:
+            raise NotImplementedError(
+                "edge-indexed ELL gathers (GINE) are not supported under "
+                "halo parallelism; use the GSPMD path (halo=False)"
+            )
+        axis, halo = h
+        xw = halo_exchange(values, halo, axis)
+        base = jax.lax.axis_index(axis) * values.shape[0]
+        ids = jnp.clip(table - base + halo, 0, xw.shape[0] - 1)
+        return jnp.take(xw, ids, axis=0)
     return jnp.take(values, table, axis=0)
 
 

@@ -1,0 +1,426 @@
+"""Generic fused message-passing layer for GIN / SAGE / GCN.
+
+The round-1 grid showed non-PNA convs 2-3x behind the fused PNA path:
+their aggregation could fuse (ops/pallas/ell_agg.py) but the per-layer
+matmuls/epilogues ran as separate XLA ops, each round-tripping [N, F]
+through HBM.  This kernel runs the ENTIRE conv layer per node tile:
+
+    A[r, c] = #{slots w < deg[r] : nbr[r, w] == window col c}
+    s       = A @ v_window            (sum / mean aggregation == SpMM;
+                                       TWO matmuls total via an exact
+                                       hi/lo split — W-independent!)
+    out     = act(EPILOGUE(s, v_self) [+ skip])
+
+Epilogues (static `conv`):
+    gin:   h = (1 + eps) * x + s;  out = relu(h @ W0 + b0) @ W1 + b1
+           (reference gin_conv, gnn_builder_lib.h:1389-1549)
+    sage:  out = mean @ W_l + b_l + x @ W_r
+           (reference sage_conv, gnn_builder_lib.h:2159-2341)
+    gcn:   out = dis * (s + p) + bias,  where the caller passes
+           p = (x @ W) * dis and dis = rsqrt(deg + 1) is recomputed
+           in-kernel from the degree column
+           (reference gcn_conv, gnn_builder_lib.h:1213-1387)
+
+Unlike the PNA kernel there is no max/min, so the gathered message table
+G never materializes: the count matrix A (built from one lane-iota compare
+over the stacked localized ids, validity pre-folded as id = -1) reduces
+the whole aggregation to MXU work.  Window streaming, sub-tiling, and
+double-buffered DMA are shared with ops/pallas/pna_layer.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnnbuilder_tpu.ops.pallas.pna_layer import (
+    _ACTS,
+    _dot_mm,
+    _HI,
+    _pad_cols,
+    _pad_rows,
+    _rup,
+    _schedule,
+    _stack_ids,
+    supports,
+)
+
+__all__ = [
+    "fused_mp_layer",
+    "fused_mp_layer_vjp",
+    "fused_mp_layer_auto",
+    "mp_layer_reference",
+    "MP_CONVS",
+]
+
+MP_CONVS = ("gin", "sage", "gcn")
+
+
+def _kernel(
+    sws_ref,     # scalar prefetch: [N/TNS] window start per sub-tile
+    x_hbm,       # [N, F] ANY — windowed neighbor reads (v array)
+    x_ref,       # [TN, F] VMEM — receiver rows of v
+    ids_ref,     # [W*TN, 1] int32 localized stacked slot ids (-1 = pad)
+    deg_ref,     # [TN, 1] int32
+    w0_ref,      # [F, H]   (gin lin0 / sage W_l)   — zeros(1,1) for gcn
+    b0_ref,      # [1, H]   (gin b0  / sage b_l)    — gcn bias
+    w1_ref,      # [H, Fout](gin lin1 / sage W_r)   — zeros(1,1) for gcn
+    b1_ref,      # [1, Fout](gin b1)                — zeros for sage/gcn
+    *rest,       # ([skip_ref], out_ref, x_win[2,TWS,F], s_ref, dma_sem[2])
+    conv: str,
+    W: int,
+    TNS: int,
+    TWS: int,
+    eps: float,
+    gather_mode: str,
+    mm: str,
+    act: Optional[str],
+    has_skip: bool,
+):
+    if has_skip:
+        skip_ref, out_ref, x_win, s_ref, dma_sem = rest
+    else:
+        out_ref, x_win, s_ref, dma_sem = rest
+        skip_ref = None
+
+    i = pl.program_id(0)
+    nt = pl.num_programs(0)
+    TN = x_ref.shape[0]
+    F = x_ref.shape[1]
+    KT = TN // TNS
+    dot = _dot_mm(mm)
+
+    def win_copy(j, buf):
+        start = pl.multiple_of(sws_ref[j], 8)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, TWS), :], x_win.at[buf], dma_sem.at[buf]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        win_copy(0, 0).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W * TNS, TWS), 1)
+
+    # fori_loop over sub-tiles (effects through refs) keeps the Mosaic
+    # module size — and compile time — independent of KT
+    def sub_tile(k, carry):
+        j = i * KT + k
+        buf = jax.lax.rem(j, 2)
+        win_copy(j, buf).wait()
+
+        @pl.when(j + 1 < nt * KT)
+        def _():
+            win_copy(j + 1, jax.lax.rem(j + 1, 2)).start()
+
+        vwin = x_win[buf]  # [TWS, F]
+        ids = ids_ref[pl.ds(pl.multiple_of(k * W * TNS, 8), W * TNS), :]
+        ohb = ids == lane                                    # [W*TNS, TWS]
+        if gather_mode == "highest":
+            oh = ohb.astype(jnp.float32)
+            a_cnt = sum(
+                oh[w * TNS : (w + 1) * TNS] for w in range(W)
+            ) if W > 1 else oh[:TNS]                         # [TNS, TWS]
+            s = jnp.dot(a_cnt, vwin[:],
+                        preferred_element_type=jnp.float32, precision=_HI)
+        else:
+            oh = ohb.astype(jnp.bfloat16)
+            a_cnt = sum(
+                oh[w * TNS : (w + 1) * TNS] for w in range(W)
+            ) if W > 1 else oh[:TNS]
+            vf = vwin[:]
+            vh = vf.astype(jnp.bfloat16)
+            bdot = lambda m, v: jnp.dot(
+                m, v, preferred_element_type=jnp.float32
+            )
+            if gather_mode == "split2":
+                # counts are small ints (exact in bf16); hi+lo rebuilds the
+                # exact f32 sum in two passes
+                vl = (vf - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+                s = bdot(a_cnt, vh) + bdot(a_cnt, vl)
+            else:  # bf16
+                s = bdot(a_cnt, vh)
+        s_ref[pl.ds(pl.multiple_of(k * TNS, 8), TNS), :] = s
+        return carry
+
+    jax.lax.fori_loop(0, KT, sub_tile, 0)
+    s_all = s_ref[:]
+
+    xt = x_ref[:]
+    deg = deg_ref[:]
+    degf = deg.astype(jnp.float32)
+
+    if conv == "gin":
+        h = (1.0 + eps) * xt + s_all
+        o = dot(jax.nn.relu(dot(h, w0_ref[:]) + b0_ref[:]), w1_ref[:]) \
+            + b1_ref[:]
+    elif conv == "sage":
+        mean = s_all / jnp.maximum(degf, 1.0)
+        o = dot(mean, w0_ref[:]) + b0_ref[:] + dot(xt, w1_ref[:])
+    elif conv == "gcn":
+        dis = jax.lax.rsqrt(degf + 1.0)
+        o = dis * (s_all + xt) + b0_ref[:]
+    else:
+        raise ValueError(f"unknown conv {conv}")
+
+    if has_skip:
+        o = o + skip_ref[:]
+    out_ref[:] = _ACTS[act](o)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "conv", "eps", "tile_rows", "window_slack", "interpret",
+        "gather_mode", "mm", "act",
+    ),
+)
+def fused_mp_layer(
+    v,            # [N, F] node values (x for gin/sage; p = lin(x)*dis for gcn)
+    nbr_nodes,    # [N, W] int32
+    in_degree,    # [N] int32
+    conv: str,
+    w0=None, b0=None, w1=None, b1=None,
+    eps: float = 0.0,
+    skip=None,
+    tile_rows: int = 512,
+    window_slack: int = 64,
+    interpret: bool = False,
+    gather_mode: str = "split2",
+    mm: str = "f32",
+    act: Optional[str] = None,
+):
+    N, F = v.shape
+    W = nbr_nodes.shape[1]
+    TN = tile_rows
+    SL = window_slack
+    if conv not in MP_CONVS:
+        raise ValueError(f"conv must be one of {MP_CONVS}")
+    if not supports(N, TN, SL) and not interpret:
+        raise ValueError(f"fused_mp_layer preconditions failed: N={N}")
+    if act not in _ACTS:
+        raise ValueError(f"unsupported fused activation {act!r}")
+
+    TNS, TWS, sws = _schedule(N, TN, SL)
+    ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
+    deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
+
+    zero11 = jnp.zeros((1, 1), jnp.float32)
+    if conv == "gin":
+        H = w0.shape[1]
+        Fout = w1.shape[1]
+        mats = [w0, b0.reshape(1, -1), w1, b1.reshape(1, -1)]
+    elif conv == "sage":
+        Fout = w0.shape[1]
+        mats = [w0, b0.reshape(1, -1), w1, jnp.zeros((1, Fout), jnp.float32)]
+    else:  # gcn: b0 is the bias; matmuls were done by the caller
+        Fout = F
+        mats = [zero11, b0.reshape(1, -1), zero11,
+                jnp.zeros((1, Fout), jnp.float32)]
+
+    has_skip = skip is not None
+    kern = functools.partial(
+        _kernel, conv=conv, W=W, TNS=TNS, TWS=TWS, eps=float(eps),
+        gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
+    )
+
+    def blk(shape):
+        return pl.BlockSpec(shape, lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def vmem():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        blk((TN, F)),
+        blk((W * TN, 1)),
+        blk((TN, 1)),
+        vmem(), vmem(), vmem(), vmem(),
+    ]
+    inputs = [jnp.asarray(sws), v, v, ids_stack, deg2d] + mats
+    if has_skip:
+        in_specs.append(blk((TN, Fout)))
+        inputs.append(skip)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(max(N // TN, 1),),
+        in_specs=in_specs,
+        out_specs=blk((TN, Fout)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TWS, F), v.dtype),
+            pltpu.VMEM((TN, F), jnp.float32),   # aggregated sums
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    if conv == "gin":
+        epi = F * w0.shape[1] + w0.shape[1] * Fout
+    elif conv == "sage":
+        epi = 2 * F * Fout
+    else:
+        epi = 0
+    flops = N * (2 * TWS * F + epi) * 2
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, Fout), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(N * (F + Fout)) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+# --------------------------------------------------------------------------
+# XLA reference (for the custom VJP backward and for tests)
+# --------------------------------------------------------------------------
+
+
+def mp_layer_reference(v, nbr_nodes, in_degree, conv,
+                       w0=None, b0=None, w1=None, b1=None, eps=0.0,
+                       skip=None, act=None):
+    from gnnbuilder_tpu.ops import ell
+
+    s = ell.ell_sum(v, nbr_nodes, in_degree)
+    degf = in_degree.astype(v.dtype)[:, None]
+    if conv == "gin":
+        h = (1.0 + eps) * v + s
+        o = jax.nn.relu(h @ w0 + b0) @ w1 + b1
+    elif conv == "sage":
+        mean = s / jnp.maximum(degf, 1.0)
+        o = mean @ w0 + b0 + v @ w1
+    elif conv == "gcn":
+        dis = jax.lax.rsqrt(degf + 1.0)
+        o = dis * (s + v) + b0
+    else:
+        raise ValueError(conv)
+    if skip is not None:
+        o = o + skip
+    return _ACTS[act](o)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
+                 mm, act, has_skip):
+    @jax.custom_vjp
+    def f(v, nbr, deg, skip, w0, b0, w1, b1):
+        return fused_mp_layer(
+            v, nbr, deg, conv, w0=w0, b0=b0, w1=w1, b1=b1, eps=eps,
+            skip=skip if has_skip else None,
+            tile_rows=tile_rows, window_slack=window_slack,
+            interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+        )
+
+    def fwd(v, nbr, deg, skip, *p):
+        return f(v, nbr, deg, skip, *p), (v, nbr, deg, skip, p)
+
+    def bwd(res, ct):
+        v, nbr, deg, skip, p = res
+        _, vjp = jax.vjp(
+            lambda vv, sk, *pp: mp_layer_reference(
+                vv, nbr, deg, conv,
+                *pp, eps=eps, skip=sk if has_skip else None, act=act,
+            ),
+            v, skip, *p,
+        )
+        grads = vjp(ct)
+        zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        dskip = grads[1] if has_skip else jnp.zeros_like(skip)
+        return (grads[0], zero_i(nbr), zero_i(deg), dskip) + grads[2:]
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_mp_layer_vjp(
+    v, nbr_nodes, in_degree, conv, w0=None, b0=None, w1=None, b1=None,
+    eps=0.0, skip=None, tile_rows=512, window_slack=64, interpret=False,
+    gather_mode="split2", mm="f32", act=None,
+):
+    """Differentiable fused layer (Pallas fwd, XLA-reference bwd)."""
+    has_skip = skip is not None
+    fn = _make_vjp_fn(
+        conv, float(eps), tile_rows, window_slack, interpret, gather_mode,
+        mm, act, has_skip,
+    )
+    F = v.shape[1]
+    z = jnp.zeros((1, 1), jnp.float32)
+    if conv == "gcn":
+        Fout = F
+        w0_, b0_, w1_, b1_ = z, b0, z, jnp.zeros((Fout,), jnp.float32)
+    elif conv == "sage":
+        Fout = w0.shape[1]
+        w0_, b0_, w1_, b1_ = w0, b0, w1, jnp.zeros((Fout,), jnp.float32)
+    else:
+        Fout = w1.shape[1]
+        w0_, b0_, w1_, b1_ = w0, b0, w1, b1
+    skip_in = skip if has_skip else jnp.zeros((v.shape[0], Fout), v.dtype)
+    return fn(v, nbr_nodes, in_degree.astype(jnp.int32), skip_in,
+              w0_, b0_, w1_, b1_)
+
+
+def fused_mp_layer_auto(
+    v, nbr_nodes, in_degree, conv, w0=None, b0=None, w1=None, b1=None,
+    eps=0.0, skip=None, tile_rows=512, window_slack=64, interpret=False,
+    gather_mode="split2", mm="f32", act=None,
+):
+    """fused_mp_layer_vjp with automatic zero-padding of unaligned feature
+    dims to MXU lanes (pad lanes are inert: zero x lanes -> zero aggregate
+    lanes -> zero weight rows; padded output columns are sliced off)."""
+    N, F = v.shape
+    F_p = _rup(F)
+    if conv == "gin":
+        H, Fout = w0.shape[1], w1.shape[1]
+        H_p, Fout_p = _rup(H), _rup(Fout)
+        if (F_p, H_p, Fout_p) != (F, H, Fout):
+            out = fused_mp_layer_vjp(
+                _pad_cols(v, F_p), nbr_nodes, in_degree, conv,
+                w0=_pad_cols(_pad_rows(w0, F_p), H_p),
+                b0=jnp.pad(b0, (0, H_p - H)),
+                w1=_pad_cols(_pad_rows(w1, H_p), Fout_p),
+                b1=jnp.pad(b1, (0, Fout_p - Fout)),
+                eps=eps,
+                skip=_pad_cols(skip, Fout_p) if skip is not None else None,
+                tile_rows=tile_rows, window_slack=window_slack,
+                interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+            )
+            return out[:, :Fout]
+    elif conv == "sage":
+        Fout = w0.shape[1]
+        Fout_p = _rup(Fout)
+        if (F_p, Fout_p) != (F, Fout):
+            out = fused_mp_layer_vjp(
+                _pad_cols(v, F_p), nbr_nodes, in_degree, conv,
+                w0=_pad_cols(_pad_rows(w0, F_p), Fout_p),
+                b0=jnp.pad(b0, (0, Fout_p - Fout)),
+                w1=_pad_cols(_pad_rows(w1, F_p), Fout_p),
+                eps=eps,
+                skip=_pad_cols(skip, Fout_p) if skip is not None else None,
+                tile_rows=tile_rows, window_slack=window_slack,
+                interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+            )
+            return out[:, :Fout]
+    else:  # gcn: v = (x@W)*dis already has the OUTPUT width
+        if F_p != F:
+            out = fused_mp_layer_vjp(
+                _pad_cols(v, F_p), nbr_nodes, in_degree, conv,
+                b0=jnp.pad(b0, (0, F_p - F)), eps=eps,
+                skip=_pad_cols(skip, F_p) if skip is not None else None,
+                tile_rows=tile_rows, window_slack=window_slack,
+                interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+            )
+            return out[:, :F]
+    return fused_mp_layer_vjp(
+        v, nbr_nodes, in_degree, conv, w0=w0, b0=b0, w1=w1, b1=b1, eps=eps,
+        skip=skip, tile_rows=tile_rows, window_slack=window_slack,
+        interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+    )

@@ -6,14 +6,38 @@ One Pallas kernel computes an entire PNA convolution per node tile:
     v = x_window @ W_j                   (pre_nn, neighbor half — computed
                                           on the DMA'd window, so v never
                                           exists in HBM)
-    table[w] = u + onehot_gather(v, w)   (MXU one-hot selection)
-    max/min/mean/std over valid slots    (VPU, accumulators in registers)
+    G = onehot_stack @ v                 (all ELL slots gathered in ONE MXU
+                                          matmul pair; exact hi/lo split)
+    sum/sq/max/min over slot blocks of G (VPU, validity via -inf bias;
+                                          at molecular widths W<=8 this
+                                          beats count-matrix matmuls)
     y  = agg_cat @ Ks                    (all 3 scaler blocks, one matmul)
-    out = (x @ K0 + b_post + y_id + amp*y_amp + att*y_att) @ W_lin + b_lin
+    out = act((x@K0 + b + y_id + amp*y_amp + att*y_att) @ W_lin + b_lin
+              [+ skip])                  (skip-add + activation fused)
 
-HBM traffic per layer = read x + read weights + write out — nothing else.
-The XLA pipeline for the same math moves ~800 MB per batch-1024 QM9 layer
-(see ops/pallas/ell_agg.py); this kernel moves ~20 MB.
+HBM traffic per layer = read x (blocks + windows) + weights once + write
+out.  The XLA pipeline for the same math moves ~800 MB per batch-1024 QM9
+layer (see ops/pallas/ell_agg.py); this kernel moves ~30 MB.
+
+v2 design notes (round 2), from on-chip measurements:
+* per-call relay dispatch is ~110 us — all kernel timing below is marginal
+  chained time minus that;
+* the v1 per-slot one-hot loop (W small matmuls + 4 masked selects per
+  slot) was VPU- and scheduling-bound, not FLOP-bound: time was nearly
+  independent of window width.  v2 stacks all W one-hots into one
+  [W*TNS, TWS] operand (built host/XLA-side as localized ids with invalid
+  slots = -1, so the kernel does a single compare against a lane iota) and
+  gathers every slot in one matmul pair;
+* grid tiles are large (amortize per-tile overhead) while gather windows
+  stay narrow via SUB-TILING: each TNS-row sub-tile gathers from its own
+  TWS = TNS + 2*slack window slice of the tile's DMA'd window;
+* the window DMA is double-buffered across grid steps (tile t+1's window
+  streams in during tile t's compute);
+* weights ride whole-array VMEM specs (same speed, ~20x faster Mosaic
+  compile than per-step blocks);
+* epilogue matmuls run one-pass bf16 by default on TPU (mm="bf16" — the
+  same contract as XLA's default f32 matmul lowering on TPU); parity tests
+  use mm="f32".  The GATHER is always exact (split2 hi/lo or better).
 
 Semantics match PNAConv's XLA path exactly (same empty-row fills, same
 std epsilon, scalers identity/amplification/attenuation with delta, PyG
@@ -29,6 +53,7 @@ attenuation).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,11 +62,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gnnbuilder_tpu.ops.ell import _STD_EPS  # single source of truth
-from gnnbuilder_tpu.ops.pallas.ell_agg import _window_starts, supports
 
-__all__ = ["fused_pna_layer", "fused_pna_layer_vjp", "pna_layer_supported"]
+__all__ = [
+    "fused_pna_layer",
+    "fused_pna_layer_vjp",
+    "fused_pna_layer_auto",
+    "pna_layer_supported",
+    "pna_layer_reference",
+]
 
 _HI = jax.lax.Precision.HIGHEST
+_BIG = 3e38  # finite -inf stand-in (-inf arithmetic is UB-adjacent on VPU)
+
+# fusable epilogue activations — the exact functions the model container
+# applies (ops/activations.py), so fusing is numerics-neutral
+from gnnbuilder_tpu.ops.activations import ACTIVATIONS as _ACT_FNS
+
+_ACTS = {
+    None: lambda x: x,
+    "relu": _ACT_FNS["relu"],
+    "gelu": _ACT_FNS["gelu"],
+    "sigmoid": _ACT_FNS["sigmoid"],
+    "tanh": _ACT_FNS["tanh"],
+}
+
+
+def _sub_rows(tile_rows: int, window_slack: int) -> int:
+    """Gather sub-tile height.  The one-hot gather costs W*(TNS+2*slack)*F
+    MACs per node, so narrow sub-tiles cut the realization cost directly;
+    128 keeps the stacked one-hot operand [W*128, 128+2*slack] MXU-shaped.
+    slack == 0 means "the window is the whole tile" (no graph-contiguity
+    assumption), so sub-tiling MUST be off; likewise for tiles not
+    divisible by 128."""
+    if window_slack == 0 or tile_rows % 128:
+        return tile_rows
+    return 128
+
+
+def supports(num_nodes: int, tile_rows: int, window_slack: int) -> bool:
+    """Static preconditions shared by the fused kernels (also re-exported
+    by ell_agg for the multi-aggregate kernel)."""
+    tns = _sub_rows(tile_rows, window_slack)
+    tws = tns + 2 * window_slack
+    return (
+        num_nodes % tile_rows == 0
+        and num_nodes >= tws
+        and tws % 8 == 0
+        and tile_rows % 8 == 0
+        and window_slack % 8 == 0
+    )
 
 
 def pna_layer_supported(num_nodes, f_in, f_out, tile_rows, window_slack):
@@ -52,13 +121,56 @@ def pna_layer_supported(num_nodes, f_in, f_out, tile_rows, window_slack):
     )
 
 
+def _window_starts(n: int, tile_rows: int, window: int, slack: int) -> np.ndarray:
+    t = np.arange(max(n // tile_rows, 1), dtype=np.int32)
+    ws = np.clip(t * tile_rows - slack, 0, max(n - window, 0))
+    return ws.astype(np.int32)
+
+
+def _schedule(n: int, tn: int, slack: int):
+    """Host-side constants: gather sub-tile height, sub-window width, and
+    each sub-tile's (clamped, 8-aligned) window start."""
+    tns = _sub_rows(tn, slack)
+    tws = tns + 2 * slack
+    sws = _window_starts(n, tns, tws, slack)       # [n/tns]
+    return tns, tws, sws
+
+
+def _stack_ids(nbr_nodes, in_degree, sws: np.ndarray, tns: int):
+    """[N*W, 1] localized slot ids: row j*(W*TNS) + w*TNS + r holds
+    nbr[j*TNS+r, w] - sws[j], or -1 for padding slots (w >= degree).
+    Invalid ids never match the kernel's lane iota, so validity costs
+    nothing in-kernel.  Pure XLA; CSE dedupes it across layers."""
+    n, w = nbr_nodes.shape
+    num_sub = n // tns
+    sws_col = jnp.asarray(np.repeat(sws, tns), jnp.int32)[:, None]  # [N,1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    valid = slot < in_degree.astype(jnp.int32)[:, None]
+    loc = jnp.where(valid, nbr_nodes.astype(jnp.int32) - sws_col, -1)
+    stack = loc.reshape(num_sub, tns, w).transpose(0, 2, 1)
+    return stack.reshape(n * w, 1)
+
+
+def _dot_mm(mm: str):
+    if mm == "bf16":
+        return lambda a, b: jnp.dot(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    if mm == "f32":
+        return lambda a, b: jnp.dot(
+            a, b, preferred_element_type=jnp.float32, precision=_HI
+        )
+    raise ValueError(f"unknown mm precision {mm!r}")
+
+
 def _kernel(
-    ws_ref,
+    sws_ref,     # scalar prefetch: [N/TNS] window start per sub-tile
     x_hbm,       # [N, Fin] ANY — windowed neighbor reads
     x_ref,       # [TN, Fin] VMEM — receiver rows
-    nbr_ref,     # [TN, W] int32
+    ids_ref,     # [W*TN, 1] int32 localized stacked slot ids (-1 = pad)
     deg_ref,     # [TN, 1] int32
-    w_i_ref,     # [Fin, F] pre_nn receiver half
+    w_i_ref,     # [Fin, F] pre_nn receiver half (whole-array VMEM)
     w_j_ref,     # [Fin, F] pre_nn neighbor half
     b_pre_ref,   # [1, F]
     k0_ref,      # [Fin, Fout] post_nn self block
@@ -66,116 +178,150 @@ def _kernel(
     b_post_ref,  # [1, Fout]
     w_lin_ref,   # [Fout, Fout]
     b_lin_ref,   # [1, Fout]
-    out_ref,     # [TN, Fout]
-    x_win,       # scratch [TW, Fin]
-    dma_sem,
-    *,
+    *rest,       # ([skip_ref], out_ref, x_win[2,TWS,Fin], agg, dma_sem[2])
     W: int,
-    TW: int,
+    TNS: int,
+    TWS: int,
     delta: float,
-    gather_mode: str = "split2",
+    gather_mode: str,
+    mm: str,
+    act: Optional[str],
+    has_skip: bool,
 ):
+    if has_skip:
+        skip_ref, out_ref, x_win, agg_ref, dma_sem = rest
+    else:
+        out_ref, x_win, agg_ref, dma_sem = rest
+        skip_ref = None
+
     i = pl.program_id(0)
-    start = pl.multiple_of(ws_ref[i], 8)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(start, TW), :], x_win, dma_sem
-    )
-    copy.start()
+    nt = pl.num_programs(0)
 
     TN = x_ref.shape[0]
     F = w_i_ref.shape[1]
     Fout = k0_ref.shape[1]
-    xt = x_ref[:]
-    deg = deg_ref[:]
+    KT = TN // TNS
+    dot = _dot_mm(mm)
 
-    u = (
-        jnp.dot(xt, w_i_ref[:], preferred_element_type=jnp.float32)
-        + b_pre_ref[:]
-    )
+    def win_copy(j, buf):
+        start = pl.multiple_of(sws_ref[j], 8)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, TWS), :], x_win.at[buf], dma_sem.at[buf]
+        )
 
-    copy.wait()
-    vwin = jnp.dot(
-        x_win[:], w_j_ref[:], preferred_element_type=jnp.float32
-    )  # [TW, F]
+    # double-buffered sub-window stream over the FLAT sub-tile sequence
+    # j = i*KT + k: each sub-tile's compute overlaps the next one's DMA,
+    # including across grid-step boundaries (scratch persists)
+    @pl.when(i == 0)
+    def _():
+        win_copy(0, 0).start()
 
-    ids_local = nbr_ref[:] - start
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TN, TW), 1)
-    neg = jnp.full((TN, F), -jnp.inf, jnp.float32)
-    pos = jnp.full((TN, F), jnp.inf, jnp.float32)
-    zero = jnp.zeros((TN, F), jnp.float32)
-    s_acc, sq_acc, mx_acc, mn_acc = zero, zero, neg, pos
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W * TNS, TWS), 1)
 
-    # one-hot gather precision (see module docstring): Mosaic's default
-    # matmul is one-pass bf16.  "split2" = hi/lo bf16 split, 2 passes,
-    # ~1e-5 rel (v_hi+v_lo recover ~16 mantissa bits); "highest" = 6-pass
-    # exact; "bf16" = 1 pass (bf16 precision mode).
-    if gather_mode == "split2":
-        v_hi = vwin.astype(jnp.bfloat16)
-        v_lo = (vwin - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    for w in range(W):
+    # fori_loop (not Python unroll) over sub-tiles: all effects go through
+    # refs with dynamic row offsets, keeping the Mosaic module size — and
+    # therefore compile time — independent of KT
+    def sub_tile(k, carry):
+        j = i * KT + k
+        buf = jax.lax.rem(j, 2)
+        win_copy(j, buf).wait()
+
+        @pl.when(j + 1 < nt * KT)
+        def _():
+            win_copy(j + 1, jax.lax.rem(j + 1, 2)).start()
+
+        rows = pl.multiple_of(k * TNS, 8)
+        vwin = dot(x_win[buf], w_j_ref[:])  # [TWS, F] f32
+        x_sub = x_ref[pl.ds(rows, TNS), :]
+        u_sub = dot(x_sub, w_i_ref[:]) + b_pre_ref[:]
+
+        # gather operand precision (module docstring): split2 = exact
+        # hi+lo reconstruction; bf16 = one pass (the bf16 policy);
+        # highest = six-pass exact f32 dots
+        ids = ids_ref[pl.ds(pl.multiple_of(k * W * TNS, 8), W * TNS), :]
+        deg = deg_ref[pl.ds(rows, TNS), :]                      # [TNS, 1]
+        ohb = ids == lane                                       # [W*TNS, TWS]
         if gather_mode == "highest":
-            onehot = (ids_local[:, w][:, None] == lane).astype(jnp.float32)
-            g = jnp.dot(onehot, vwin, preferred_element_type=jnp.float32,
-                        precision=_HI)
-        elif gather_mode == "split2":
-            onehot = (ids_local[:, w][:, None] == lane).astype(jnp.bfloat16)
-            g = jnp.dot(
-                onehot, v_hi, preferred_element_type=jnp.float32
-            ) + jnp.dot(onehot, v_lo, preferred_element_type=jnp.float32)
-        elif gather_mode == "bf16":
-            onehot = (ids_local[:, w][:, None] == lane).astype(jnp.bfloat16)
-            g = jnp.dot(
-                onehot,
-                vwin.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
+            G = jnp.dot(
+                ohb.astype(jnp.float32), vwin,
+                preferred_element_type=jnp.float32, precision=_HI,
             )
+        elif gather_mode in ("split2", "bf16"):
+            oh = ohb.astype(jnp.bfloat16)
+            vh = vwin.astype(jnp.bfloat16)                      # [TWS, F]
+            bdot = lambda m, v: jnp.dot(
+                m, v, preferred_element_type=jnp.float32
+            )
+            if gather_mode == "split2":
+                # one-hot x bf16 products are exact; hi+lo reconstructs
+                # the f32 row, so G is an EXACT gather in 2 passes
+                vl = (vwin - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+                G = bdot(oh, vh) + bdot(oh, vl)                 # [W*TNS, F]
+            else:  # bf16
+                G = bdot(oh, vh)
         else:
             raise ValueError(f"unknown gather_mode {gather_mode}")
-        # aggregate over g alone and shift by u AFTER the reduction:
-        # mean/max/min commute with the constant per-row shift and std is
-        # shift-invariant, so no u-induced cancellation — in particular
-        # deg-1 rows get variance exactly 0 (same product subtracted from
-        # itself) instead of sqrt-eps-amplified gather noise
-        valid = w < deg
-        s_acc = s_acc + jnp.where(valid, g, 0.0)
-        sq_acc = sq_acc + jnp.where(valid, g * g, 0.0)
-        mx_acc = jnp.maximum(mx_acc, jnp.where(valid, g, neg))
-        mn_acc = jnp.minimum(mn_acc, jnp.where(valid, g, pos))
 
-    degf = deg.astype(jnp.float32)
-    denom = jnp.maximum(degf, 1.0)
-    nonempty = deg > 0
-    mean_g = s_acc / denom
-    var = jnp.maximum(sq_acc / denom - mean_g * mean_g, 0.0)
-    std = jnp.sqrt(var + _STD_EPS)
-    mean = jnp.where(nonempty, u + mean_g, 0.0)
-    mx = jnp.where(nonempty, u + mx_acc, 0.0)
-    mn = jnp.where(nonempty, u + mn_acc, 0.0)
-    # aggregator order fixed: (max, min, mean, std) == PNA_AGGREGATORS
-    agg_cat = jnp.concatenate([mx, mn, mean, std], axis=-1)  # [TN, 4F]
+        # all four aggregations accumulate over the W slot blocks of the
+        # exact gathered table G on the VPU (at molecular widths W<=8 this
+        # beats count-matrix matmuls); invalid slots (G rows == 0, ids
+        # were -1) are pushed out of the extrema with a degree-column bias
+        zero = jnp.zeros((TNS, F), jnp.float32)
+        s_acc, sq_acc = zero, zero
+        mx = jnp.full((TNS, F), -_BIG, jnp.float32)
+        mn = jnp.full((TNS, F), _BIG, jnp.float32)
+        for w in range(W):
+            g = G[w * TNS : (w + 1) * TNS, :]
+            s_acc = s_acc + g
+            sq_acc = sq_acc + g * g
+            bias = jnp.where(w < deg, 0.0, -_BIG)               # [TNS, 1]
+            mx = jnp.maximum(mx, g + bias)
+            mn = jnp.minimum(mn, g - bias)
 
-    y = jnp.dot(agg_cat, ks_ref[:], preferred_element_type=jnp.float32)
-    # [TN, 3*Fout]
-    log_deg = jnp.log(jnp.maximum(degf, 1.0) + 1.0)  # [TN, 1]
+        degf = deg.astype(jnp.float32)
+        denom = jnp.maximum(degf, 1.0)
+        nonempty = deg > 0
+        mean_g = s_acc / denom
+        var = jnp.maximum(sq_acc / denom - mean_g * mean_g, 0.0)
+        # aggregator order fixed: (max, min, mean, std) == PNA_AGGREGATORS
+        agg_ref[pl.ds(rows, TNS), 0:F] = jnp.where(
+            nonempty, u_sub + mx, 0.0
+        )
+        agg_ref[pl.ds(rows, TNS), F : 2 * F] = jnp.where(
+            nonempty, u_sub + mn, 0.0
+        )
+        agg_ref[pl.ds(rows, TNS), 2 * F : 3 * F] = jnp.where(
+            nonempty, u_sub + mean_g, 0.0
+        )
+        agg_ref[pl.ds(rows, TNS), 3 * F : 4 * F] = jnp.sqrt(var + _STD_EPS)
+        return carry
+
+    jax.lax.fori_loop(0, KT, sub_tile, 0)
+
+    xt = x_ref[:]
+    y = dot(agg_ref[:], ks_ref[:])  # [TN, 3*Fout]
+    degt = jnp.maximum(deg_ref[:].astype(jnp.float32), 1.0)
+    log_deg = jnp.log(degt + 1.0)
     amp = log_deg / delta
     att = delta / log_deg
     mid = (
-        jnp.dot(xt, k0_ref[:], preferred_element_type=jnp.float32)
+        dot(xt, k0_ref[:])
         + b_post_ref[:]
         + y[:, :Fout]
         + amp * y[:, Fout : 2 * Fout]
         + att * y[:, 2 * Fout :]
     )
-    out_ref[:] = (
-        jnp.dot(mid, w_lin_ref[:], preferred_element_type=jnp.float32)
-        + b_lin_ref[:]
-    )
+    o = dot(mid, w_lin_ref[:]) + b_lin_ref[:]
+    if has_skip:
+        o = o + skip_ref[:]
+    out_ref[:] = _ACTS[act](o)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "delta", "tile_rows", "window_slack", "interpret", "gather_mode",
+        "mm", "act",
     ),
 )
 def fused_pna_layer(
@@ -189,21 +335,27 @@ def fused_pna_layer(
     w_lin,        # [Fout, Fout]
     b_lin,        # [Fout]
     delta: float,
-    tile_rows: int = 256,
+    skip=None,    # optional [N, Fout] added before the activation
+    tile_rows: int = 512,
     window_slack: int = 64,
     interpret: bool = False,
     gather_mode: str = "split2",
+    mm: str = "f32",
+    act: Optional[str] = None,
 ):
     N, Fin = x.shape
     F = w_pre.shape[1]
     Fout = w_lin.shape[1]
     W = nbr_nodes.shape[1]
     TN = tile_rows
-    TW = TN + 2 * window_slack
-    if not pna_layer_supported(N, Fin, Fout, TN, window_slack) and not interpret:
+    SL = window_slack
+    if not pna_layer_supported(N, Fin, Fout, TN, SL) and not interpret:
         raise ValueError(f"fused_pna_layer preconditions failed: N={N}")
+    if act not in _ACTS:
+        raise ValueError(f"unsupported fused activation {act!r}")
 
-    ws = jnp.asarray(_window_starts(N, TN, TW, window_slack))
+    TNS, TWS, sws = _schedule(N, TN, SL)
+    ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
     w_i, w_j = w_pre[:Fin], w_pre[Fin:]
     k0 = k_post[:Fin]
@@ -212,59 +364,66 @@ def fused_pna_layer(
         axis=1,
     )  # [4F, 3*Fout]
 
+    has_skip = skip is not None
     kern = functools.partial(
-        _kernel, W=W, TW=TW, delta=float(delta), gather_mode=gather_mode
+        _kernel, W=W, TNS=TNS, TWS=TWS, delta=float(delta),
+        gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
     )
 
     def blk(shape):
-        return pl.BlockSpec(shape, lambda i, s: (i, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
 
-    def rep(shape):
-        return pl.BlockSpec(
-            shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM
-        )
+    def vmem():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),   # x (windowed, manual DMA)
+        blk((TN, Fin)),                      # x (receiver tile)
+        blk((W * TN, 1)),                    # stacked localized ids
+        blk((TN, 1)),                        # degree
+        vmem(), vmem(), vmem(),              # w_i, w_j, b_pre
+        vmem(), vmem(), vmem(),              # k0, ks, b_post
+        vmem(), vmem(),                      # w_lin, b_lin
+    ]
+    inputs = [
+        jnp.asarray(sws),
+        x, x, ids_stack, deg2d,
+        w_i, w_j, b_pre.reshape(1, -1),
+        k0, ks, b_post.reshape(1, -1),
+        w_lin, b_lin.reshape(1, -1),
+    ]
+    if has_skip:
+        in_specs.append(blk((TN, Fout)))
+        inputs.append(skip)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N // TN,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # x (windowed)
-            blk((TN, Fin)),                      # x (tile)
-            blk((TN, W)),
-            blk((TN, 1)),
-            rep((Fin, F)),
-            rep((Fin, F)),
-            rep((1, F)),
-            rep((Fin, Fout)),
-            rep((4 * F, 3 * Fout)),
-            rep((1, Fout)),
-            rep((Fout, Fout)),
-            rep((1, Fout)),
-        ],
+        in_specs=in_specs,
         out_specs=blk((TN, Fout)),
         scratch_shapes=[
-            pltpu.VMEM((TW, Fin), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TWS, Fin), x.dtype),     # double-buffered window
+            pltpu.VMEM((TN, 4 * F), jnp.float32),   # aggregator concat
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    flops = N * (2 * Fin * F + W * TW * F + 4 * F * 3 * Fout
-                 + Fin * Fout + Fout * Fout) * 2
-    return pl.pallas_call(
+    # useful-work accounting: gather ~ E*F MACs; the one-hot realization
+    # costs W*TWS*F per node — report the realization (what the MXU does)
+    flops = N * (2 * Fin * F + 3 * W * TWS * F // W + W * TWS * F
+                 + 4 * F * 3 * Fout + Fin * Fout + Fout * Fout) * 2
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, Fout), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(N * (Fin + Fout)) * 4,
+            bytes_accessed=(N * (2 * Fin + Fout)) * 4,
             transcendentals=N,
         ),
         interpret=interpret,
-    )(
-        ws, x, x, nbr_nodes, deg2d,
-        w_i, w_j, b_pre.reshape(1, -1),
-        k0, ks, b_post.reshape(1, -1),
-        w_lin, b_lin.reshape(1, -1),
-    )
+    )(*inputs)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -274,7 +433,7 @@ def fused_pna_layer(
 
 def pna_layer_reference(
     x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
-    delta,
+    delta, skip=None, act=None,
 ):
     from gnnbuilder_tpu.ops import ell
 
@@ -302,30 +461,40 @@ def pna_layer_reference(
         x @ k_post[:Fin] + b_post
         + y[:, :Fout] + amp * y[:, Fout : 2 * Fout] + att * y[:, 2 * Fout :]
     )
-    return mid @ w_lin + b_lin
+    out = mid @ w_lin + b_lin
+    if skip is not None:
+        out = out + skip
+    return _ACTS[act](out)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode):
+def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
+                 mm, act, has_skip):
     @jax.custom_vjp
-    def f(x, nbr, deg, w_pre, b_pre, k_post, b_post, w_lin, b_lin):
+    def f(x, nbr, deg, skip, w_pre, b_pre, k_post, b_post, w_lin, b_lin):
         return fused_pna_layer(
             x, nbr, deg, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
-            delta, tile_rows, window_slack, interpret, gather_mode,
+            delta, skip=skip if has_skip else None,
+            tile_rows=tile_rows, window_slack=window_slack,
+            interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
         )
 
-    def fwd(x, nbr, deg, *p):
-        return f(x, nbr, deg, *p), (x, nbr, deg, p)
+    def fwd(x, nbr, deg, skip, *p):
+        return f(x, nbr, deg, skip, *p), (x, nbr, deg, skip, p)
 
     def bwd(res, ct):
-        x, nbr, deg, p = res
+        x, nbr, deg, skip, p = res
         _, vjp = jax.vjp(
-            lambda xx, *pp: pna_layer_reference(xx, nbr, deg, *pp, delta),
-            x, *p,
+            lambda xx, sk, *pp: pna_layer_reference(
+                xx, nbr, deg, *pp, delta,
+                skip=sk if has_skip else None, act=act,
+            ),
+            x, skip, *p,
         )
         grads = vjp(ct)
         zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-        return (grads[0], zero_i(nbr), zero_i(deg)) + grads[1:]
+        dskip = grads[1] if has_skip else jnp.zeros_like(skip)
+        return (grads[0], zero_i(nbr), zero_i(deg), dskip) + grads[2:]
 
     f.defvjp(fwd, bwd)
     return f
@@ -333,14 +502,19 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode):
 
 def fused_pna_layer_vjp(
     x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
-    delta, tile_rows=256, window_slack=64, interpret=False,
-    gather_mode="split2",
+    delta, skip=None, tile_rows=512, window_slack=64, interpret=False,
+    gather_mode="split2", mm="f32", act=None,
 ):
+    """Differentiable fused layer (Pallas fwd, XLA-reference bwd)."""
+    has_skip = skip is not None
     fn = _make_vjp_fn(
-        float(delta), tile_rows, window_slack, interpret, gather_mode
+        float(delta), tile_rows, window_slack, interpret, gather_mode,
+        mm, act, has_skip,
     )
+    skip_in = skip if has_skip else jnp.zeros((x.shape[0], w_lin.shape[1]),
+                                              x.dtype)
     return fn(
-        x, nbr_nodes, in_degree.astype(jnp.int32),
+        x, nbr_nodes, in_degree.astype(jnp.int32), skip_in,
         w_pre, b_pre, k_post, b_post, w_lin, b_lin,
     )
 
@@ -368,8 +542,8 @@ def _rup(x, m=128):
 
 def fused_pna_layer_auto(
     x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
-    delta, tile_rows=256, window_slack=64, interpret=False,
-    gather_mode="split2",
+    delta, skip=None, tile_rows=512, window_slack=64, interpret=False,
+    gather_mode="split2", mm="f32", act=None,
 ):
     """fused_pna_layer_vjp with automatic zero-padding of unaligned feature
     dims to MXU lanes (128).
@@ -380,6 +554,10 @@ def fused_pna_layer_auto(
     11-dim molecular input layer and the 64-dim output layer run fused
     instead of falling back to the slow XLA path.  Padding happens outside
     the custom VJP, so gradients slice back automatically.
+
+    NOTE on act fusion with padding: relu/tanh/sigmoid(0) handling — pad
+    columns are sliced off before any consumer, so fusing the activation
+    remains safe even for sigmoid (pad cols become 0.5, then dropped).
     """
     N, Fin = x.shape
     F = w_pre.shape[1]          # pre_nn width (== in_channels for PNA)
@@ -403,14 +581,17 @@ def fused_pna_layer_auto(
         b_post_p = jnp.pad(b_post, (0, Fout_p - Fout))
         w_lin_p = _pad_cols(_pad_rows(w_lin, Fout_p), Fout_p)
         b_lin_p = jnp.pad(b_lin, (0, Fout_p - Fout))
+        skip_p = _pad_cols(skip, Fout_p) if skip is not None else None
         out = fused_pna_layer_vjp(
             xp, nbr_nodes, in_degree, w_pre_p, b_pre_p, k_post_p, b_post_p,
-            w_lin_p, b_lin_p, delta, tile_rows, window_slack, interpret,
-            gather_mode,
+            w_lin_p, b_lin_p, delta, skip=skip_p, tile_rows=tile_rows,
+            window_slack=window_slack, interpret=interpret,
+            gather_mode=gather_mode, mm=mm, act=act,
         )
         return out[:, :Fout]
 
     return fused_pna_layer_vjp(
         x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
-        delta, tile_rows, window_slack, interpret, gather_mode,
+        delta, skip=skip, tile_rows=tile_rows, window_slack=window_slack,
+        interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
     )

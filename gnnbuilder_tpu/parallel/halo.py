@@ -22,6 +22,10 @@ which all-gathers full node arrays when it cannot prove locality.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+from typing import Optional, Tuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,7 +33,37 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gnnbuilder_tpu.ops import ell
 
-__all__ = ["ell_aggregate_sharded", "ell_sum_sharded", "halo_exchange"]
+__all__ = [
+    "ell_aggregate_sharded",
+    "ell_sum_sharded",
+    "halo_exchange",
+    "halo_scope",
+    "active_halo",
+]
+
+
+# Active halo context: set while tracing a model INSIDE shard_map on
+# edge-partitioned node rows.  ops/ell.ell_gather and nn/pool.GlobalPooling
+# consult it: gathers read from the [halo | local | halo] window instead of
+# the (absent) global array, and pooling psum/pmaxes partial per-graph
+# reductions across the axis.  This is what lets the UNMODIFIED conv family
+# run under explicit halo parallelism (parallel/train.py halo=True).
+_HALO: contextvars.ContextVar = contextvars.ContextVar(
+    "gnnb_halo_scope", default=None
+)
+
+
+@contextlib.contextmanager
+def halo_scope(axis: str, halo: int):
+    tok = _HALO.set((axis, int(halo)))
+    try:
+        yield
+    finally:
+        _HALO.reset(tok)
+
+
+def active_halo() -> Optional[Tuple[str, int]]:
+    return _HALO.get()
 
 
 def halo_exchange(x_local, halo: int, axis: str = "dp"):

@@ -73,6 +73,34 @@ def shard_batch(mesh: Mesh, batch: GraphBatch) -> GraphBatch:
     )
 
 
+def halo_batch_specs(batch: GraphBatch) -> GraphBatch:
+    """GraphBatch-shaped pytree of PartitionSpecs for the explicit halo
+    path (shard_map in_specs): node-row arrays shard along dp, everything
+    else replicates.  Edge arrays replicate because the halo formulation
+    reads neighbors through ELL tables only (parallel/halo.py)."""
+    node2 = P("dp", None)
+    node1 = P("dp")
+    rep = P()
+    return GraphBatch(
+        node_feat=node2,
+        senders=rep,
+        receivers=rep,
+        edge_feat=rep if batch.edge_feat is not None else None,
+        node_graph=node1,
+        in_degree=node1,
+        row_offsets=rep,
+        n_node=rep,
+        n_edge=rep,
+        node_mask=node1,
+        edge_mask=rep,
+        graph_mask=rep,
+        nbr_nodes=node2 if batch.nbr_nodes is not None else None,
+        nbr_edges=node2 if batch.nbr_edges is not None else None,
+        num_graphs_static=batch.num_graphs_static,
+        max_graph_nodes_static=batch.max_graph_nodes_static,
+    )
+
+
 def param_shardings(mesh: Mesh, params):
     """PartitionSpec tree: 2-D kernels shard output features over tp."""
     tp = mesh.shape["tp"]

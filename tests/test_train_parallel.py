@@ -160,3 +160,92 @@ def test_halo_multi_aggregate_matches_global():
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Explicit halo-exchange model path (parallel/train.py halo=True)
+# ---------------------------------------------------------------------------
+
+
+def _halo_model_and_batch(conv="gcn", n_graphs=32):
+    kw = dict(
+        graph_input_feature_dim=8,
+        gnn_hidden_dim=16,
+        gnn_num_layers=3,
+        gnn_output_dim=8,
+        gnn_conv=conv,
+        gnn_skip_connection=True,
+        pooling_aggrs=("add", "mean", "max"),
+        mlp_hidden_dim=8,
+        mlp_hidden_layers=1,
+    )
+    if conv == "pna":
+        kw["conv_kwargs"] = {"delta": 2.0}
+    model = gnnb.GNNModel(**kw)
+    graphs = FakeDataset(
+        num_graphs=n_graphs, avg_num_nodes=12, node_dim=8, seed=7
+    )
+    batch = build_graph_batch(graphs, node_budget=512)
+    target = stack_targets(graphs, batch.num_graphs)
+    return model, batch, target
+
+
+@pytest.mark.parametrize("conv", ["gcn", "sage", "pna", "gat"])
+def test_halo_forward_matches_single_device(conv):
+    """Full-model forward through the explicit ppermute halo path == the
+    single-device forward, for the whole conv family the path supports."""
+    model, batch, _ = _halo_model_and_batch(conv)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    single = np.asarray(model.apply(params, batch))
+
+    mesh = make_mesh(dp=8, tp=1)
+    fwd = make_sharded_forward(model, mesh, batch, halo=True)
+    sharded = np.asarray(fwd(params, shard_batch(mesh, batch)))
+    np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=1e-5)
+
+
+def test_halo_train_step_matches_gspmd():
+    """One halo-path training step produces the same loss and parameter
+    update as the GSPMD step (same math, explicit collectives)."""
+    model, batch, target = _halo_model_and_batch("gcn")
+    params = model.init(jax.random.PRNGKey(1), batch)
+    opt = optax.sgd(1e-2)
+    mesh = make_mesh(dp=8, tp=1)
+    sbatch = shard_batch(mesh, batch)
+
+    outs = {}
+    for name, halo in (("gspmd", False), ("halo", True)):
+        step, init = make_sharded_train_step(
+            model, opt, mesh, batch, halo=halo, donate=False
+        )
+        p, s = init(params)
+        p2, _, loss = step(p, s, sbatch, target)
+        outs[name] = (float(loss), jax.tree.map(np.asarray, p2))
+
+    assert np.isclose(outs["gspmd"][0], outs["halo"][0], atol=1e-6)
+    flat_a = jax.tree.leaves(outs["gspmd"][1])
+    flat_b = jax.tree.leaves(outs["halo"][1])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_halo_rejects_gine():
+    model, batch, _ = _halo_model_and_batch("gcn")
+    gine = gnnb.GNNModel(
+        graph_input_feature_dim=8,
+        gnn_hidden_dim=16,
+        gnn_num_layers=2,
+        gnn_output_dim=8,
+        gnn_conv="gine",
+        graph_input_edge_dim=4,
+        mlp_out_dim=1,
+    )
+    graphs = FakeDataset(
+        num_graphs=16, avg_num_nodes=10, node_dim=8, edge_dim=4, seed=9
+    )
+    b = build_graph_batch(graphs, node_budget=256)
+    params = gine.init(jax.random.PRNGKey(0), b)
+    mesh = make_mesh(dp=8, tp=1)
+    fwd = make_sharded_forward(gine, mesh, b, halo=True)
+    with pytest.raises(NotImplementedError):
+        fwd(params, shard_batch(mesh, b))
