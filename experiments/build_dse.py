@@ -1,0 +1,120 @@
+"""Build the DSE corpus + fit the latency AND memory cost models.
+
+The analog of the reference's experiments/build_dse_models.py (400 designs
+through csynth) + process_dse_models.py (fit ExtraTrees latency + BRAM
+models, pickle both).  Here each design point is a jit compile + median-of-5
+marginal timing on the real chip, across multiple datasets, with the fused
+kernels' real knobs (tile_rows, gather_mode) as first-class axes.
+
+Resume-safe: rows append to dse_models/perf_data.csv; re-running skips
+measured points.
+
+    python experiments/build_dse.py --n 80 --datasets qm9,esol,hiv
+    python experiments/build_dse.py --fit-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcomp")
+
+OUT_DIR = os.path.join(ROOT, "dse_models")
+CSV = os.path.join(OUT_DIR, "perf_data.csv")
+
+
+def build(n_per_dataset: int, datasets: list[str], seed: int):
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from gnnbuilder_tpu.dse.measure import measure_many
+    from gnnbuilder_tpu.dse.space import sample_space
+
+    for di, ds in enumerate(datasets):
+        cfgs = sample_space(n_per_dataset, seed=seed + di)
+        print(f"=== dataset {ds}: {len(cfgs)} configs ===", flush=True)
+        measure_many(cfgs, dataset=ds, iters=12, out_csv=CSV)
+
+
+def fit():
+    import csv
+
+    import numpy as np
+
+    from gnnbuilder_tpu.dse.model import (
+        CostModel,
+        cv_mape,
+        fit_cost_model,
+        rows_to_configs,
+    )
+
+    with open(CSV) as f:
+        rows = list(csv.DictReader(f))
+    print(f"{len(rows)} corpus rows")
+
+    report = {"num_designs": len(rows)}
+
+    # latency model (model_direct.pk — the reference's name)
+    model, mape = fit_cost_model(
+        rows, target="latency_per_graph_us",
+        out_path=os.path.join(OUT_DIR, "model_direct.pk"),
+    )
+    report["cv_mape_latency"] = mape
+    print(f"latency model: cv MAPE {mape:.3f}")
+
+    # memory model (model_bram.pk analog: peak HBM bytes of the compiled
+    # executable, reference process_dse_models.py:299-310)
+    mem_rows = [r for r in rows if float(r.get("peak_hbm_bytes", 0) or 0) > 0]
+    if mem_rows:
+        cfgs = rows_to_configs(mem_rows)
+        y = np.asarray([float(r["peak_hbm_bytes"]) for r in mem_rows])
+        mmodel = CostModel(target="peak_hbm_bytes").fit(cfgs, y)
+        mmodel.save(os.path.join(OUT_DIR, "model_memory.pk"))
+        report["cv_mape_memory"] = cv_mape(cfgs, y)
+        report["num_memory_rows"] = len(mem_rows)
+        print(f"memory model: cv MAPE {report['cv_mape_memory']:.3f} "
+              f"({len(mem_rows)} rows)")
+
+    # prediction-vs-measurement speedup (process_dse_runtime.py analog)
+    cfgs = rows_to_configs(rows)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        model.predict(cfgs[:25])
+    pred_s = (time.perf_counter() - t0) / (20 * 25)
+    meas_s = float(np.median([float(r["measure_s"]) for r in rows]))
+    report["predict_s_per_design"] = pred_s
+    report["measure_s_per_design"] = meas_s
+    report["speedup"] = meas_s / pred_s
+
+    with open(os.path.join(OUT_DIR, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print("report:", json.dumps(report, indent=1))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n", type=int, default=80,
+                    help="designs per dataset")
+    ap.add_argument("--datasets", default="qm9,esol,hiv")
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--fit-only", action="store_true")
+    args = ap.parse_args()
+    os.makedirs(OUT_DIR, exist_ok=True)
+    if not args.fit_only:
+        build(args.n, args.datasets.split(","), args.seed)
+    fit()
+
+
+if __name__ == "__main__":
+    main()

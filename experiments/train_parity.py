@@ -26,17 +26,28 @@ import numpy as np
 
 def run(dataset="esol", steps=40, batch_size=16, hidden=32, layers=3,
         lr=1e-3, conv="gcn", seed=0, verbose=True):
+    """Regression (MSE) or binary classification (BCE-with-logits) is picked
+    from the dataset spec; classification additionally reports torch-vs-JAX
+    ROC-AUC on the training pool (the HIV-style end-to-end parity the
+    BASELINE.json asks for)."""
     import jax
     import optax
     import torch
 
     import gnnbuilder_tpu as gnnb
     from gnnbuilder_tpu.data.datasets import DATASET_SPECS, load_dataset
-    from gnnbuilder_tpu.train import make_train_step, masked_mse_loss, stack_targets
+    from gnnbuilder_tpu.train import (
+        make_train_step,
+        masked_bce_logits_loss,
+        masked_mse_loss,
+        roc_auc,
+        stack_targets,
+    )
     from gnnbuilder_tpu.verify import port
     from gnnbuilder_tpu.verify import torch_ref as tr
 
     spec = DATASET_SPECS[dataset]
+    classify = spec.task == "binary_classification"
     graphs = load_dataset(dataset, n=batch_size * 4, seed=seed)
     kw = dict(
         graph_input_feature_dim=spec.node_dim,
@@ -50,6 +61,10 @@ def run(dataset="esol", steps=40, batch_size=16, hidden=32, layers=3,
         mlp_out_dim=1,
     )
     torch.manual_seed(seed)
+    # pin torch to one thread: multi-threaded CPU reductions are order-
+    # nondeterministic and 25+ chained optimizer steps amplify the noise
+    # chaotically (parity must compare math, not thread schedules)
+    torch.set_num_threads(1)
     tmodel = tr.TorchGNNModel(**kw)
     jmodel = gnnb.GNNModel(**kw)
     jparams = port.port_model(conv, tmodel)
@@ -61,7 +76,8 @@ def run(dataset="esol", steps=40, batch_size=16, hidden=32, layers=3,
 
     # --- JAX training ---
     tx = optax.adam(lr)
-    step = make_train_step(jmodel, tx, loss_fn=masked_mse_loss, donate=False)
+    jloss_fn = masked_bce_logits_loss if classify else masked_mse_loss
+    step = make_train_step(jmodel, tx, loss_fn=jloss_fn, donate=False)
     opt_state = tx.init(jparams)
     jlosses = []
     p = jparams
@@ -87,20 +103,46 @@ def run(dataset="esol", steps=40, batch_size=16, hidden=32, layers=3,
         tgt = torch.tensor(
             np.stack([np.asarray(g.y, np.float32).reshape(-1)[:1] for g in c])
         )
-        loss = torch.mean((pred - tgt) ** 2)
+        if classify:
+            loss = torch.nn.functional.binary_cross_entropy_with_logits(
+                pred, tgt
+            )
+        else:
+            loss = torch.mean((pred - tgt) ** 2)
         loss.backward()
         opt.step()
         tlosses.append(float(loss))
 
     jlosses, tlosses = np.array(jlosses), np.array(tlosses)
     rel = np.abs(jlosses - tlosses) / (np.abs(tlosses) + 1e-6)
+    aucs = None
+    if classify:
+        # final-model ROC-AUC parity over the training pool
+        labels = np.concatenate([
+            np.asarray(g.y, np.float32).reshape(-1)[:1] for g in graphs
+        ])
+        jscores, tscores = [], []
+        for c in chunks:
+            b = gnnb.build_graph_batch(c)
+            out = np.asarray(jmodel.apply(p, b))
+            jscores.append(out[: len(c), 0])
+            with torch.no_grad():
+                for g in c:
+                    tscores.append(float(tmodel(
+                        torch.tensor(g.x), torch.tensor(g.edge_index),
+                        num_graphs=1)[0, 0]))
+        aucs = (roc_auc(np.concatenate(jscores), labels),
+                roc_auc(np.asarray(tscores), labels))
     if verbose:
         for s in range(0, steps, max(1, steps // 8)):
             print(f"step {s:3d}: torch {tlosses[s]:.5f}  jax {jlosses[s]:.5f}  "
                   f"rel {rel[s]:.2e}")
         print(f"final: torch {tlosses[-1]:.5f} jax {jlosses[-1]:.5f} "
               f"max rel dev {rel.max():.2e}")
-    return jlosses, tlosses, rel
+        if aucs is not None:
+            print(f"ROC-AUC: jax {aucs[0]:.4f}  torch {aucs[1]:.4f}  "
+                  f"dev {abs(aucs[0]-aucs[1]):.4f}")
+    return (jlosses, tlosses, rel, aucs) if classify else (jlosses, tlosses, rel)
 
 
 def main():

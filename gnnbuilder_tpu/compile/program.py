@@ -237,17 +237,43 @@ class Program:
         cost = compiled.cost_analysis()
         if isinstance(cost, list):  # older jax returns [dict]
             cost = cost[0] if cost else {}
-        return dict(cost or {})
+        out = dict(cost or {})
+        # peak-memory accounting — the BRAM-utilization analog of the
+        # csynth report (reference utils.py:150-173): argument + output +
+        # temp + generated-code sizes of the compiled executable
+        try:
+            mem = compiled.memory_analysis()
+            for k in (
+                "argument_size_in_bytes",
+                "output_size_in_bytes",
+                "temp_size_in_bytes",
+                "generated_code_size_in_bytes",
+            ):
+                v = getattr(mem, k, None)
+                if v is not None:
+                    out[k] = float(v)
+            out["peak_hbm_bytes"] = (
+                out.get("argument_size_in_bytes", 0.0)
+                + out.get("output_size_in_bytes", 0.0)
+                + out.get("temp_size_in_bytes", 0.0)
+            )
+        except Exception:
+            pass
+        return out
 
-    def benchmark(self, batch: GraphBatch, iters: int = 25) -> dict:
+    def benchmark(
+        self, batch: GraphBatch, iters: int = 25, repeats: int = 1
+    ) -> dict:
         """Measured wall-clock per forward call — the analog of the C-sim
         testbench timing loop (model_tb.cpp.jinja:167-204).  Uses marginal
         timing (bench/timing.py) because block_until_ready is unreliable on
-        relayed TPU backends."""
+        relayed TPU backends; ``repeats`` takes the median of that many
+        marginal estimates (relay noise at sub-ms calls is 2-3x)."""
         from gnnbuilder_tpu.bench.timing import marginal_time
 
         fwd = self.compile(batch)
-        dt = marginal_time(fwd, self.params, batch, n_hi=iters)
+        dt = marginal_time(fwd, self.params, batch, n_hi=iters,
+                           repeats=repeats)
         if dt < 50e-6:
             # sub-resolution through the relay jitter (~50-100 us per
             # fence): widen the call-count gap until the marginal resolves

@@ -45,14 +45,18 @@ def measure_config(
     dataset: str = "qm9",
     iters: int = 15,
     seed: int = 0,
+    repeats: int = 5,
 ) -> dict:
     """Compile + time one config; returns a flat result row.
 
     Row fields mirror the reference's perf_data.csv columns
-    (process_dse_models.py:119-139): the config dict + measured latency (us)
-    + the resource analogs (flops, bytes accessed, peak memory).
+    (process_dse_models.py:119-139): the config dict + measured latency (us,
+    median of ``repeats`` marginal estimates — relay noise at sub-ms calls
+    is 2-3x) + the resource analogs (flops, bytes accessed, peak HBM — the
+    BRAM-model label, process_dse_models.py:299-310).
     """
     from gnnbuilder_tpu.bench.canonical import canonical_batches
+    from gnnbuilder_tpu.ops import dispatch
 
     import dataclasses
 
@@ -89,14 +93,22 @@ def measure_config(
     )
     prog.init_params(batch)
 
-    t0 = time.perf_counter()
-    prog.compile(batch)
-    compile_s = time.perf_counter() - t0
+    # pin the fused-kernel knobs this design point selects (the p-factor
+    # analog); restored afterwards so policy state never leaks
+    dispatch.set_kernel_overrides(
+        tile_rows=cfg.tile_rows, gather_mode=cfg.gather_mode
+    )
+    try:
+        t0 = time.perf_counter()
+        prog.compile(batch)
+        compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    bench = prog.benchmark(batch, iters=iters)
-    bench_s = time.perf_counter() - t0
-    cost = prog.cost_analysis(batch)
+        t0 = time.perf_counter()
+        bench = prog.benchmark(batch, iters=iters, repeats=repeats)
+        bench_s = time.perf_counter() - t0
+        cost = prog.cost_analysis(batch)
+    finally:
+        dispatch.set_kernel_overrides(None, None)
 
     row = dict(cfg.to_dict())
     row.update(
@@ -109,6 +121,7 @@ def measure_config(
         edges_per_s=bench["edges_per_s"],
         flops=float(cost.get("flops", 0.0)),
         bytes_accessed=float(cost.get("bytes accessed", 0.0)),
+        peak_hbm_bytes=float(cost.get("peak_hbm_bytes", 0.0)),
         compile_s=compile_s,
         measure_s=compile_s + bench_s,
     )

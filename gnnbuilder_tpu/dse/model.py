@@ -40,6 +40,8 @@ FEATURE_NAMES = (
         "batch_size",
         "is_bf16",
         "is_ell",
+        "tile_rows",
+        "gather_bf16",
         "avg_nodes",
         "avg_edges",
     ]
@@ -64,6 +66,8 @@ def transform_x(cfgs: Sequence[DSEConfig]) -> np.ndarray:
                 float(c.batch_size),
                 1.0 if c.precision == "bf16" else 0.0,
                 0.0 if c.ell_width == 0 else 1.0,
+                float(c.tile_rows or 0),
+                1.0 if c.gather_mode == "bf16" else 0.0,
                 float(c.avg_nodes),
                 float(c.avg_edges),
             ]

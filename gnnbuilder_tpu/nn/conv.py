@@ -11,9 +11,13 @@ empty-segment fill and the PNA degree scalers.  Parity is enforced by
 tests/test_conv_parity.py against a pure-torch reference implementation.
 
 Every layer takes ``(graph: GraphBatch, x: [N, F])`` and returns ``[N, F']``.
-Layers carry ``p_in/p_out`` tile hints like the reference wrappers
-(models.py:30-314) — on TPU these parameterize Pallas block shapes instead of
-HLS unroll factors (they do not change semantics).
+Layers carry ``p_in/p_out`` parallelism factors like the reference wrappers
+(models.py:30-314).  On TPU they are LOAD-BEARING at the model level: a
+layer with p_out > 1 shards its kernels over the ``tp`` mesh axis
+(parallel/sharding.model_p_factors) — the direct analog of the reference's
+unroll-factor meaning (more parallel hardware per layer), numerics
+unchanged.  Kernel tile shapes are tuned separately by the DSE
+(ops/dispatch.set_kernel_overrides).
 """
 
 from __future__ import annotations

@@ -24,13 +24,15 @@ from gnnbuilder_tpu.ops.pallas.ell_agg import supports
 
 __all__ = [
     "set_fused_mode",
+    "set_kernel_overrides",
     "get_fused_mode",
     "fused_config",
     "no_fused",
 ]
 
 _MODE = "auto"
-_TILE_ROWS = 256          # default node-tile height (DSE-tunable)
+_TILE_ROWS: Optional[int] = None   # explicit node-tile height (DSE-tunable)
+_GATHER_MODE: Optional[str] = None  # explicit gather precision (DSE-tunable)
 _SINGLE_TILE_MAX = 1024   # below this, one tile covers the whole batch
 
 import contextlib as _contextlib
@@ -60,6 +62,17 @@ def set_fused_mode(mode: str, tile_rows: Optional[int] = None) -> None:
     _MODE = mode
     if tile_rows is not None:
         _TILE_ROWS = tile_rows
+
+
+def set_kernel_overrides(
+    tile_rows: Optional[int] = None, gather_mode: Optional[str] = None
+) -> None:
+    """Pin the fused kernels' tuning knobs — the DSE autotuner's handle on
+    the p_in/p_out analog (tile height) and the gather precision.  None
+    restores the automatic policy."""
+    global _TILE_ROWS, _GATHER_MODE
+    _TILE_ROWS = tile_rows
+    _GATHER_MODE = gather_mode
 
 
 def get_fused_mode() -> str:
@@ -92,8 +105,11 @@ def fused_config(
     if prec is not None and prec.name == "int8":
         return None  # fused kernels are f32/bf16; int8 runs the XLA path
     # bf16 precision: single-pass bf16 one-hot gather matches the policy's
-    # numeric contract (split2 is the f32 default; pna_layer honors this)
-    gather_mode = "bf16" if prec is not None and prec.name == "bf16" else None
+    # numeric contract (split2 is the f32 default; pna_layer honors this);
+    # an explicit DSE override wins
+    gather_mode = _GATHER_MODE or (
+        "bf16" if prec is not None and prec.name == "bf16" else None
+    )
     on_tpu = jax.default_backend() == "tpu"
     if _MODE == "auto" and not on_tpu:
         return None
@@ -132,7 +148,10 @@ def fused_config(
             if pna_supports(N, N, slack) and _sub_tile(N, slack) >= 2 * slack:
                 return cfg(N, slack)
             return cfg(N, 0)
-        for tn in (1024, 512, _TILE_ROWS, 256, 128):
+        # measured preference on v5e: 512 > 1024 > 256; an explicit
+        # set_kernel_overrides tile is tried first
+        tiles = ([_TILE_ROWS] if _TILE_ROWS else []) + [512, 1024, 256, 128]
+        for tn in tiles:
             if pna_supports(N, tn, slack) and _sub_tile(tn, slack) >= 2 * slack:
                 return cfg(tn, slack)
         return None
@@ -143,7 +162,7 @@ def fused_config(
 
     # tiled: graphs are contiguous, so rows [t*TN,(t+1)*TN) only reference
     # ids within +-maxg of the tile bounds
-    for tn in (_TILE_ROWS, 256, 128, 512):
+    for tn in ([_TILE_ROWS] if _TILE_ROWS else []) + [256, 128, 512]:
         if supports(N, tn, slack) and tn >= 2 * slack:
             return cfg(tn, slack)
     return None

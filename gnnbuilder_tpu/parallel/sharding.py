@@ -101,19 +101,58 @@ def halo_batch_specs(batch: GraphBatch) -> GraphBatch:
     )
 
 
-def param_shardings(mesh: Mesh, params):
-    """PartitionSpec tree: 2-D kernels shard output features over tp."""
+def model_p_factors(model) -> dict:
+    """Per-layer parallelism factors from a GNNModel spec, keyed by the
+    flax param-path prefix.  This is what makes the reference's
+    p_in/p_hidden/p_out knobs (models.py:32,77,394-396) LOAD-BEARING on
+    TPU: a layer with p > 1 shards its kernels' output features over the
+    ``tp`` mesh axis (parallel hardware devoted to that layer); p == 1
+    replicates.  The DSE can tune them like the reference tunes unroll
+    factors."""
+    out = {}
+    for i, (_, _, _, p_out) in enumerate(model._layer_dims()):
+        out[f"gnn_convs_{i}"] = int(p_out)
+    # MLP: hidden layers take p_hidden, the final one p_out
+    n_lin = model.mlp_hidden_layers + 1
+    for i in range(n_lin):
+        p = model.mlp_p_out if i == n_lin - 1 else model.mlp_p_hidden
+        out[f"mlp_head/linear_{i}"] = int(p)
+    return out
+
+
+def param_shardings(mesh: Mesh, params, p_factors: dict | None = None):
+    """PartitionSpec tree: 2-D kernels shard output features over tp.
+
+    Without ``p_factors``, every divisible kernel shards (GSPMD-friendly
+    default).  With ``p_factors`` (model_p_factors), only layers whose
+    factor is > 1 shard — the explicit per-layer parallelism contract.
+    """
     tp = mesh.shape["tp"]
 
-    def spec(p):
-        if hasattr(p, "ndim") and p.ndim == 2 and p.shape[1] % tp == 0 and tp > 1:
-            return NamedSharding(mesh, P(None, "tp"))
-        return NamedSharding(mesh, P())
+    def path_str(path):
+        return "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
 
-    return jax.tree.map(spec, params)
+    def spec(path, p):
+        if not (hasattr(p, "ndim") and p.ndim == 2 and tp > 1
+                and p.shape[1] % tp == 0):
+            return NamedSharding(mesh, P())
+        if p_factors is not None:
+            ps = "/" + path_str(path) + "/"
+            factor = next(
+                (v for k, v in p_factors.items() if f"/{k}/" in ps), 1
+            )
+            if factor <= 1:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(None, "tp"))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def shard_params(mesh: Mesh, params):
+def shard_params(mesh: Mesh, params, p_factors: dict | None = None):
     return jax.tree.map(
-        lambda p, s: jax.device_put(p, s), params, param_shardings(mesh, params)
+        lambda p, s: jax.device_put(p, s),
+        params,
+        param_shardings(mesh, params, p_factors),
     )

@@ -35,6 +35,7 @@ from gnnbuilder_tpu.parallel.halo import halo_scope
 from gnnbuilder_tpu.parallel.sharding import (
     batch_shardings,
     halo_batch_specs,
+    model_p_factors,
     shard_params,
 )
 from gnnbuilder_tpu.train import masked_mse_loss
@@ -151,7 +152,9 @@ def make_sharded_train_step(
     )
 
     def init(params):
-        params = shard_params(mesh, params)
+        # per-layer p-factors decide which kernels shard over tp — the
+        # reference's p_in/p_hidden/p_out knobs made load-bearing
+        params = shard_params(mesh, params, model_p_factors(model))
         opt_state = optimizer.init(params)
         return params, opt_state
 
