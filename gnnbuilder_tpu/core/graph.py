@@ -69,6 +69,14 @@ class GraphBatch:
     # (gnn_builder_lib.h:1168-1207), built host-side by the packer.
     nbr_nodes: Optional[jax.Array] = None   # [N, W] int32
     nbr_edges: Optional[jax.Array] = None   # [N, W] int32
+    # reverse (out-neighbor) table + out-degree: slot d of node j holds the
+    # RECEIVER of j's d-th outgoing edge.  Consumed by the hand-written
+    # Pallas backward kernels (ops/pallas/ell_bwd.py): the transpose of an
+    # in-neighbor aggregation is an out-neighbor aggregation, so with this
+    # table the backward is the same scatter-free windowed gather as the
+    # forward.  Built by core/packing.build_reverse_ell.
+    rev_nbr_nodes: Optional[jax.Array] = None  # [N, Wr] int32
+    out_degree: Optional[jax.Array] = None     # [N] int32
 
     # static metadata (not traced)
     num_graphs_static: int = dataclasses.field(
@@ -231,7 +239,7 @@ def build_graph_batch(
     if ell_width is None:
         w = max(_round_up(max_deg, 4), 4)
         ell_width = w if w <= ELL_MAX_WIDTH else 0
-    nbr_nodes = nbr_edges = None
+    nbr_nodes = nbr_edges = rev_nbr = out_deg = None
     if ell_width:
         assert ell_width >= max_deg, (
             f"ell_width={ell_width} < batch max in-degree {max_deg}"
@@ -239,6 +247,17 @@ def build_graph_batch(
         nbr_nodes, nbr_edges = packing.build_ell(
             senders, row_offsets, e_pad, ell_width, ghost
         )
+        # reverse table for the Pallas backward kernels; width sized to the
+        # batch max OUT-degree (independent of the forward width)
+        max_out = (
+            int(np.bincount(senders_raw, minlength=1).max()) if num_edges else 0
+        )
+        rev_w = max(_round_up(max_out, 4), 4)
+        if rev_w <= ELL_MAX_WIDTH:
+            rev_nbr, out_deg = packing.build_reverse_ell(
+                senders_raw, receivers_raw, num_nodes, n_pad, e_pad, ghost,
+                rev_w,
+            )
 
     edge_feat = None
     if has_edge_feat:
@@ -281,6 +300,8 @@ def build_graph_batch(
         graph_mask=jnp.asarray(graph_mask),
         nbr_nodes=jnp.asarray(nbr_nodes) if nbr_nodes is not None else None,
         nbr_edges=jnp.asarray(nbr_edges) if nbr_edges is not None else None,
+        rev_nbr_nodes=jnp.asarray(rev_nbr) if rev_nbr is not None else None,
+        out_degree=jnp.asarray(out_deg) if out_deg is not None else None,
         num_graphs_static=g_pad,
         # bucketed (multiple of 8): this is STATIC metadata — distinct
         # values mean distinct jit cache entries, so exact per-batch maxima

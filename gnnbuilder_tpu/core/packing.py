@@ -17,7 +17,7 @@ import numpy as np
 
 from gnnbuilder_tpu.native import lib as _native
 
-__all__ = ["sort_and_csr", "concat_graphs", "build_ell"]
+__all__ = ["sort_and_csr", "concat_graphs", "build_ell", "build_reverse_ell"]
 
 
 def concat_graphs(
@@ -134,3 +134,32 @@ def build_ell(
     nbr_nodes[rows, slots] = sorted_senders[eids]
     nbr_edges[rows, slots] = eids.astype(np.int32)
     return nbr_nodes, nbr_edges
+
+
+def build_reverse_ell(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    n_pad: int,
+    e_pad: int,
+    ghost: int,
+    ell_width: int,
+):
+    """Reverse (out-neighbor) ELL table: row j lists the RECEIVERS of j's
+    outgoing edges, i.e. the transpose graph's neighbor table.
+
+    This is the table the hand-written Pallas backward kernels walk: the
+    transpose of "aggregate over in-neighbors" is "aggregate cotangents over
+    out-neighbors", so the backward becomes the same windowed-gather kernel
+    as the forward (ops/pallas/ell_bwd.py) — no scatter anywhere.
+
+    Reuses ``sort_and_csr`` with the edge direction swapped (sorted by
+    sender, counting out-degree).  ``senders``/``receivers`` are the RAW
+    (unsorted, real-edges-only) batch edge arrays.  Returns
+    (rev_nbr_nodes i32 [n_pad, ell_width], out_degree i32 [n_pad]).
+    """
+    r_sorted, _, _, offsets, out_degree = sort_and_csr(
+        receivers, senders, num_nodes, n_pad, e_pad, ghost
+    )
+    rev_nbr, _ = build_ell(r_sorted, offsets, e_pad, ell_width, ghost)
+    return rev_nbr, out_degree

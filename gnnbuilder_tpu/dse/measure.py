@@ -156,7 +156,18 @@ def measure_many(
             key = repr(sorted(cfg.to_dict().items()))
             if key in done:
                 continue
-            row = measure_config(cfg, dataset=dataset, iters=iters)
+            try:
+                row = measure_config(cfg, dataset=dataset, iters=iters)
+            except Exception as e:  # noqa: BLE001 — one bad design point
+                # (e.g. a kernel-knob combo the compiler rejects) must not
+                # kill a multi-hour sweep; the reference likewise skips
+                # failed synthesis runs (process_dse_models.py:77-83)
+                if verbose:
+                    print(f"[{i + 1}/{len(cfgs)}] {cfg.conv} "
+                          f"h{cfg.gnn_hidden_dim} b{cfg.batch_size} "
+                          f"FAILED: {type(e).__name__}: {str(e)[:200]}",
+                          flush=True)
+                continue
             row["_key"] = key
             rows.append(row)
             if verbose:

@@ -101,7 +101,8 @@ def _fused_multi(g: GraphBatch, aggregators, v, u=None):
     if cfg is None:
         return None
     return fused_ell_aggregate_vjp(
-        v, g.nbr_nodes, g.in_degree, tuple(aggregators), u=u, **cfg
+        v, g.nbr_nodes, g.in_degree, tuple(aggregators), u=u,
+        rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree, **cfg
     )
 
 
@@ -140,7 +141,9 @@ class GCNConv(nn.Module):
             p_arr = self.lin(x) * dis[:, None]
             return fused_mp_layer_auto(
                 p_arr, g.nbr_nodes, g.in_degree, "gcn",
-                b0=self.bias, skip=skip, act=act, **cfg,
+                b0=self.bias, skip=skip, act=act,
+                rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
+                **cfg,
             )
 
         transform_first = self.out_channels <= self.in_channels
@@ -190,7 +193,9 @@ class GINConv(nn.Module):
                 x, g.nbr_nodes, g.in_degree, "gin",
                 w0=p["lin0"]["kernel"], b0=p["lin0"]["bias"],
                 w1=p["lin1"]["kernel"], b1=p["lin1"]["bias"],
-                eps=self.eps, skip=skip, act=act, **cfg,
+                eps=self.eps, skip=skip, act=act,
+                rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
+                **cfg,
             )
         agg = _fused_multi(g, ("sum",), x)
         if agg is None:
@@ -266,7 +271,9 @@ class SAGEConv(nn.Module):
                 x, g.nbr_nodes, g.in_degree, "sage",
                 w0=p["lin_l"]["kernel"], b0=p["lin_l"]["bias"],
                 w1=p["lin_r"]["kernel"],
-                skip=skip, act=act, **cfg,
+                skip=skip, act=act,
+                rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
+                **cfg,
             )
         agg = _fused_multi(g, ("mean",), x)
         if agg is None:
@@ -344,7 +351,9 @@ class PNAConv(nn.Module):
                     p["pre_nn"]["kernel"], p["pre_nn"]["bias"],
                     p["post_nn"]["kernel"], p["post_nn"]["bias"],
                     p["lin"]["kernel"], p["lin"]["bias"],
-                    self.delta, skip=skip, act=act, **cfg,
+                    self.delta, skip=skip, act=act,
+                    rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
+                    **cfg,
                 )
 
         u, v = self.pre_nn(x, x)  # u = x@W_i + b, v = x@W_j

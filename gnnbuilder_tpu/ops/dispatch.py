@@ -157,15 +157,33 @@ def fused_config(
         return None
 
     # single tile: the window is the whole array, any graph layout is valid
-    if N <= _SINGLE_TILE_MAX and N % 8 == 0:
+    if N <= _SINGLE_TILE_MAX and N % 8 == 0 and _agg_vmem_ok(
+        N, N, feature_dim
+    ):
         return cfg(N, 0)
 
     # tiled: graphs are contiguous, so rows [t*TN,(t+1)*TN) only reference
     # ids within +-maxg of the tile bounds
     for tn in ([_TILE_ROWS] if _TILE_ROWS else []) + [256, 128, 512]:
-        if supports(N, tn, slack) and tn >= 2 * slack:
+        if (supports(N, tn, slack) and tn >= 2 * slack
+                and _agg_vmem_ok(tn, tn + 2 * slack, feature_dim)):
             return cfg(tn, slack)
     return None
+
+
+# VMEM budget for the multi-aggregate kernel's per-tile working set; the
+# hardware limit is 16 MB and Mosaic needs headroom for double buffering.
+_AGG_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _agg_vmem_ok(tn: int, tw: int, feature_dim: Optional[int]) -> bool:
+    """Reject tile shapes whose fused-aggregate working set would blow the
+    VMEM scoped allocation (seen at N=TW=1024, F=256: a 35 MB stack).
+    Estimate: one-hot [TN, TW] f32 per unrolled slot + 4 aggregator
+    accumulators and the output concat (A<=4) + the gather window."""
+    f = feature_dim if feature_dim else 128
+    est = 4 * tn * tw + 36 * tn * f + 4 * tw * f
+    return est <= _AGG_VMEM_BUDGET
 
 
 def _sub_tile(tn: int, slack: int) -> int:

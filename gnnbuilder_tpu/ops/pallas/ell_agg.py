@@ -282,10 +282,14 @@ def fused_ell_aggregate(
 
 
 # ---------------------------------------------------------------------------
-# Differentiable wrapper: Pallas forward, XLA-reference backward.
-# The backward re-derives gradients through the ops/ell.py implementation
-# (identical numerics), so training can use the fused forward today; a
-# hand-written Pallas VJP can swap in underneath later without API change.
+# Differentiable wrapper.
+#
+# Forward: the fused Pallas kernel above.  Backward: when the batch carries
+# reverse (out-neighbor) tables and there is no receiver shift ``u``, a
+# hand-written Pallas backward (ops/pallas/ell_bwd.py) — the transpose of the
+# in-neighbor aggregation walked over the reverse table, no scatter and no
+# [N, W, F] materialization.  Otherwise (no reverse tables / PNA's u path)
+# the backward re-derives gradients through the ops/ell.py XLA reference.
 # ---------------------------------------------------------------------------
 
 
@@ -300,29 +304,141 @@ def _reference(v, u, nbr_nodes, in_degree, aggregators):
     return jnp.concatenate([d[a] for a in aggregators], axis=-1)
 
 
+def _count_ties(v_t, extremum, nbr_nodes, in_degree, gather_mode, cfg):
+    """Per-receiver tie counts: #{valid slots w : transform(v)[nbr] == ext}.
+
+    Runs the generic gather kernel over the FORWARD table with local rows =
+    the extremum and one compare pair (ref = transformed v, coef = 1) —
+    ties arrive without materializing the [N, W, F] table.
+    """
+    from gnnbuilder_tpu.ops.pallas.ell_bwd import fused_gather_backward
+
+    ones = jnp.ones_like(v_t)
+    return fused_gather_backward(
+        jnp.concatenate([v_t, ones], axis=-1),
+        nbr_nodes,
+        in_degree,
+        v=extremum,
+        has_lin=False,
+        n_cmp=1,
+        # locals (the extremum) and refs (v_t) are already g-domain values;
+        # split2 re-gathers them exactly (idempotency) and the re-transform
+        # of the extremum is a no-op
+        fwd_gather_mode=gather_mode,
+        **cfg,
+    )
+
+
+def _pallas_bwd(v, nbr_nodes, in_degree, rev_nbr, out_degree, out, ct,
+                aggregators, gather_mode, cfg):
+    """Hand-written backward for the u-free multi-aggregate: assemble
+    per-receiver coefficient arrays in XLA, then one reverse-table kernel
+    pass (+ tie-count passes when extrema are present)."""
+    from gnnbuilder_tpu.ops.pallas.ell_bwd import (
+        fused_gather_backward,
+        transform_like_gather,
+    )
+
+    F = v.shape[1]
+    deg = in_degree.astype(jnp.float32)[:, None]
+    denom = jnp.maximum(deg, 1.0)
+    nonempty = deg > 0
+
+    sl = {a: i for i, a in enumerate(aggregators)}
+    col = lambda arr, a: arr[:, sl[a] * F : (sl[a] + 1) * F]
+
+    c_lin = jnp.zeros_like(v)
+    has_lin = False
+    if "sum" in sl:
+        c_lin = c_lin + col(ct, "sum")
+        has_lin = True
+    if "mean" in sl:
+        c_lin = c_lin + col(ct, "mean") / denom
+        has_lin = True
+
+    # v in the g-domain: only the tie counter needs it precomputed (as the
+    # ref column of its compare pair); the main kernel transforms in-kernel
+    v_t = (
+        transform_like_gather(v, gather_mode)
+        if ("max" in sl or "min" in sl)
+        else None
+    )
+
+    blocks = []
+    has_dev = False
+    if "std" in sl:
+        has_dev = True
+        std_out = col(out, "std")
+        # mean in the g-domain: reuse the mean output when present, else
+        # one extra fused forward pass (bit-identical gather path)
+        if "mean" in sl:
+            mean_raw = col(out, "mean")
+        else:
+            mean_raw = fused_ell_aggregate(
+                v, nbr_nodes, in_degree, ("mean",),
+                gather_mode=gather_mode, **cfg,
+            )
+        c_a = col(ct, "std") / (denom * std_out)
+        blocks += [c_a, c_a * mean_raw]
+
+    n_cmp = 0
+    for name in ("max", "min"):
+        if name in sl:
+            ext = col(out, name)  # raw extremum (nonempty rows); 0 if empty
+            ties = _count_ties(v_t, ext, nbr_nodes, in_degree, gather_mode,
+                               cfg)
+            coef = jnp.where(nonempty, col(ct, name), 0.0) / jnp.maximum(
+                ties, 1.0
+            )
+            blocks += [ext, coef]
+            n_cmp += 1
+
+    cstk = jnp.concatenate(([c_lin] if has_lin else []) + blocks, axis=-1)
+    # pass raw v + the forward's gather mode: the kernel re-applies the
+    # transform (idempotent on already-transformed values) and picks the
+    # matching — cheapest exact — cmp gather precision
+    return fused_gather_backward(
+        cstk, rev_nbr, out_degree,
+        v=v,
+        has_lin=has_lin,
+        has_dev=has_dev,
+        n_cmp=n_cmp,
+        fwd_gather_mode=gather_mode,
+        **cfg,
+    )
+
+
 @functools.lru_cache(maxsize=None)
-def _make_vjp_fn(aggregators, tile_rows, window_slack, has_u, interpret,
-                 gather_mode):
+def _make_vjp_fn(aggregators, tile_rows, window_slack, has_u, has_rev,
+                 interpret, gather_mode):
+    cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
+               interpret=interpret)
+
     @jax.custom_vjp
-    def f(v, u, nbr_nodes, in_degree):
+    def f(v, u, nbr_nodes, in_degree, rev_nbr, out_degree):
         return fused_ell_aggregate(
             v,
             nbr_nodes,
             in_degree,
             aggregators,
             u=u if has_u else None,
-            tile_rows=tile_rows,
-            window_slack=window_slack,
-            interpret=interpret,
             gather_mode=gather_mode,
+            **cfg,
         )
 
-    def fwd(v, u, nbr_nodes, in_degree):
-        return f(v, u, nbr_nodes, in_degree), (v, u, nbr_nodes, in_degree)
+    def fwd(v, u, nbr_nodes, in_degree, rev_nbr, out_degree):
+        out = f(v, u, nbr_nodes, in_degree, rev_nbr, out_degree)
+        return out, (v, u, nbr_nodes, in_degree, rev_nbr, out_degree, out)
 
     def bwd(res, ct):
-        v, u, nbr_nodes, in_degree = res
-        if has_u:
+        v, u, nbr_nodes, in_degree, rev_nbr, out_degree, out = res
+        if has_rev and not has_u:
+            dv = _pallas_bwd(
+                v, nbr_nodes, in_degree, rev_nbr, out_degree, out, ct,
+                aggregators, gather_mode, cfg,
+            )
+            du = jnp.zeros_like(u)
+        elif has_u:
             _, vjp = jax.vjp(
                 lambda vv, uu: _reference(
                     vv, uu, nbr_nodes, in_degree, aggregators
@@ -341,7 +457,8 @@ def _make_vjp_fn(aggregators, tile_rows, window_slack, has_u, interpret,
             (dv,) = vjp(ct)
             du = jnp.zeros_like(u)
         zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-        return dv, du, zero_i(nbr_nodes), zero_i(in_degree)
+        return (dv, du, zero_i(nbr_nodes), zero_i(in_degree),
+                zero_i(rev_nbr), zero_i(out_degree))
 
     f.defvjp(fwd, bwd)
     return f
@@ -353,16 +470,28 @@ def fused_ell_aggregate_vjp(
     in_degree,
     aggregators,
     u=None,
+    rev_nbr_nodes=None,
+    out_degree=None,
     tile_rows: int = 256,
     window_slack: int = 64,
     interpret: bool = False,
     gather_mode: str = "highest",
 ):
-    """Differentiable fused aggregate (Pallas fwd, XLA-reference bwd)."""
+    """Differentiable fused aggregate.
+
+    Pallas forward always; Pallas backward when ``rev_nbr_nodes`` /
+    ``out_degree`` (core/packing.build_reverse_ell) are given and ``u`` is
+    None, else the XLA-reference backward.
+    """
     has_u = u is not None
+    has_rev = rev_nbr_nodes is not None and out_degree is not None
     fn = _make_vjp_fn(
-        tuple(aggregators), tile_rows, window_slack, has_u, interpret,
-        gather_mode,
+        tuple(aggregators), tile_rows, window_slack, has_u, has_rev,
+        interpret, gather_mode,
     )
     u_in = u if has_u else jnp.zeros_like(v)
-    return fn(v, u_in, nbr_nodes, in_degree)
+    if not has_rev:
+        rev_nbr_nodes = jnp.zeros((1, 1), jnp.int32)
+        out_degree = jnp.zeros((1,), jnp.int32)
+    return fn(v, u_in, nbr_nodes, in_degree, rev_nbr_nodes,
+              out_degree.astype(jnp.int32))

@@ -72,7 +72,8 @@ def _kernel(
     b0_ref,      # [1, H]   (gin b0  / sage b_l)    — gcn bias
     w1_ref,      # [H, Fout](gin lin1 / sage W_r)   — zeros(1,1) for gcn
     b1_ref,      # [1, Fout](gin b1)                — zeros for sage/gcn
-    *rest,       # ([skip_ref], out_ref, x_win[2,TWS,F], s_ref, dma_sem[2])
+    *rest,       # ([skip_ref], out_ref, [s_out_ref], x_win[2,TWS,F],
+                 #  [s_ref], dma_sem[2])
     conv: str,
     W: int,
     TNS: int,
@@ -82,12 +83,18 @@ def _kernel(
     mm: str,
     act: Optional[str],
     has_skip: bool,
+    save_s: bool,
 ):
+    # with save_s the aggregated sums become a kernel OUTPUT (the backward
+    # residual) instead of scratch; the compute is identical either way
     if has_skip:
-        skip_ref, out_ref, x_win, s_ref, dma_sem = rest
+        skip_ref, *rest = rest
+    else:
+        skip_ref = None
+    if save_s:
+        out_ref, s_ref, x_win, dma_sem = rest
     else:
         out_ref, x_win, s_ref, dma_sem = rest
-        skip_ref = None
 
     i = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -178,7 +185,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "conv", "eps", "tile_rows", "window_slack", "interpret",
-        "gather_mode", "mm", "act",
+        "gather_mode", "mm", "act", "save_s",
     ),
 )
 def fused_mp_layer(
@@ -195,6 +202,7 @@ def fused_mp_layer(
     gather_mode: str = "split2",
     mm: str = "f32",
     act: Optional[str] = None,
+    save_s: bool = False,   # also return the aggregated sums (bwd residual)
 ):
     N, F = v.shape
     W = nbr_nodes.shape[1]
@@ -228,6 +236,7 @@ def fused_mp_layer(
     kern = functools.partial(
         _kernel, conv=conv, W=W, TNS=TNS, TWS=TWS, eps=float(eps),
         gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
+        save_s=save_s,
     )
 
     def blk(shape):
@@ -249,16 +258,22 @@ def fused_mp_layer(
         in_specs.append(blk((TN, Fout)))
         inputs.append(skip)
 
+    out_specs = blk((TN, Fout))
+    out_shape = jax.ShapeDtypeStruct((N, Fout), jnp.float32)
+    scratch = [pltpu.VMEM((2, TWS, F), v.dtype)]
+    if save_s:
+        out_specs = [out_specs, blk((TN, F))]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((N, F), jnp.float32)]
+    else:
+        scratch.append(pltpu.VMEM((TN, F), jnp.float32))  # aggregated sums
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(max(N // TN, 1),),
         in_specs=in_specs,
-        out_specs=blk((TN, Fout)),
-        scratch_shapes=[
-            pltpu.VMEM((2, TWS, F), v.dtype),
-            pltpu.VMEM((TN, F), jnp.float32),   # aggregated sums
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     if conv == "gin":
         epi = F * w0.shape[1] + w0.shape[1] * Fout
@@ -270,7 +285,7 @@ def fused_mp_layer(
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, Fout), jnp.float32),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(N * (F + Fout)) * 4,
@@ -308,23 +323,83 @@ def mp_layer_reference(v, nbr_nodes, in_degree, conv,
     return _ACTS[act](o)
 
 
+def _epilogue_and_grads(conv, eps, act, has_skip, v, s, deg, skip, p, ct):
+    """XLA recompute of the epilogue from the forward-saved aggregate ``s``
+    + its VJP: returns (ds [N, F], dv_self, dskip, dparams).  Dense matmuls
+    only — exactly the work XLA does well; only the aggregation transpose
+    needs the Pallas reverse kernel."""
+    w0, b0, w1, b1 = p
+    degf = deg.astype(jnp.float32)[:, None]
+
+    def epilogue(vv, ss, sk, w0_, b0_, w1_, b1_):
+        if conv == "gin":
+            h = (1.0 + eps) * vv + ss
+            o = jax.nn.relu(h @ w0_ + b0_) @ w1_ + b1_
+        elif conv == "sage":
+            mean = ss / jnp.maximum(degf, 1.0)
+            o = mean @ w0_ + b0_ + vv @ w1_
+        else:  # gcn
+            dis = jax.lax.rsqrt(degf + 1.0)
+            o = dis * (ss + vv) + b0_
+        if has_skip:
+            o = o + sk
+        return _ACTS[act](o)
+
+    _, vjp = jax.vjp(epilogue, v, s, skip, w0, b0, w1, b1)
+    dv_self, ds, dskip, *dp = vjp(ct)
+    return ds, dv_self, dskip, tuple(dp)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
-                 mm, act, has_skip):
+                 mm, act, has_skip, has_rev):
+    cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
+               interpret=interpret)
+
     @jax.custom_vjp
-    def f(v, nbr, deg, skip, w0, b0, w1, b1):
+    def f(v, nbr, deg, rev_nbr, out_deg, skip, w0, b0, w1, b1):
         return fused_mp_layer(
             v, nbr, deg, conv, w0=w0, b0=b0, w1=w1, b1=b1, eps=eps,
             skip=skip if has_skip else None,
-            tile_rows=tile_rows, window_slack=window_slack,
-            interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+            gather_mode=gather_mode, mm=mm, act=act, **cfg,
         )
 
-    def fwd(v, nbr, deg, skip, *p):
-        return f(v, nbr, deg, skip, *p), (v, nbr, deg, skip, p)
+    def fwd(v, nbr, deg, rev_nbr, out_deg, skip, *p):
+        if has_rev:
+            # run the kernel with the aggregate as a second output — the
+            # backward residual that makes the epilogue grads pure XLA
+            out, s = fused_mp_layer(
+                v, nbr, deg, conv,
+                w0=p[0], b0=p[1], w1=p[2], b1=p[3], eps=eps,
+                skip=skip if has_skip else None,
+                gather_mode=gather_mode, mm=mm, act=act, save_s=True, **cfg,
+            )
+            return out, (v, nbr, deg, rev_nbr, out_deg, skip, p, s)
+        return (
+            f(v, nbr, deg, rev_nbr, out_deg, skip, *p),
+            (v, nbr, deg, rev_nbr, out_deg, skip, p, None),
+        )
 
     def bwd(res, ct):
-        v, nbr, deg, skip, p = res
+        v, nbr, deg, rev_nbr, out_deg, skip, p, s = res
+        zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        if has_rev:
+            from gnnbuilder_tpu.ops.pallas.ell_bwd import (
+                fused_gather_backward,
+            )
+
+            ds, dv_self, dskip, dp = _epilogue_and_grads(
+                conv, eps, act, has_skip, v, s, deg, skip, p, ct
+            )
+            # transpose of the sum aggregation: count-SpMM over the
+            # reverse table — a pure linear pass, no compare terms
+            dv = dv_self + fused_gather_backward(
+                ds, rev_nbr, out_deg, has_lin=True, **cfg
+            )
+            if not has_skip:
+                dskip = jnp.zeros_like(skip)
+            return (dv, zero_i(nbr), zero_i(deg), zero_i(rev_nbr),
+                    zero_i(out_deg), dskip) + dp
         _, vjp = jax.vjp(
             lambda vv, sk, *pp: mp_layer_reference(
                 vv, nbr, deg, conv,
@@ -333,9 +408,9 @@ def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
             v, skip, *p,
         )
         grads = vjp(ct)
-        zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
         dskip = grads[1] if has_skip else jnp.zeros_like(skip)
-        return (grads[0], zero_i(nbr), zero_i(deg), dskip) + grads[2:]
+        return (grads[0], zero_i(nbr), zero_i(deg), zero_i(rev_nbr),
+                zero_i(out_deg), dskip) + grads[2:]
 
     f.defvjp(fwd, bwd)
     return f
@@ -343,14 +418,18 @@ def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
 
 def fused_mp_layer_vjp(
     v, nbr_nodes, in_degree, conv, w0=None, b0=None, w1=None, b1=None,
-    eps=0.0, skip=None, tile_rows=512, window_slack=64, interpret=False,
+    eps=0.0, skip=None, rev_nbr_nodes=None, out_degree=None,
+    tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None,
 ):
-    """Differentiable fused layer (Pallas fwd, XLA-reference bwd)."""
+    """Differentiable fused layer.  Pallas forward always; hand-written
+    Pallas backward (reverse-table count-SpMM, ops/pallas/ell_bwd.py) when
+    the reverse tables are given, else the XLA-reference backward."""
     has_skip = skip is not None
+    has_rev = rev_nbr_nodes is not None and out_degree is not None
     fn = _make_vjp_fn(
         conv, float(eps), tile_rows, window_slack, interpret, gather_mode,
-        mm, act, has_skip,
+        mm, act, has_skip, has_rev,
     )
     F = v.shape[1]
     z = jnp.zeros((1, 1), jnp.float32)
@@ -364,13 +443,18 @@ def fused_mp_layer_vjp(
         Fout = w1.shape[1]
         w0_, b0_, w1_, b1_ = w0, b0, w1, b1
     skip_in = skip if has_skip else jnp.zeros((v.shape[0], Fout), v.dtype)
-    return fn(v, nbr_nodes, in_degree.astype(jnp.int32), skip_in,
+    if not has_rev:
+        rev_nbr_nodes = jnp.zeros((1, 1), jnp.int32)
+        out_degree = jnp.zeros((1,), jnp.int32)
+    return fn(v, nbr_nodes, in_degree.astype(jnp.int32),
+              rev_nbr_nodes, out_degree.astype(jnp.int32), skip_in,
               w0_, b0_, w1_, b1_)
 
 
 def fused_mp_layer_auto(
     v, nbr_nodes, in_degree, conv, w0=None, b0=None, w1=None, b1=None,
-    eps=0.0, skip=None, tile_rows=512, window_slack=64, interpret=False,
+    eps=0.0, skip=None, rev_nbr_nodes=None, out_degree=None,
+    tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None,
 ):
     """fused_mp_layer_vjp with automatic zero-padding of unaligned feature
@@ -390,6 +474,7 @@ def fused_mp_layer_auto(
                 b1=jnp.pad(b1, (0, Fout_p - Fout)),
                 eps=eps,
                 skip=_pad_cols(skip, Fout_p) if skip is not None else None,
+                rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
             )
@@ -405,6 +490,7 @@ def fused_mp_layer_auto(
                 w1=_pad_cols(_pad_rows(w1, F_p), Fout_p),
                 eps=eps,
                 skip=_pad_cols(skip, Fout_p) if skip is not None else None,
+                rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
             )
@@ -415,12 +501,14 @@ def fused_mp_layer_auto(
                 _pad_cols(v, F_p), nbr_nodes, in_degree, conv,
                 b0=jnp.pad(b0, (0, F_p - F)), eps=eps,
                 skip=_pad_cols(skip, F_p) if skip is not None else None,
+                rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
             )
             return out[:, :F]
     return fused_mp_layer_vjp(
         v, nbr_nodes, in_degree, conv, w0=w0, b0=b0, w1=w1, b1=b1, eps=eps,
-        skip=skip, tile_rows=tile_rows, window_slack=window_slack,
+        skip=skip, rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
+        tile_rows=tile_rows, window_slack=window_slack,
         interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
     )

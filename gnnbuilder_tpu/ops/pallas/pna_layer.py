@@ -178,7 +178,8 @@ def _kernel(
     b_post_ref,  # [1, Fout]
     w_lin_ref,   # [Fout, Fout]
     b_lin_ref,   # [1, Fout]
-    *rest,       # ([skip_ref], out_ref, x_win[2,TWS,Fin], agg, dma_sem[2])
+    *rest,       # ([skip_ref], out_ref, [v_out, agg, aux], x_win[2,TWS,Fin],
+                 #  [agg], dma_sem[2])
     W: int,
     TNS: int,
     TWS: int,
@@ -187,12 +188,22 @@ def _kernel(
     mm: str,
     act: Optional[str],
     has_skip: bool,
+    save_res: bool,
 ):
+    # save_res promotes the backward residuals to kernel outputs: the
+    # neighbor-half pre_nn rows v (so the backward never re-derives the
+    # gather operand — bit-identical compares), the aggregator concat
+    # (epilogue recompute), and aux = [mx_raw, mn_raw, mean_raw, ties_mx,
+    # ties_mn] (extrema routing with XLA's even tie-splitting).
     if has_skip:
-        skip_ref, out_ref, x_win, agg_ref, dma_sem = rest
+        skip_ref, *rest = rest
+    else:
+        skip_ref = None
+    if save_res:
+        out_ref, v_out_ref, agg_ref, aux_ref, x_win, v_scr, dma_sem = rest
     else:
         out_ref, x_win, agg_ref, dma_sem = rest
-        skip_ref = None
+        v_out_ref = aux_ref = v_scr = None
 
     i = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -232,6 +243,14 @@ def _kernel(
 
         rows = pl.multiple_of(k * TNS, 8)
         vwin = dot(x_win[buf], w_j_ref[:])  # [TWS, F] f32
+        if save_res:
+            # this sub-tile's own rows of v (window rows [off, off+TNS));
+            # both j*TNS and the window start are 8-aligned.  Mosaic has no
+            # dynamic_slice on values, so bounce through a VMEM scratch ref
+            # (refs support dynamic pl.ds starts).
+            off = pl.multiple_of(j * TNS - pl.multiple_of(sws_ref[j], 8), 8)
+            v_scr[:] = vwin
+            v_out_ref[pl.ds(rows, TNS), :] = v_scr[pl.ds(off, TNS), :]
         x_sub = x_ref[pl.ds(rows, TNS), :]
         u_sub = dot(x_sub, w_i_ref[:]) + b_pre_ref[:]
 
@@ -294,6 +313,19 @@ def _kernel(
             nonempty, u_sub + mean_g, 0.0
         )
         agg_ref[pl.ds(rows, TNS), 3 * F : 4 * F] = jnp.sqrt(var + _STD_EPS)
+        if save_res:
+            ties_mx = jnp.zeros((TNS, F), jnp.float32)
+            ties_mn = jnp.zeros((TNS, F), jnp.float32)
+            for w in range(W):
+                g = G[w * TNS : (w + 1) * TNS, :]
+                valid = w < deg
+                ties_mx = ties_mx + jnp.where(valid & (g == mx), 1.0, 0.0)
+                ties_mn = ties_mn + jnp.where(valid & (g == mn), 1.0, 0.0)
+            aux_ref[pl.ds(rows, TNS), 0:F] = mx
+            aux_ref[pl.ds(rows, TNS), F : 2 * F] = mn
+            aux_ref[pl.ds(rows, TNS), 2 * F : 3 * F] = mean_g
+            aux_ref[pl.ds(rows, TNS), 3 * F : 4 * F] = ties_mx
+            aux_ref[pl.ds(rows, TNS), 4 * F : 5 * F] = ties_mn
         return carry
 
     jax.lax.fori_loop(0, KT, sub_tile, 0)
@@ -321,7 +353,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "delta", "tile_rows", "window_slack", "interpret", "gather_mode",
-        "mm", "act",
+        "mm", "act", "save_res",
     ),
 )
 def fused_pna_layer(
@@ -342,6 +374,7 @@ def fused_pna_layer(
     gather_mode: str = "split2",
     mm: str = "f32",
     act: Optional[str] = None,
+    save_res: bool = False,  # also return (v, agg_cat, aux) bwd residuals
 ):
     N, Fin = x.shape
     F = w_pre.shape[1]
@@ -368,6 +401,7 @@ def fused_pna_layer(
     kern = functools.partial(
         _kernel, W=W, TNS=TNS, TWS=TWS, delta=float(delta),
         gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
+        save_res=save_res,
     )
 
     def blk(shape):
@@ -397,16 +431,29 @@ def fused_pna_layer(
         in_specs.append(blk((TN, Fout)))
         inputs.append(skip)
 
+    out_specs = blk((TN, Fout))
+    out_shape = jax.ShapeDtypeStruct((N, Fout), jnp.float32)
+    scratch = [pltpu.VMEM((2, TWS, Fin), x.dtype)]  # double-buffered window
+    if save_res:
+        out_specs = [
+            out_specs, blk((TN, F)), blk((TN, 4 * F)), blk((TN, 5 * F)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((N, F), jnp.float32),      # v
+            jax.ShapeDtypeStruct((N, 4 * F), jnp.float32),  # agg concat
+            jax.ShapeDtypeStruct((N, 5 * F), jnp.float32),  # aux
+        ]
+        scratch.append(pltpu.VMEM((TWS, F), jnp.float32))   # v slice bounce
+    else:
+        scratch.append(pltpu.VMEM((TN, 4 * F), jnp.float32))  # agg concat
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N // TN,),
         in_specs=in_specs,
-        out_specs=blk((TN, Fout)),
-        scratch_shapes=[
-            pltpu.VMEM((2, TWS, Fin), x.dtype),     # double-buffered window
-            pltpu.VMEM((TN, 4 * F), jnp.float32),   # aggregator concat
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     # useful-work accounting: gather ~ E*F MACs; the one-hot realization
     # costs W*TWS*F per node — report the realization (what the MXU does)
@@ -415,7 +462,7 @@ def fused_pna_layer(
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, Fout), jnp.float32),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(N * (2 * Fin + Fout)) * 4,
@@ -467,23 +514,129 @@ def pna_layer_reference(
     return _ACTS[act](out)
 
 
+def _pna_epilogue(x, agg_cat, deg, k_post, b_post, w_lin, b_lin, skip,
+                  delta, act, has_skip):
+    """XLA mirror of the kernel's post-aggregation tail (scaler blocks +
+    double matmul + skip + activation), used by the hand-written backward
+    to recompute the epilogue from the saved aggregator concat."""
+    Fin = x.shape[1]
+    F = agg_cat.shape[1] // 4
+    Fout = w_lin.shape[1]
+    ks = jnp.concatenate(
+        [k_post[Fin + i * 4 * F : Fin + (i + 1) * 4 * F] for i in range(3)],
+        axis=1,
+    )
+    y = agg_cat @ ks
+    degf = deg.astype(jnp.float32)[:, None]
+    log_deg = jnp.log(jnp.maximum(degf, 1.0) + 1.0)
+    amp = log_deg / delta
+    att = delta / log_deg
+    mid = (
+        x @ k_post[:Fin] + b_post
+        + y[:, :Fout] + amp * y[:, Fout : 2 * Fout] + att * y[:, 2 * Fout :]
+    )
+    out = mid @ w_lin + b_lin
+    if has_skip:
+        out = out + skip
+    return _ACTS[act](out)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
-                 mm, act, has_skip):
+                 mm, act, has_skip, has_rev):
+    cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
+               interpret=interpret)
+
     @jax.custom_vjp
-    def f(x, nbr, deg, skip, w_pre, b_pre, k_post, b_post, w_lin, b_lin):
+    def f(x, nbr, deg, rev_nbr, out_deg, skip,
+          w_pre, b_pre, k_post, b_post, w_lin, b_lin):
         return fused_pna_layer(
             x, nbr, deg, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
             delta, skip=skip if has_skip else None,
-            tile_rows=tile_rows, window_slack=window_slack,
-            interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+            gather_mode=gather_mode, mm=mm, act=act, **cfg,
         )
 
-    def fwd(x, nbr, deg, skip, *p):
-        return f(x, nbr, deg, skip, *p), (x, nbr, deg, skip, p)
+    def fwd(x, nbr, deg, rev_nbr, out_deg, skip, *p):
+        if has_rev:
+            out, v, agg_cat, aux = fused_pna_layer(
+                x, nbr, deg, *p, delta, skip=skip if has_skip else None,
+                gather_mode=gather_mode, mm=mm, act=act, save_res=True,
+                **cfg,
+            )
+            return out, (x, nbr, deg, rev_nbr, out_deg, skip, p,
+                         (v, agg_cat, aux))
+        return (
+            f(x, nbr, deg, rev_nbr, out_deg, skip, *p),
+            (x, nbr, deg, rev_nbr, out_deg, skip, p, None),
+        )
 
     def bwd(res, ct):
-        x, nbr, deg, skip, p = res
+        x, nbr, deg, rev_nbr, out_deg, skip, p, saved = res
+        zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        if has_rev:
+            from gnnbuilder_tpu.ops.pallas.ell_bwd import (
+                fused_gather_backward,
+            )
+
+            w_pre, b_pre, k_post, b_post, w_lin, b_lin = p
+            v, agg_cat, aux = saved
+            Fin = x.shape[1]
+            F = w_pre.shape[1]
+
+            # epilogue grads: pure dense XLA from the saved agg concat
+            _, epi_vjp = jax.vjp(
+                lambda xx, ac, kp, bp, wl, bl, sk: _pna_epilogue(
+                    xx, ac, deg, kp, bp, wl, bl, sk, delta, act, has_skip
+                ),
+                x, agg_cat, k_post, b_post, w_lin, b_lin, skip,
+            )
+            dx_epi, d_agg, dk_post, db_post, dw_lin, db_lin, dskip = (
+                epi_vjp(ct)
+            )
+
+            degf = deg.astype(jnp.float32)[:, None]
+            denom = jnp.maximum(degf, 1.0)
+            nonempty = degf > 0
+            # forward wrote where(nonempty, u + agg, 0) for max/min/mean
+            ct_mx = jnp.where(nonempty, d_agg[:, 0:F], 0.0)
+            ct_mn = jnp.where(nonempty, d_agg[:, F : 2 * F], 0.0)
+            ct_mean = jnp.where(nonempty, d_agg[:, 2 * F : 3 * F], 0.0)
+            ct_std = d_agg[:, 3 * F : 4 * F]
+
+            mx_raw = aux[:, 0:F]
+            mn_raw = aux[:, F : 2 * F]
+            mean_raw = aux[:, 2 * F : 3 * F]
+            ties_mx = aux[:, 3 * F : 4 * F]
+            ties_mn = aux[:, 4 * F : 5 * F]
+            std_out = agg_cat[:, 3 * F : 4 * F]
+
+            c_lin = ct_mean / denom
+            c_a = ct_std / (denom * std_out)
+            c_mx = ct_mx / jnp.maximum(ties_mx, 1.0)
+            c_mn = ct_mn / jnp.maximum(ties_mn, 1.0)
+
+            cstk = jnp.concatenate(
+                [c_lin, c_a, c_a * mean_raw, mx_raw, c_mx, mn_raw, c_mn],
+                axis=-1,
+            )
+            dv = fused_gather_backward(
+                cstk, rev_nbr, out_deg, v=v,
+                has_lin=True, has_dev=True, n_cmp=2,
+                fwd_gather_mode=gather_mode,
+                **cfg,
+            )
+
+            # pre_nn chains: u = x @ w_i + b_pre (receiver), v = x @ w_j
+            du = ct_mx + ct_mn + ct_mean
+            w_i, w_j = w_pre[:Fin], w_pre[Fin:]
+            dx = dx_epi + du @ w_i.T + dv @ w_j.T
+            dw_pre = jnp.concatenate([x.T @ du, x.T @ dv], axis=0)
+            db_pre = du.sum(axis=0)
+            if not has_skip:
+                dskip = jnp.zeros_like(skip)
+            return (dx, zero_i(nbr), zero_i(deg), zero_i(rev_nbr),
+                    zero_i(out_deg), dskip,
+                    dw_pre, db_pre, dk_post, db_post, dw_lin, db_lin)
         _, vjp = jax.vjp(
             lambda xx, sk, *pp: pna_layer_reference(
                 xx, nbr, deg, *pp, delta,
@@ -492,9 +645,9 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
             x, skip, *p,
         )
         grads = vjp(ct)
-        zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
         dskip = grads[1] if has_skip else jnp.zeros_like(skip)
-        return (grads[0], zero_i(nbr), zero_i(deg), dskip) + grads[2:]
+        return (grads[0], zero_i(nbr), zero_i(deg), zero_i(rev_nbr),
+                zero_i(out_deg), dskip) + grads[2:]
 
     f.defvjp(fwd, bwd)
     return f
@@ -502,19 +655,27 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
 
 def fused_pna_layer_vjp(
     x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
-    delta, skip=None, tile_rows=512, window_slack=64, interpret=False,
+    delta, skip=None, rev_nbr_nodes=None, out_degree=None,
+    tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None,
 ):
-    """Differentiable fused layer (Pallas fwd, XLA-reference bwd)."""
+    """Differentiable fused layer.  Pallas forward always; hand-written
+    Pallas backward (reverse-table kernel, ops/pallas/ell_bwd.py) when the
+    reverse tables are given, else the XLA-reference backward."""
     has_skip = skip is not None
+    has_rev = rev_nbr_nodes is not None and out_degree is not None
     fn = _make_vjp_fn(
         float(delta), tile_rows, window_slack, interpret, gather_mode,
-        mm, act, has_skip,
+        mm, act, has_skip, has_rev,
     )
     skip_in = skip if has_skip else jnp.zeros((x.shape[0], w_lin.shape[1]),
                                               x.dtype)
+    if not has_rev:
+        rev_nbr_nodes = jnp.zeros((1, 1), jnp.int32)
+        out_degree = jnp.zeros((1,), jnp.int32)
     return fn(
-        x, nbr_nodes, in_degree.astype(jnp.int32), skip_in,
+        x, nbr_nodes, in_degree.astype(jnp.int32),
+        rev_nbr_nodes, out_degree.astype(jnp.int32), skip_in,
         w_pre, b_pre, k_post, b_post, w_lin, b_lin,
     )
 
@@ -542,7 +703,8 @@ def _rup(x, m=128):
 
 def fused_pna_layer_auto(
     x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
-    delta, skip=None, tile_rows=512, window_slack=64, interpret=False,
+    delta, skip=None, rev_nbr_nodes=None, out_degree=None,
+    tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None,
 ):
     """fused_pna_layer_vjp with automatic zero-padding of unaligned feature
@@ -584,7 +746,9 @@ def fused_pna_layer_auto(
         skip_p = _pad_cols(skip, Fout_p) if skip is not None else None
         out = fused_pna_layer_vjp(
             xp, nbr_nodes, in_degree, w_pre_p, b_pre_p, k_post_p, b_post_p,
-            w_lin_p, b_lin_p, delta, skip=skip_p, tile_rows=tile_rows,
+            w_lin_p, b_lin_p, delta, skip=skip_p,
+            rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
+            tile_rows=tile_rows,
             window_slack=window_slack, interpret=interpret,
             gather_mode=gather_mode, mm=mm, act=act,
         )
@@ -592,6 +756,8 @@ def fused_pna_layer_auto(
 
     return fused_pna_layer_vjp(
         x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
-        delta, skip=skip, tile_rows=tile_rows, window_slack=window_slack,
+        delta, skip=skip,
+        rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
+        tile_rows=tile_rows, window_slack=window_slack,
         interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
     )

@@ -55,6 +55,14 @@ def batch_shardings(mesh: Mesh, batch: GraphBatch) -> GraphBatch:
             if batch.nbr_edges is not None
             else None
         ),
+        rev_nbr_nodes=(
+            NamedSharding(mesh, P("dp", None))
+            if batch.rev_nbr_nodes is not None
+            else None
+        ),
+        out_degree=(
+            node(None) if batch.out_degree is not None else None
+        ),
         num_graphs_static=batch.num_graphs_static,
         max_graph_nodes_static=batch.max_graph_nodes_static,
     )
@@ -96,6 +104,8 @@ def halo_batch_specs(batch: GraphBatch) -> GraphBatch:
         graph_mask=rep,
         nbr_nodes=node2 if batch.nbr_nodes is not None else None,
         nbr_edges=node2 if batch.nbr_edges is not None else None,
+        rev_nbr_nodes=node2 if batch.rev_nbr_nodes is not None else None,
+        out_degree=node1 if batch.out_degree is not None else None,
         num_graphs_static=batch.num_graphs_static,
         max_graph_nodes_static=batch.max_graph_nodes_static,
     )
