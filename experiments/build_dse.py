@@ -47,6 +47,67 @@ def build(n_per_dataset: int, datasets: list[str], seed: int):
         measure_many(cfgs, dataset=ds, iters=12, out_csv=CSV)
 
 
+def remeasure_outliers(top_n: int):
+    """Re-measure the rows with the worst cross-validated prediction error
+    and replace their labels (median of old + 2 fresh estimates).
+
+    Measured labels ride a noisy relay (CLAUDE.md: 2-3x at sub-ms) and the
+    chip is shared — a label polluted by concurrent compile traffic poisons
+    the fit far more than model capacity does.  The reference never needed
+    this (csynth labels are deterministic)."""
+    import csv
+
+    import numpy as np
+
+    from gnnbuilder_tpu.dse.measure import measure_config
+    from gnnbuilder_tpu.dse.model import CostModel, rows_to_configs
+
+    with open(CSV) as f:
+        rows = list(csv.DictReader(f))
+    cfgs = rows_to_configs(rows)
+    y = np.asarray([float(r["latency_per_graph_us"]) for r in rows])
+    rng = np.random.default_rng(0)
+    idx = rng.permutation(len(cfgs))
+    errs = np.zeros(len(cfgs))
+    for k in range(5):
+        test = idx[k::5]
+        train = np.setdiff1d(idx, test)
+        m = CostModel(target="latency_per_graph_us").fit(
+            [cfgs[i] for i in train], y[train]
+        )
+        p = m.predict([cfgs[i] for i in test])
+        errs[test] = np.abs(p - y[test]) / np.maximum(y[test], 1e-9)
+
+    worst = np.argsort(errs)[-top_n:]
+    print(f"re-measuring {len(worst)} outlier rows "
+          f"(CV err {errs[worst].min():.2f}..{errs[worst].max():.2f})")
+    for j, i in enumerate(worst):
+        r = rows[int(i)]
+        cfg = cfgs[int(i)]
+        ests = [float(r["latency_us"])]
+        try:
+            for _ in range(2):
+                fresh = measure_config(cfg, dataset=r["dataset"], iters=12)
+                ests.append(float(fresh["latency_us"]))
+        except Exception as e:  # noqa: BLE001
+            print(f"  [{j}] remeasure failed: {type(e).__name__}")
+            continue
+        new = float(np.median(ests))
+        print(f"  [{j}] {r['conv']} h{r['gnn_hidden_dim']} "
+              f"b{r['batch_size']} {r['dataset']}: "
+              f"{ests[0]:.0f} -> {new:.0f} us (ests {[f'{e:.0f}' for e in ests]})",
+              flush=True)
+        bs = float(r["batch_size"])
+        r["latency_us"] = repr(new)
+        r["latency_per_graph_us"] = repr(new / bs)
+        r["graphs_per_s"] = repr(bs / (new * 1e-6))
+
+    with open(CSV, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+
+
 def fit():
     import csv
 
@@ -109,9 +170,13 @@ def main():
     ap.add_argument("--datasets", default="qm9,esol,hiv")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--fit-only", action="store_true")
+    ap.add_argument("--remeasure-outliers", type=int, default=0,
+                    help="re-measure the N worst CV-error rows, then fit")
     args = ap.parse_args()
     os.makedirs(OUT_DIR, exist_ok=True)
-    if not args.fit_only:
+    if args.remeasure_outliers:
+        remeasure_outliers(args.remeasure_outliers)
+    elif not args.fit_only:
         build(args.n, args.datasets.split(","), args.seed)
     fit()
 

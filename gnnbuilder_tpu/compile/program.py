@@ -71,6 +71,9 @@ class Program:
         self.params: Optional[Any] = None
         self._seed = seed
         self._compiled = {}
+        # int8 static activation scales (site -> scale), set by
+        # calibrate_int8(); None = dynamic per-row quantization
+        self.int8_scales: Optional[dict] = None
 
     # ------------------------------------------------------------- construct
     @classmethod
@@ -138,6 +141,7 @@ class Program:
     def _forward_fn(self):
         model = self.model
         prec = self.precision
+        scales = self.int8_scales
 
         @jax.jit
         def fwd(params, batch: GraphBatch):
@@ -147,10 +151,38 @@ class Program:
                     batch.node_feat.astype(jnp.bfloat16)
                 )
             with prec.activate():
-                out = model.apply(params, batch)
+                if scales:
+                    from gnnbuilder_tpu.ops.quant import calibration
+
+                    with calibration(scales=scales):
+                        out = model.apply(params, batch)
+                else:
+                    out = model.apply(params, batch)
             return out.astype(jnp.float32)
 
         return fwd
+
+    def calibrate_int8(self, batches: Sequence[GraphBatch]) -> dict:
+        """Record static int8 activation scales from representative batches
+        (ops/quant.calibration): one eager pass per batch collecting each
+        quantized site's max |activation|, then bake ``scale = max/127``
+        into every subsequent compile/export.  The serving-path analog of
+        the reference choosing ap_fixed integer widths from dataset ranges
+        (code_gen.py:117-119); removes the per-row abs-max reduction from
+        the quantized matmuls."""
+        if self.precision.name != "int8":
+            raise ValueError("calibrate_int8 requires precision='int8'")
+        from gnnbuilder_tpu.ops.quant import calibration, scales_from_record
+
+        if self.params is None:
+            self.init_params(batches[0])
+        record: dict = {}
+        with self.precision.activate(), calibration(record=record):
+            for b in batches:
+                self.model.apply(self.params, b)
+        self.int8_scales = scales_from_record(record)
+        self._compiled.clear()  # recompile with static scales
+        return self.int8_scales
 
     def compile(self, example_batch: Optional[GraphBatch] = None):
         """AOT-compile the forward executable for this bucket (the

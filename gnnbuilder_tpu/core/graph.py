@@ -168,6 +168,7 @@ def build_graph_batch(
     node_multiple: int = 8,
     edge_multiple: int = 8,
     ell_width: Optional[int] = None,
+    rev_ell_width: Optional[int] = None,
     dtype=np.float32,
 ) -> GraphBatch:
     """Pack a list of host graphs into one padded ``GraphBatch``.
@@ -248,12 +249,21 @@ def build_graph_batch(
             senders, row_offsets, e_pad, ell_width, ghost
         )
         # reverse table for the Pallas backward kernels; width sized to the
-        # batch max OUT-degree (independent of the forward width)
+        # batch max OUT-degree (independent of the forward width) unless a
+        # fixed bucket width is requested (0 disables)
         max_out = (
             int(np.bincount(senders_raw, minlength=1).max()) if num_edges else 0
         )
-        rev_w = max(_round_up(max_out, 4), 4)
-        if rev_w <= ELL_MAX_WIDTH:
+        if rev_ell_width is None:
+            rev_w = max(_round_up(max_out, 4), 4)
+            if rev_w > ELL_MAX_WIDTH:
+                rev_w = 0
+        else:
+            rev_w = rev_ell_width
+            assert rev_w == 0 or rev_w >= max_out, (
+                f"rev_ell_width={rev_w} < batch max out-degree {max_out}"
+            )
+        if rev_w:
             rev_nbr, out_deg = packing.build_reverse_ell(
                 senders_raw, receivers_raw, num_nodes, n_pad, e_pad, ghost,
                 rev_w,

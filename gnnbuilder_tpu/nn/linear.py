@@ -120,11 +120,28 @@ class Linear(nn.Module):
         )
         prec = active_precision()
         if prec is not None and prec.name == "int8":
-            # MXU int8 path: per-channel weight + per-row activation scales
-            # (ops/quant.py) — the FPX fixed-point analog
-            from gnnbuilder_tpu.ops.quant import int8_matmul
+            # MXU int8 path: per-channel weight scales + per-row dynamic OR
+            # calibrated-static activation scales (ops/quant.py) — the FPX
+            # fixed-point analog
+            from gnnbuilder_tpu.ops.quant import (
+                active_calibration,
+                int8_matmul,
+                int8_matmul_static,
+            )
 
-            y = int8_matmul(x, kernel.astype(jnp.float32))
+            site = "/".join(str(p) for p in self.scope.path)
+            calib = active_calibration()
+            if calib is not None and calib.record is not None:
+                # recording pass runs eagerly; values are concrete
+                m = float(jnp.max(jnp.abs(x)))
+                calib.record[site] = max(calib.record.get(site, 0.0), m)
+            if (calib is not None and calib.scales is not None
+                    and site in calib.scales):
+                y = int8_matmul_static(
+                    x, kernel.astype(jnp.float32), calib.scales[site]
+                )
+            else:
+                y = int8_matmul(x, kernel.astype(jnp.float32))
         else:
             y = jnp.dot(
                 x.astype(self.dtype) if self.dtype else x,

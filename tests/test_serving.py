@@ -1,0 +1,103 @@
+"""Serving frontend: micro-batching over exported artifacts + int8
+static-calibration parity.
+
+Reference counterpart: the deployable-artifact story (code_gen.py:457-489
+builds the .xclbin; the testbench is its one-graph-per-call host loop,
+model_tb.cpp.jinja:167-204).  Here the artifact is a StableHLO export and
+the host loop is a batching queue — these tests pin (a) server results ==
+direct forward results, (b) the artifact path (no model definition at
+load time), (c) p50/p99 accounting, (d) static int8 calibration staying
+close to the dynamic path.
+"""
+
+import numpy as np
+import pytest
+
+import gnnbuilder_tpu as gnnb
+from gnnbuilder_tpu.data.datasets import load_dataset
+from gnnbuilder_tpu.serve import GNNServer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    graphs = load_dataset("esol", n=24, seed=3)
+    model = gnnb.GNNModel(
+        graph_input_feature_dim=9, gnn_hidden_dim=16, gnn_num_layers=2,
+        gnn_output_dim=8, gnn_conv="gcn", pooling_aggrs=("mean",),
+        mlp_hidden_dim=8, mlp_hidden_layers=1, mlp_out_dim=1,
+    )
+    prog = gnnb.Program(model, max_nodes=512, max_edges=1024, max_graphs=9)
+    prog.init_params(prog.batch(graphs[:4]))
+    return graphs, prog
+
+
+def test_server_matches_direct_forward(setup):
+    graphs, prog = setup
+    direct = []
+    for g in graphs[:12]:
+        out = prog.forward(prog.batch([g]))
+        direct.append(np.asarray(out)[0])
+    with GNNServer.from_program(prog, prog.batch(graphs[:4])) as server:
+        preds = server.predict(graphs[:12])
+        stats = server.stats()
+    np.testing.assert_allclose(preds, np.stack(direct), rtol=2e-5, atol=2e-5)
+    assert stats["served"] == 12
+    # micro-batching actually batched (bucket holds 8 graphs)
+    assert stats["batches"] < 12
+    assert stats["p50_ms"] > 0 and stats["p99_ms"] >= stats["p50_ms"]
+
+
+def test_server_from_artifact(tmp_path, setup):
+    graphs, prog = setup
+    path = str(tmp_path / "model.gnnbx")
+    prog.export(path, prog.batch(graphs[:4]))
+    direct = np.asarray(prog.forward(prog.batch(graphs[:3])))[:3]
+    with GNNServer.from_artifact(path, prog.params) as server:
+        preds = server.predict(graphs[:3])
+    np.testing.assert_allclose(preds, direct, rtol=2e-5, atol=2e-5)
+
+
+def test_server_overflow_splits_batches(setup):
+    graphs, prog = setup
+    # budget of 8 real graphs per batch; 20 requests must split into >= 3
+    with GNNServer.from_program(
+        prog, prog.batch(graphs[:4]), max_wait_ms=30.0
+    ) as server:
+        preds = server.predict(graphs[:20])
+        stats = server.stats()
+    assert preds.shape[0] == 20
+    assert stats["batches"] >= 3
+
+
+def test_int8_static_calibration(setup):
+    graphs, _ = setup
+    model = gnnb.GNNModel(
+        graph_input_feature_dim=9, gnn_hidden_dim=16, gnn_num_layers=2,
+        gnn_output_dim=8, gnn_conv="gcn", pooling_aggrs=("mean",),
+        mlp_hidden_dim=8, mlp_hidden_layers=1, mlp_out_dim=1,
+    )
+    prog = gnnb.Program(
+        model, max_nodes=512, max_edges=1024, max_graphs=9, precision="int8"
+    )
+    b0 = prog.batch(graphs[:8])
+    b1 = prog.batch(graphs[8:16])
+    prog.init_params(b0)
+    dyn = np.asarray(prog.forward(b1))
+
+    scales = prog.calibrate_int8([b0, b1])
+    assert scales and all(s > 0 for s in scales.values())
+    # every quantized Linear site got a scale (convs + mlp + final)
+    assert any("mlp" in k for k in scales)
+
+    static = np.asarray(prog.forward(b1))
+    # static scales are a coarser approximation than per-row dynamic, but
+    # on calibrated data they must stay in the same int8 error regime
+    ref_scale = np.abs(dyn).max() + 1e-6
+    assert np.abs(static - dyn).max() / ref_scale < 0.1
+
+    # f32 reference: both int8 paths approximate it
+    prog_f32 = gnnb.Program(model, max_nodes=512, max_edges=1024,
+                            max_graphs=9, precision="f32")
+    prog_f32.set_params(prog.params)
+    full = np.asarray(prog_f32.forward(b1))
+    assert np.abs(static - full).max() / (np.abs(full).max() + 1e-6) < 0.15
