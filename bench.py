@@ -93,23 +93,55 @@ def main():
         f"(roofline {roof['roofline_edges_per_s']:,.0f})"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "qm9_pna_throughput",
-                "value": round(best_tput, 1),
-                "unit": "graphs/s",
-                "vs_baseline": round(best_tput / REF_PNA_QM9_GRAPHS_PER_S, 2),
-                "latency_b1_ms": round(lat_b1 * 1e3, 3),
-                "best_batch_size": best_bs,
-                "edges_per_s": round(roof["edges_per_s"], 1),
-                "fraction_of_roofline": round(
-                    roof["fraction_of_roofline"], 3
-                ),
-                "baseline": "fpga_par pna/qm9 1.707 ms/graph (BASELINE.md)",
-            }
+    # training throughput (round-2 headline: hand-written Pallas backward,
+    # ops/pallas/ell_bwd.py); guarded — the inference metric above must
+    # survive any training-path failure
+    train_ms = None
+    try:
+        import numpy as np
+        import optax
+
+        from gnnbuilder_tpu import train as gtrain
+
+        _, tb = canonical_batches(
+            "qm9", n_graphs=1100, batch_size=1024, node_multiple=256
         )
-    )
+        tbatch = tb[0]
+        y = jax.numpy.zeros((tbatch.num_graphs, 1), jax.numpy.float32)
+        params = model.init(jax.random.PRNGKey(0), tbatch)
+        opt = optax.adam(1e-3)
+        step = gtrain.make_train_step(model, opt, donate=False)
+        opt_state = opt.init(params)
+        st = {"p": params, "o": opt_state}
+
+        def one():
+            p, o, loss = step(st["p"], st["o"], tbatch, y)
+            st["p"], st["o"] = p, o
+            return loss
+
+        one()
+        train_dt = marginal_time(one, n_lo=4, n_hi=12, repeats=3)
+        train_ms = train_dt * 1e3
+        log(f"train step b1024: {train_ms:.2f} ms "
+            f"({1024/train_dt:,.0f} graphs/s)")
+    except Exception as e:  # noqa: BLE001
+        log(f"train-step metric skipped: {type(e).__name__}: {e}")
+
+    out = {
+        "metric": "qm9_pna_throughput",
+        "value": round(best_tput, 1),
+        "unit": "graphs/s",
+        "vs_baseline": round(best_tput / REF_PNA_QM9_GRAPHS_PER_S, 2),
+        "latency_b1_ms": round(lat_b1 * 1e3, 3),
+        "best_batch_size": best_bs,
+        "edges_per_s": round(roof["edges_per_s"], 1),
+        "fraction_of_roofline": round(roof["fraction_of_roofline"], 3),
+        "baseline": "fpga_par pna/qm9 1.707 ms/graph (BASELINE.md)",
+    }
+    if train_ms is not None:
+        out["train_step_b1024_ms"] = round(train_ms, 2)
+        out["train_graphs_per_s"] = round(1024e3 / train_ms, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -13,7 +13,12 @@ runs on the TPU and writes ``results_tpu/fused_parity_tpu.json``:
 2. whole-layer parity per conv: forward under fused dispatch vs the XLA
    path ON THE SAME CHIP.  The fused layers run one-pass bf16 epilogue
    matmuls (the XLA default contract on TPU), so layer outputs agree to
-   bf16-rounding scale (~1e-2 relative), not f32 scale — recorded as-is.
+   bf16-rounding scale (~1e-2 relative), not f32 scale — recorded as-is;
+3. backward parity on real Mosaic: whole-model gradients through the
+   hand-written reverse-table Pallas backward (ops/pallas/ell_bwd.py)
+   vs the XLA backward ("never" dispatch), per conv — this is where the
+   in-kernel bf16 hi/lo idempotency and exact-compare contracts face the
+   actual hardware rounding instead of interpret-mode emulation.
 
 Run:  python experiments/tpu_verify.py
 """
@@ -106,6 +111,47 @@ def layer_parity(report):
               f"{'PASS' if rel <= tol_rel else 'FAIL'}", flush=True)
 
 
+def backward_parity(report):
+    """Whole-model grads: fused fwd + Pallas bwd vs the all-XLA backward,
+    on the chip.  Layer forwards under fused dispatch use one-pass bf16
+    epilogues, so gradient agreement is bf16-chain scale (like the layer
+    forward check), not f32 scale; what this catches is STRUCTURAL
+    breakage (mis-routed extrema, broken compares, window bugs) which
+    shows up as O(1) relative error, far above tolerance."""
+    for conv in ("pna", "gin", "sage", "gcn"):
+        graphs, batches = canonical_batches(
+            "qm9", n_graphs=512, batch_size=256, node_multiple=256,
+        )
+        b = batches[0]
+        model = canonical_model(conv, "qm9", graphs=graphs)
+        params = model.init(jax.random.PRNGKey(0), b)
+
+        def loss(p):
+            out = model.apply(p, b)
+            return (out * out).sum()
+
+        dispatch.set_fused_mode("never")
+        g_ref = jax.jit(jax.grad(loss))(params)
+        dispatch.set_fused_mode("auto")
+        t0 = time.time()
+        g_fused = jax.jit(jax.grad(loss))(params)
+        dt = time.time() - t0
+        worst = 0.0
+        for a, r in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+            a, r = np.asarray(a), np.asarray(r)
+            worst = max(
+                worst,
+                float(np.abs(a - r).max() / (np.abs(r).max() + 1e-9)),
+            )
+        tol_rel = 0.05
+        report["backward"][conv] = {
+            "worst_param_rel": worst, "tol_rel": tol_rel,
+            "pass": bool(worst <= tol_rel), "compile_s": round(dt, 1),
+        }
+        print(f"backward {conv}: worst rel={worst:.3e} "
+              f"{'PASS' if worst <= tol_rel else 'FAIL'}", flush=True)
+
+
 def main():
     assert jax.default_backend() == "tpu", jax.devices()
     report = {
@@ -113,11 +159,13 @@ def main():
         "jax": jax.__version__,
         "agg_kernel": {},
         "layer": {},
+        "backward": {},
     }
     agg_kernel_parity(report)
     layer_parity(report)
+    backward_parity(report)
     report["all_pass"] = all(
-        v["pass"] for sec in ("agg_kernel", "layer")
+        v["pass"] for sec in ("agg_kernel", "layer", "backward")
         for v in report[sec].values()
     )
     os.makedirs(os.path.dirname(OUT), exist_ok=True)

@@ -89,6 +89,14 @@ def bench_tpu(
     out["best_batch_size"] = best
     out["graphs_per_s"] = out[f"graphs_per_s_b{best}"]
     out["edges_per_s"] = out[f"edges_per_s_b{best}"]
+    # energy: no power telemetry through the relay (bench/energy.py), so
+    # report the TDP-derived upper bound, explicitly suffixed _bound
+    from gnnbuilder_tpu.bench.energy import TPU_TDP_W, energy_bound_j_per_graph
+
+    out["energy_j_per_graph_bound"] = energy_bound_j_per_graph(
+        1.0 / out["graphs_per_s"], TPU_TDP_W
+    )
+    out["energy_tdp_w_assumed"] = TPU_TDP_W
     return out
 
 
@@ -125,12 +133,38 @@ def bench_torch_cpu(
     with torch.no_grad():
         for tx, tei in tensors[:4]:  # warmup
             tmodel(tx, tei, num_graphs=1)
+        from gnnbuilder_tpu.bench.energy import (
+            CPU_TDP_W,
+            cpu_energy_j,
+            energy_bound_j_per_graph,
+        )
+
+        def loop():
+            for _ in range(reps):
+                for tx, tei in tensors:
+                    tmodel(tx, tei, num_graphs=1)
+
+        measured = cpu_energy_j(loop)  # RAPL when exposed (bare metal)
+        if measured is not None:
+            _, joules, dt_total = measured
+            dt = dt_total / (reps * len(tensors))
+            e_per_graph = joules / (reps * len(tensors))
+            return {
+                "latency_s": dt,
+                "graphs_per_s": 1.0 / dt,
+                "energy_j_per_graph": e_per_graph,  # measured (RAPL)
+                "energy_w_avg": joules / dt_total,
+            }
         t0 = time.perf_counter()
-        for _ in range(reps):
-            for tx, tei in tensors:
-                tmodel(tx, tei, num_graphs=1)
+        loop()
         dt = (time.perf_counter() - t0) / (reps * len(tensors))
-    return {"latency_s": dt, "graphs_per_s": 1.0 / dt}
+    return {
+        "latency_s": dt,
+        "graphs_per_s": 1.0 / dt,
+        # no RAPL in this VM (bench/energy.py): TDP-derived upper bound
+        "energy_j_per_graph_bound": energy_bound_j_per_graph(dt, CPU_TDP_W),
+        "energy_tdp_w_assumed": CPU_TDP_W,
+    }
 
 
 _BACKENDS = {"tpu": bench_tpu, "torch_cpu": bench_torch_cpu}
