@@ -81,7 +81,7 @@ def agg_kernel_parity(report):
 
 
 def layer_parity(report):
-    for conv in ("pna", "gin", "sage", "gcn"):
+    for conv in ("pna", "gin", "sage", "gcn", "gat"):
         graphs, batches = canonical_batches(
             "qm9", n_graphs=512, batch_size=256, node_multiple=256,
         )
@@ -118,7 +118,7 @@ def backward_parity(report):
     forward check), not f32 scale; what this catches is STRUCTURAL
     breakage (mis-routed extrema, broken compares, window bugs) which
     shows up as O(1) relative error, far above tolerance."""
-    for conv in ("pna", "gin", "sage", "gcn"):
+    for conv in ("pna", "gin", "sage", "gcn", "gat"):
         graphs, batches = canonical_batches(
             "qm9", n_graphs=512, batch_size=256, node_multiple=256,
         )

@@ -430,6 +430,36 @@ class GATConv(nn.Module):
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
         n = g.num_nodes
         H, C = self.heads, self.out_channels
+
+        # fully-fused Pallas layer (projection + SDDMM logits + masked
+        # softmax + weighted sum + bias/skip/act, ops/pallas/gat_layer.py)
+        # — the conv the reference never implemented, fused.  concat mode
+        # only; per-head width must be MXU-aligned (input dim auto-pads).
+        if (
+            not self.is_initializing()
+            and self.concat
+            and (H * C) % 128 == 0
+        ):
+            from gnnbuilder_tpu.ops import dispatch
+            from gnnbuilder_tpu.ops.pallas.gat_layer import (
+                fused_gat_layer_vjp,
+            )
+
+            cfg = dispatch.fused_config(g, kind="layer")
+            if cfg is not None:
+                cfg.pop("mm", None)
+                p = self.variables["params"]
+                return fused_gat_layer_vjp(
+                    x, g.nbr_nodes, g.in_degree,
+                    p["lin"]["kernel"], p["att_src"], p["att_dst"],
+                    p["bias"], H,
+                    neg_slope=self.negative_slope,
+                    self_loops=self.add_self_loops,
+                    skip=skip, act=act,
+                    mm="bf16" if not cfg.get("interpret") else "f32",
+                    **cfg,
+                )
+
         h = self.lin(x).reshape(n, H, C)
         a_src = jnp.sum(h * self.att_src, axis=-1)  # [N, H]
         a_dst = jnp.sum(h * self.att_dst, axis=-1)  # [N, H]

@@ -1,0 +1,400 @@
+"""Fused GAT layer kernel — attention message passing in one pass.
+
+The reference left GAT as ``// TODO: GAT layer`` (gnn_builder_lib.h:2343);
+this is not only implemented (nn/conv.py::GATConv, XLA paths) but fused:
+one Pallas kernel per layer computes
+
+    h        = x @ W                      (tile + DMA'd window, so the
+                                           projected features never hit HBM)
+    a_src    = h @ A_src  (block-diag)    (per-head logit halves as MXU
+    a_dst    = h @ A_dst   [H*C, H])       matmuls — no 3-D reshapes)
+    G        = onehot_stack @ [h || a_src]  (one split2 gather pair for all
+                                             slots: values + logit halves)
+    logit_w  = leaky_relu(G_as + a_dst)   masked to -BIG on pad slots
+    m        = max(max_w logit_w, self_logit)        (two-pass softmax)
+    num/den  = sum_w exp(logit_w - m) * [G_h | 1]  + self terms
+    out      = act(num / den + bias [+ skip])
+
+PyG GATConv semantics with add_self_loops=True handled analytically (the
+self edge is an extra softmax slot, never materialized).  Multi-head
+works without 3-D tensors: per-head scalar columns [TN, H] broadcast onto
+the [TN, H*C] value lanes through a constant expansion matmul
+(E [H, H*C], E[h, h*C:(h+1)*C] = 1) — everything stays 2-D MXU work.
+
+Constraints (dispatcher falls back to XLA otherwise): concat mode,
+Fin % 128 == 0 (auto-padding in the _auto wrapper), (H*C) % 128 == 0,
+standard window preconditions.  Backward: XLA-recompute custom VJP (the
+softmax backward needs alpha residuals; a hand-written reverse-table
+version can swap in under the same API later).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnnbuilder_tpu.ops.pallas.pna_layer import (
+    _ACTS,
+    _BIG,
+    _dot_mm,
+    _pad_cols,
+    _pad_rows,
+    _rup,
+    _schedule,
+    _stack_ids,
+    supports,
+)
+
+__all__ = ["fused_gat_layer", "fused_gat_layer_vjp", "gat_layer_reference"]
+
+
+def _head_matrices(att_src, att_dst, heads, C):
+    """[1, H, C] attention vectors -> block-diagonal [H*C, H] matmul
+    operands (column h holds att[h] in rows h*C:(h+1)*C), plus the constant
+    [H, H*C] broadcast-expansion matrix.  Traceable (att params carry
+    gradients through the block-diag construction)."""
+    eye = jnp.eye(heads, dtype=jnp.float32)             # [H, H]
+
+    def blockdiag(att):
+        a = att.reshape(heads, C)                       # [H, C]
+        # [H, C, H]: slice h has a[h] in column h, zero elsewhere
+        return (a[:, :, None] * eye[:, None, :]).reshape(heads * C, heads)
+
+    expand = jnp.asarray(
+        np.repeat(np.eye(heads, dtype=np.float32), C, axis=1)
+    )                                                   # [H, H*C]
+    return blockdiag(att_src), blockdiag(att_dst), expand
+
+
+def _kernel(
+    sws_ref,     # scalar prefetch: [N/TNS] window start per sub-tile
+    x_hbm,       # [N, Fin] ANY — windowed neighbor reads
+    x_ref,       # [TN, Fin] VMEM — receiver rows
+    ids_ref,     # [W*TN, 1] int32 localized stacked slot ids (-1 = pad)
+    deg_ref,     # [TN, 1] int32
+    w_ref,       # [Fin, H*C] projection
+    as_ref,      # [H*C, H] block-diag att_src
+    ad_ref,      # [H*C, H] block-diag att_dst
+    ex_ref,      # [H, H*C] head -> lanes expansion
+    b_ref,       # [1, H*C] bias
+    *rest,       # ([skip_ref], out_ref, x_win[2,TWS,Fin], dma_sem[2])
+    W: int,
+    TNS: int,
+    TWS: int,
+    heads: int,
+    neg_slope: float,
+    self_loops: bool,
+    gather_mode: str,
+    mm: str,
+    act: Optional[str],
+    has_skip: bool,
+):
+    if has_skip:
+        skip_ref, out_ref, x_win, dma_sem = rest
+    else:
+        out_ref, x_win, dma_sem = rest
+        skip_ref = None
+
+    i = pl.program_id(0)
+    nt = pl.num_programs(0)
+    TN = x_ref.shape[0]
+    HC = w_ref.shape[1]
+    KT = TN // TNS
+    dot = _dot_mm(mm)
+    H = heads
+
+    def win_copy(j, buf):
+        start = pl.multiple_of(sws_ref[j], 8)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, TWS), :], x_win.at[buf], dma_sem.at[buf]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        win_copy(0, 0).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W * TNS, TWS), 1)
+
+    def lrelu(z):
+        return jnp.where(z >= 0, z, neg_slope * z)
+
+    def sub_tile(k, carry):
+        j = i * KT + k
+        buf = jax.lax.rem(j, 2)
+        win_copy(j, buf).wait()
+
+        @pl.when(j + 1 < nt * KT)
+        def _():
+            win_copy(j + 1, jax.lax.rem(j + 1, 2)).start()
+
+        rows = pl.multiple_of(k * TNS, 8)
+        hwin = dot(x_win[buf], w_ref[:])                 # [TWS, HC]
+        # per-head source-logit halves: exact HIGHEST (the att reduction
+        # is the numerically touchy part of GAT)
+        aswin = jnp.dot(hwin, as_ref[:],
+                        preferred_element_type=jnp.float32)  # [TWS, H]
+        x_sub = x_ref[pl.ds(rows, TNS), :]
+        h_sub = dot(x_sub, w_ref[:])                     # [TNS, HC]
+        ad_sub = jnp.dot(h_sub, ad_ref[:],
+                         preferred_element_type=jnp.float32)  # [TNS, H]
+
+        # one stacked gather for values + logit halves
+        payload = jnp.concatenate([hwin, aswin], axis=-1)   # [TWS, HC+H]
+        ids = ids_ref[pl.ds(pl.multiple_of(k * W * TNS, 8), W * TNS), :]
+        ohb = ids == lane
+        if gather_mode == "highest":
+            G = jnp.dot(
+                ohb.astype(jnp.float32), payload,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            oh = ohb.astype(jnp.bfloat16)
+            ph = payload.astype(jnp.bfloat16)
+            plo = (payload - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+            bdot = lambda m_, v_: jnp.dot(
+                m_, v_, preferred_element_type=jnp.float32
+            )
+            G = bdot(oh, ph) + bdot(oh, plo)             # [W*TNS, HC+H]
+
+        deg = deg_ref[pl.ds(rows, TNS), :]               # [TNS, 1]
+
+        # pass 1: per-head max logit (softmax stability)
+        m = jnp.full((TNS, H), -_BIG, jnp.float32)
+        for w in range(W):
+            g_as = G[w * TNS : (w + 1) * TNS, HC:]       # [TNS, H]
+            logit = lrelu(g_as + ad_sub)
+            logit = jnp.where(w < deg, logit, -_BIG)
+            m = jnp.maximum(m, logit)
+        if self_loops:
+            self_logit = lrelu(
+                jnp.dot(h_sub, as_ref[:],
+                        preferred_element_type=jnp.float32) + ad_sub
+            )                                            # [TNS, H]
+            m = jnp.maximum(m, self_logit)
+        m = jnp.maximum(m, -_BIG * 0.5)  # empty rows: keep exp finite
+
+        # pass 2: exp-weighted accumulation
+        den = jnp.zeros((TNS, H), jnp.float32)
+        num = jnp.zeros((TNS, HC), jnp.float32)
+        for w in range(W):
+            blk = G[w * TNS : (w + 1) * TNS, :]
+            g_h = blk[:, :HC]
+            g_as = blk[:, HC:]
+            logit = lrelu(g_as + ad_sub)
+            e = jnp.where(w < deg, jnp.exp(logit - m), 0.0)  # [TNS, H]
+            den = den + e
+            # broadcast per-head e onto the H*C value lanes (2-D matmul
+            # against the constant expansion — no 3-D reshapes in Mosaic)
+            e_l = jnp.dot(e, ex_ref[:],
+                          preferred_element_type=jnp.float32)  # [TNS, HC]
+            num = num + e_l * g_h
+        if self_loops:
+            e_s = jnp.exp(self_logit - m)
+            den = den + e_s
+            num = num + jnp.dot(
+                e_s, ex_ref[:], preferred_element_type=jnp.float32
+            ) * h_sub
+
+        den_l = jnp.dot(jnp.maximum(den, 1e-16), ex_ref[:],
+                        preferred_element_type=jnp.float32)
+        o = num / den_l + b_ref[:]
+        if has_skip:
+            o = o + skip_ref[pl.ds(rows, TNS), :]
+        out_ref[pl.ds(rows, TNS), :] = _ACTS[act](o)
+        return carry
+
+    jax.lax.fori_loop(0, KT, sub_tile, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "heads", "neg_slope", "self_loops", "tile_rows", "window_slack",
+        "interpret", "gather_mode", "mm", "act",
+    ),
+)
+def fused_gat_layer(
+    x,            # [N, Fin]
+    nbr_nodes,    # [N, W] int32
+    in_degree,    # [N] int32
+    w,            # [Fin, H*C]
+    att_src,      # [1, H, C]
+    att_dst,      # [1, H, C]
+    bias,         # [H*C]
+    heads: int,
+    neg_slope: float = 0.2,
+    self_loops: bool = True,
+    skip=None,
+    tile_rows: int = 512,
+    window_slack: int = 64,
+    interpret: bool = False,
+    gather_mode: str = "split2",
+    mm: str = "f32",
+    act: Optional[str] = None,
+):
+    N, Fin = x.shape
+    HC = w.shape[1]
+    C = HC // heads
+    W = nbr_nodes.shape[1]
+    TN = tile_rows
+    SL = window_slack
+    if not supports(N, TN, SL) and not interpret:
+        raise ValueError(f"fused_gat_layer preconditions failed: N={N}")
+    if act not in _ACTS:
+        raise ValueError(f"unsupported fused activation {act!r}")
+
+    TNS, TWS, sws = _schedule(N, TN, SL)
+    ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
+    deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
+    a_s, a_d, expand = _head_matrices(att_src, att_dst, heads, C)
+
+    has_skip = skip is not None
+    kern = functools.partial(
+        _kernel, W=W, TNS=TNS, TWS=TWS, heads=heads,
+        neg_slope=float(neg_slope), self_loops=self_loops,
+        gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
+    )
+
+    def blk(shape):
+        return pl.BlockSpec(shape, lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def vmem():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        blk((TN, Fin)),
+        blk((W * TN, 1)),
+        blk((TN, 1)),
+        vmem(), vmem(), vmem(), vmem(), vmem(),
+    ]
+    inputs = [
+        jnp.asarray(sws), x, x, ids_stack, deg2d,
+        w, a_s, a_d, expand, bias.reshape(1, -1),
+    ]
+    if has_skip:
+        in_specs.append(blk((TN, HC)))
+        inputs.append(skip)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(max(N // TN, 1),),
+        in_specs=in_specs,
+        out_specs=blk((TN, HC)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TWS, Fin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    flops = N * (2 * Fin * HC + 2 * W * TWS * (HC + heads)) * 2
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, HC), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(N * (Fin + HC)) * 4,
+            transcendentals=2 * N * W * heads,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+# --------------------------------------------------------------------------
+# XLA reference (for the custom VJP backward and for tests)
+# --------------------------------------------------------------------------
+
+
+def gat_layer_reference(x, nbr_nodes, in_degree, w, att_src, att_dst, bias,
+                        heads, neg_slope=0.2, self_loops=True, skip=None,
+                        act=None):
+    from gnnbuilder_tpu.ops import ell
+
+    N = x.shape[0]
+    C = w.shape[1] // heads
+    h = (x @ w).reshape(N, heads, C)
+    a_src = jnp.sum(h * att_src, axis=-1)
+    a_dst = jnp.sum(h * att_dst, axis=-1)
+    lt = jax.nn.leaky_relu(
+        ell.ell_gather(a_src, nbr_nodes) + a_dst[:, None, :], neg_slope
+    )
+    vt = ell.ell_gather(h, nbr_nodes)
+    mask = ell.ell_mask(nbr_nodes, in_degree)
+    if self_loops:
+        self_logit = jax.nn.leaky_relu(a_src + a_dst, neg_slope)
+        out = ell.ell_softmax_sum(lt, vt, mask, self_logit, h)
+    else:
+        out = ell.ell_softmax_sum(lt, vt, mask)
+    out = out.reshape(N, heads * C) + bias
+    if skip is not None:
+        out = out + skip
+    return _ACTS[act](out)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
+                 interpret, gather_mode, mm, act, has_skip):
+    @jax.custom_vjp
+    def f(x, nbr, deg, skip, w, att_src, att_dst, bias):
+        return fused_gat_layer(
+            x, nbr, deg, w, att_src, att_dst, bias, heads,
+            neg_slope=neg_slope, self_loops=self_loops,
+            skip=skip if has_skip else None,
+            tile_rows=tile_rows, window_slack=window_slack,
+            interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+        )
+
+    def fwd(x, nbr, deg, skip, *p):
+        return f(x, nbr, deg, skip, *p), (x, nbr, deg, skip, p)
+
+    def bwd(res, ct):
+        x, nbr, deg, skip, p = res
+        _, vjp = jax.vjp(
+            lambda xx, sk, *pp: gat_layer_reference(
+                xx, nbr, deg, *pp, heads, neg_slope=neg_slope,
+                self_loops=self_loops, skip=sk if has_skip else None,
+                act=act,
+            ),
+            x, skip, *p,
+        )
+        grads = vjp(ct)
+        zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        dskip = grads[1] if has_skip else jnp.zeros_like(skip)
+        return (grads[0], zero_i(nbr), zero_i(deg), dskip) + grads[2:]
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_gat_layer_vjp(
+    x, nbr_nodes, in_degree, w, att_src, att_dst, bias, heads,
+    neg_slope=0.2, self_loops=True, skip=None,
+    tile_rows=512, window_slack=64, interpret=False,
+    gather_mode="split2", mm="f32", act=None,
+):
+    """Differentiable fused GAT layer (Pallas fwd, XLA-reference bwd).
+
+    Auto-pads an unaligned INPUT dim to MXU lanes (zero x lanes feed zero
+    W rows — inert); the per-head width H*C must already be 128-aligned
+    (the dispatcher checks)."""
+    N, Fin = x.shape
+    Fin_p = _rup(Fin)
+    if Fin_p != Fin:
+        x = _pad_cols(x, Fin_p)
+        w = _pad_rows(w, Fin_p)
+    has_skip = skip is not None
+    fn = _make_vjp_fn(
+        heads, float(neg_slope), self_loops, tile_rows, window_slack,
+        interpret, gather_mode, mm, act, has_skip,
+    )
+    skip_in = skip if has_skip else jnp.zeros((N, w.shape[1]), x.dtype)
+    return fn(x, nbr_nodes, in_degree.astype(jnp.int32), skip_in,
+              w, att_src, att_dst, bias)

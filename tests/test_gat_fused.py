@@ -1,0 +1,116 @@
+"""Fused GAT layer kernel vs the XLA reference (interpret mode).
+
+The reference TODO'd GAT entirely (gnn_builder_lib.h:2343); here it is
+both implemented (nn/conv.py::GATConv) and fused
+(ops/pallas/gat_layer.py).  These tests pin the fused kernel against the
+ELL XLA path: forward parity across head counts / self-loop modes /
+skip+activation epilogues, gradient flow through the custom VJP, and the
+dispatch gate at the conv level.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gnnbuilder_tpu.core.graph import build_graph_batch
+from gnnbuilder_tpu.ops.pallas.gat_layer import (
+    fused_gat_layer_vjp,
+    gat_layer_reference,
+)
+
+
+class _G:
+    def __init__(self, n, e, rng, F=8):
+        self.x = rng.standard_normal((n, F)).astype(np.float32)
+        self.edge_index = rng.integers(0, n, size=(2, e))
+        self.edge_attr = None
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(13)
+    gs = [_G(int(rng.integers(3, 12)), int(rng.integers(4, 20)), rng)
+          for _ in range(9)]
+    b = build_graph_batch(gs)
+    deg = np.asarray(b.in_degree)[np.asarray(b.node_mask)]
+    assert (deg == 0).any()  # empty receivers exercised
+    return b
+
+
+def _params(rng, F, H, C):
+    r = lambda *s, sc=0.3: jnp.asarray(
+        rng.standard_normal(s).astype(np.float32) * sc
+    )
+    return dict(
+        w=r(F, H * C), att_src=r(1, H, C), att_dst=r(1, H, C),
+        bias=r(H * C, sc=0.1),
+    )
+
+
+@pytest.mark.parametrize("heads,C", [(1, 16), (4, 8), (2, 12)])
+@pytest.mark.parametrize("self_loops", [True, False])
+def test_forward_parity(batch, heads, C, self_loops):
+    b = batch
+    rng = np.random.default_rng(heads)
+    p = _params(rng, b.node_feat.shape[1], heads, C)
+    got = fused_gat_layer_vjp(
+        b.node_feat, b.nbr_nodes, b.in_degree, **p, heads=heads,
+        self_loops=self_loops, tile_rows=b.num_nodes, window_slack=0,
+        interpret=True, act="relu",
+    )
+    ref = gat_layer_reference(
+        b.node_feat, b.nbr_nodes, b.in_degree, p["w"], p["att_src"],
+        p["att_dst"], p["bias"], heads, self_loops=self_loops, act="relu",
+    )
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_skip_and_grads(batch):
+    b = batch
+    H, C = 2, 16
+    rng = np.random.default_rng(0)
+    p = _params(rng, b.node_feat.shape[1], H, C)
+    skip = jnp.asarray(
+        rng.standard_normal((b.num_nodes, H * C)).astype(np.float32)
+    )
+
+    def loss_fused(pp):
+        return (fused_gat_layer_vjp(
+            b.node_feat, b.nbr_nodes, b.in_degree, **pp, heads=H,
+            skip=skip, act="tanh", tile_rows=b.num_nodes, window_slack=0,
+            interpret=True) ** 2).sum()
+
+    def loss_ref(pp):
+        return (gat_layer_reference(
+            b.node_feat, b.nbr_nodes, b.in_degree, pp["w"], pp["att_src"],
+            pp["att_dst"], pp["bias"], H, skip=skip, act="tanh") ** 2).sum()
+
+    gf = jax.grad(loss_fused)(p)
+    gr = jax.grad(loss_ref)(p)
+    for k in p:
+        rel = float(jnp.abs(gf[k] - gr[k]).max()
+                    / (jnp.abs(gr[k]).max() + 1e-9))
+        assert rel < 1e-4, (k, rel)
+
+
+def test_conv_dispatch_parity(batch):
+    """GATConv routes through the fused kernel under 'always' dispatch
+    (aligned head width) and matches the XLA path."""
+    from gnnbuilder_tpu.nn.conv import GATConv
+    from gnnbuilder_tpu.ops import dispatch
+
+    b = batch
+    conv = GATConv(in_channels=b.node_feat.shape[1], out_channels=128,
+                   heads=1)
+    params = conv.init(jax.random.PRNGKey(0), b, b.node_feat)
+    mode = dispatch.get_fused_mode()
+    try:
+        dispatch.set_fused_mode("never")
+        ref = conv.apply(params, b, b.node_feat)
+        dispatch.set_fused_mode("always")
+        got = conv.apply(params, b, b.node_feat)
+    finally:
+        dispatch.set_fused_mode(mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
