@@ -54,9 +54,10 @@ def main():
             max_graphs=b.num_graphs,
         )
         p.init_params(b)
-        f = p.compile(b)
-        dt = marginal_time(f, p.params, b, n_lo=n_lo, n_hi=n_hi,
-                           repeats=repeats)
+        # chained-call marginal timing (Program.benchmark): independent
+        # repeated calls overlap/elide through the relay — fast configs
+        # would otherwise report impossible >roofline numbers
+        dt = p.benchmark(b, iters=n_hi, repeats=repeats)["latency_s"]
         if return_info:
             real_edges = int(np.asarray(b.edge_mask).sum())
             return dt, (p, b, real_edges)

@@ -73,13 +73,10 @@ def bench_tpu(
             max_graphs=b.num_graphs,
         )
         prog.init_params(b)
-        fwd = prog.compile(b)
-        # relay noise ~50-100 us per fence: small/fast configs need a wide
-        # call-count gap for the marginal difference to resolve
-        n_lo, n_hi = (20, 20 + max(iters * 5, 100)) if bs <= 8 else (5, iters)
-        dt = marginal_time(
-            fwd, prog.params, b, n_lo=n_lo, n_hi=n_hi, repeats=3
-        )
+        # chained-call marginal timing (Program.benchmark): independent
+        # repeated calls overlap/elide through the relay and can report
+        # impossible >peak numbers for fast configs
+        dt = prog.benchmark(b, iters=max(iters, 12), repeats=3)["latency_s"]
         real_edges = int(np.asarray(b.edge_mask).sum())
         out[f"latency_b{bs}_s"] = dt
         out[f"graphs_per_s_b{bs}"] = bs / dt

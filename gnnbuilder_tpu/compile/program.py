@@ -237,6 +237,42 @@ class Program:
             exp = jexport.deserialize(f.read())
         return exp.call
 
+    def export_bundle(self, dirpath: str,
+                      example_batch: Optional[GraphBatch] = None) -> str:
+        """Self-contained deployable directory: the StableHLO artifact plus
+        the trained parameters — everything a serving process needs
+        (serve.GNNServer.from_bundle), no model definition required.  The
+        full analog of the reference's shipped .xclbin + parameter binaries
+        (code_gen.py:457-489 + :239-246)."""
+        import os as _os
+        import pickle as _pickle
+
+        _os.makedirs(dirpath, exist_ok=True)
+        self.export(_os.path.join(dirpath, "model.stablehlo"), example_batch)
+        flat, treedef = jax.tree_util.tree_flatten(self.params)
+        np.savez(
+            _os.path.join(dirpath, "params.npz"),
+            **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)},
+        )
+        with open(_os.path.join(dirpath, "params.treedef"), "wb") as f:
+            _pickle.dump(treedef, f)
+        return dirpath
+
+    @staticmethod
+    def load_bundle(dirpath: str):
+        """(call, params) from an export_bundle directory."""
+        import os as _os
+        import pickle as _pickle
+
+        call = Program.load_exported(
+            _os.path.join(dirpath, "model.stablehlo")
+        )
+        with open(_os.path.join(dirpath, "params.treedef"), "rb") as f:
+            treedef = _pickle.load(f)
+        z = np.load(_os.path.join(dirpath, "params.npz"))
+        flat = [jnp.asarray(z[f"p{i}"]) for i in range(len(z.files))]
+        return call, jax.tree_util.tree_unflatten(treedef, flat)
+
     # ---------------------------------------------------------------- verify
     def gen_testbench_data(self, graphs, out_dir: str, max_graphs=None):
         """Serialize params + per-graph goldens in the reference's binary
@@ -293,25 +329,66 @@ class Program:
             pass
         return out
 
+    def _chained_fn(self):
+        """Forward step whose input depends on the previous call's output:
+        independent repeated calls through the relay overlap (or elide)
+        entirely and can report impossible >peak numbers; chaining forces
+        true serialization, so the marginal is the real per-call time."""
+        model = self.model
+        prec = self.precision
+        scales = self.int8_scales
+
+        @jax.jit
+        def step(params, batch: GraphBatch, carry):
+            # the 1e-30-scaled carry keeps a REAL data dependence without
+            # perturbing numerics (0 * carry would constant-fold away)
+            batch = batch.with_node_feat(
+                batch.node_feat + carry.astype(batch.node_feat.dtype) * 1e-30
+            )
+            if prec.name == "bf16":
+                params = prec.cast_params(params)
+                batch = batch.with_node_feat(
+                    batch.node_feat.astype(jnp.bfloat16)
+                )
+            with prec.activate():
+                if scales:
+                    from gnnbuilder_tpu.ops.quant import calibration
+
+                    with calibration(scales=scales):
+                        out = model.apply(params, batch)
+                else:
+                    out = model.apply(params, batch)
+            return jnp.sum(out.astype(jnp.float32))
+
+        return step
+
     def benchmark(
         self, batch: GraphBatch, iters: int = 25, repeats: int = 1
     ) -> dict:
         """Measured wall-clock per forward call — the analog of the C-sim
-        testbench timing loop (model_tb.cpp.jinja:167-204).  Uses marginal
-        timing (bench/timing.py) because block_until_ready is unreliable on
-        relayed TPU backends; ``repeats`` takes the median of that many
-        marginal estimates (relay noise at sub-ms calls is 2-3x)."""
+        testbench timing loop (model_tb.cpp.jinja:167-204).  Chains calls
+        (output feeds the next input) and uses marginal timing
+        (bench/timing.py): through the relayed TPU backend,
+        block_until_ready returns at enqueue and INDEPENDENT repeated
+        calls overlap or elide entirely; ``repeats`` takes the median of
+        that many marginal estimates (relay noise at sub-ms calls is
+        2-3x)."""
         from gnnbuilder_tpu.bench.timing import marginal_time
 
-        fwd = self.compile(batch)
-        dt = marginal_time(fwd, self.params, batch, n_hi=iters,
-                           repeats=repeats)
-        if dt < 50e-6:
-            # sub-resolution through the relay jitter (~50-100 us per
-            # fence): widen the call-count gap until the marginal resolves
-            dt = marginal_time(
-                fwd, self.params, batch, n_lo=20, n_hi=140, repeats=3
-            )
+        if self.params is None:
+            self.init_params(batch)
+        key = ("chain",)
+        if key not in self._compiled:
+            self._compiled[key] = self._chained_fn()
+        step = self._compiled[key]
+        carry = {"c": jnp.zeros(())}
+
+        def call():
+            carry["c"] = step(self.params, batch, carry["c"])
+            return carry["c"]
+
+        call()  # compile
+        dt = marginal_time(call, n_hi=iters, repeats=max(repeats, 3))
         real_graphs = int(np.asarray(batch.graph_mask).sum())
         real_edges = int(np.asarray(batch.edge_mask).sum())
         return {

@@ -144,6 +144,19 @@ class GNNServer:
         )
 
     @classmethod
+    def from_bundle(cls, dirpath: str, **kw) -> "GNNServer":
+        """Serve a ``Program.export_bundle`` directory (artifact + params
+        — fully self-contained, the shipped-.xclbin-plus-weights analog)."""
+        import os
+
+        from gnnbuilder_tpu.compile.program import Program
+
+        _, params = Program.load_bundle(dirpath)
+        return cls.from_artifact(
+            os.path.join(dirpath, "model.stablehlo"), params, **kw
+        )
+
+    @classmethod
     def from_artifact(cls, path: str, params, **kw) -> "GNNServer":
         """Serve a ``Program.export`` artifact: no model definition or
         framework compile step needed at load time (the .xclbin analog)."""

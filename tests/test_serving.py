@@ -57,6 +57,18 @@ def test_server_from_artifact(tmp_path, setup):
     np.testing.assert_allclose(preds, direct, rtol=2e-5, atol=2e-5)
 
 
+def test_server_from_bundle(tmp_path, setup):
+    """Self-contained deployable directory: artifact + params round trip
+    through a fresh server with nothing but the path."""
+    graphs, prog = setup
+    d = str(tmp_path / "bundle")
+    prog.export_bundle(d, prog.batch(graphs[:4]))
+    direct = np.asarray(prog.forward(prog.batch(graphs[:3])))[:3]
+    with GNNServer.from_bundle(d) as server:
+        preds = server.predict(graphs[:3])
+    np.testing.assert_allclose(preds, direct, rtol=2e-5, atol=2e-5)
+
+
 def test_server_overflow_splits_batches(setup):
     graphs, prog = setup
     # budget of 8 real graphs per batch; 20 requests must split into >= 3
