@@ -116,7 +116,17 @@ def _molecule_like_graph(rng: np.random.Generator, spec: DatasetSpec) -> Graph:
             dtype=np.float32,
         )
     else:
-        y = np.array([float(rng.integers(0, 2))], dtype=np.float32)
+        # structural label (size + ring density above dataset mean), flipped
+        # with 15% noise: learnable like real activity labels, so end-to-end
+        # classification results (ROC-AUC tables) measure the model, not a
+        # coin flip.  Bernoulli draw keeps the old rng call count.
+        signal = float(n) / spec.mean_nodes - 1.0 + 0.5 * (
+            n_rings / max(n / 12.0, 0.1) - 1.0
+        )
+        label = float(signal > 0.0)
+        if rng.random() < 0.15:
+            label = 1.0 - label
+        y = np.array([label], dtype=np.float32)
     return Graph(x=x, edge_index=edge_index, edge_attr=edge_attr, y=y)
 
 
