@@ -547,6 +547,11 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret)
 
+    def _scatter_ok(n, f):
+        from gnnbuilder_tpu.ops.pallas.scatter_bwd import supports_scatter
+
+        return supports_scatter(n, tile_rows, window_slack, f, 7)
+
     @jax.custom_vjp
     def f(x, nbr, deg, rev_nbr, out_deg, skip,
           w_pre, b_pre, k_post, b_post, w_lin, b_lin):
@@ -557,7 +562,10 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
         )
 
     def fwd(x, nbr, deg, rev_nbr, out_deg, skip, *p):
-        if has_rev:
+        # hand-written backward whenever either kernel applies: the
+        # forward-table scatter kernel (scatter_bwd.py, no reverse tables
+        # needed) or the reverse-table gather kernel (ell_bwd.py)
+        if has_rev or _scatter_ok(x.shape[0], p[0].shape[1]):
             out, v, agg_cat, aux = fused_pna_layer(
                 x, nbr, deg, *p, delta, skip=skip if has_skip else None,
                 gather_mode=gather_mode, mm=mm, act=act, save_res=True,
@@ -573,9 +581,12 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
     def bwd(res, ct):
         x, nbr, deg, rev_nbr, out_deg, skip, p, saved = res
         zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-        if has_rev:
+        if saved is not None:
             from gnnbuilder_tpu.ops.pallas.ell_bwd import (
                 fused_gather_backward,
+            )
+            from gnnbuilder_tpu.ops.pallas.scatter_bwd import (
+                fused_scatter_backward,
             )
 
             w_pre, b_pre, k_post, b_post, w_lin, b_lin = p
@@ -619,12 +630,14 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
                 [c_lin, c_a, c_a * mean_raw, mx_raw, c_mx, mn_raw, c_mn],
                 axis=-1,
             )
-            dv = fused_gather_backward(
-                cstk, rev_nbr, out_deg, v=v,
-                has_lin=True, has_dev=True, n_cmp=2,
-                fwd_gather_mode=gather_mode,
-                **cfg,
-            )
+            bwd_kw = dict(v=v, has_lin=True, has_dev=True, n_cmp=2,
+                          fwd_gather_mode=gather_mode, **cfg)
+            if _scatter_ok(x.shape[0], F):
+                # forward-table transpose scatter: no coefficient gathers,
+                # no reverse tables (scatter_bwd.py module docstring)
+                dv = fused_scatter_backward(cstk, nbr, deg, **bwd_kw)
+            else:
+                dv = fused_gather_backward(cstk, rev_nbr, out_deg, **bwd_kw)
 
             # pre_nn chains: u = x @ w_i + b_pre (receiver), v = x @ w_j
             du = ct_mx + ct_mn + ct_mean
