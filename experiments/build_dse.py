@@ -108,6 +108,72 @@ def remeasure_outliers(top_n: int):
         w.writerows(rows)
 
 
+def remeasure_all():
+    """Replace EVERY latency label with fresh honest-protocol measurements.
+
+    The corpus accumulated rows under two timing protocols: the early
+    independent-repeated-call one (calls overlap/elide through the axon
+    relay and read 2-3x fast, CLAUDE.md) and the current chained-call
+    Program.benchmark.  Mixed-protocol labels are systematic, not noise —
+    no amount of model capacity or outlier patching fixes them, so stale
+    labels are DISCARDED rather than medianed with fresh ones.
+
+    Resume-safe: rows stamped protocol=chained are skipped on re-run and
+    the CSV is rewritten after every row."""
+    import csv
+
+    import numpy as np
+
+    from gnnbuilder_tpu.dse.measure import measure_config
+    from gnnbuilder_tpu.dse.model import rows_to_configs
+
+    with open(CSV) as f:
+        rows = list(csv.DictReader(f))
+    for r in rows:
+        r.setdefault("protocol", "")
+    cfgs = rows_to_configs(rows)
+    todo = [i for i, r in enumerate(rows) if r["protocol"] != "chained"]
+    print(f"re-measuring {len(todo)}/{len(rows)} rows (chained protocol)")
+    spreads = []
+
+    def flush():
+        with open(CSV, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+
+    for j, i in enumerate(todo):
+        r, cfg = rows[i], cfgs[i]
+        try:
+            ests = [
+                float(measure_config(cfg, dataset=r["dataset"],
+                                     iters=12)["latency_us"])
+                for _ in range(2)
+            ]
+        except Exception as e:  # noqa: BLE001
+            print(f"  [{j}] {r['conv']} h{r['gnn_hidden_dim']} "
+                  f"b{r['batch_size']}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+            continue
+        new = float(np.median(ests))
+        spread = (max(ests) - min(ests)) / new
+        spreads.append(spread)
+        bs = float(r["batch_size"])
+        print(f"  [{j}/{len(todo)}] {r['conv']} h{r['gnn_hidden_dim']} "
+              f"b{r['batch_size']} {r['dataset']}: "
+              f"{float(r['latency_us']):.0f} -> {new:.0f} us "
+              f"(spread {spread:.2f})", flush=True)
+        r["latency_us"] = repr(new)
+        r["latency_per_graph_us"] = repr(new / bs)
+        r["graphs_per_s"] = repr(bs / (new * 1e-6))
+        r["protocol"] = "chained"
+        flush()
+    if spreads:
+        print(f"fresh-label rel spread: median "
+              f"{float(np.median(spreads)):.3f} "
+              f"p90 {float(np.percentile(spreads, 90)):.3f}")
+
+
 def fit():
     import csv
 
@@ -172,9 +238,14 @@ def main():
     ap.add_argument("--fit-only", action="store_true")
     ap.add_argument("--remeasure-outliers", type=int, default=0,
                     help="re-measure the N worst CV-error rows, then fit")
+    ap.add_argument("--remeasure-all", action="store_true",
+                    help="re-measure EVERY row with the chained protocol "
+                         "(discard stale-protocol labels), then fit")
     args = ap.parse_args()
     os.makedirs(OUT_DIR, exist_ok=True)
-    if args.remeasure_outliers:
+    if args.remeasure_all:
+        remeasure_all()
+    elif args.remeasure_outliers:
         remeasure_outliers(args.remeasure_outliers)
     elif not args.fit_only:
         build(args.n, args.datasets.split(","), args.seed)
