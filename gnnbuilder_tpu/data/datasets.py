@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import zlib
 from typing import Optional
 
 import numpy as np
@@ -149,7 +150,10 @@ def load_dataset(
         if os.path.exists(path):
             return _load_npz(path, n)
     count = spec.num_graphs if n is None else min(n, spec.num_graphs)
-    rng = np.random.default_rng(seed + hash(name) % (2**31))
+    # zlib.crc32, NOT hash(): str hash is randomized per-process
+    # (PYTHONHASHSEED), which would make every synthetic dataset — and every
+    # results table built from one — irreproducible across runs
+    rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % (2**31))
     return [_molecule_like_graph(rng, spec) for _ in range(count)]
 
 

@@ -547,10 +547,11 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret)
 
-    def _scatter_ok(n, f):
+    def _scatter_ok(n, f, w):
         from gnnbuilder_tpu.ops.pallas.scatter_bwd import supports_scatter
 
-        return supports_scatter(n, tile_rows, window_slack, f, 7)
+        # n_terms=10: the raw-mode working set (d_agg 4F + aux 5F + std F)
+        return supports_scatter(n, tile_rows, window_slack, f, 10, w)
 
     @jax.custom_vjp
     def f(x, nbr, deg, rev_nbr, out_deg, skip,
@@ -565,7 +566,7 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
         # hand-written backward whenever either kernel applies: the
         # forward-table scatter kernel (scatter_bwd.py, no reverse tables
         # needed) or the reverse-table gather kernel (ell_bwd.py)
-        if has_rev or _scatter_ok(x.shape[0], p[0].shape[1]):
+        if has_rev or _scatter_ok(x.shape[0], p[0].shape[1], nbr.shape[1]):
             out, v, agg_cat, aux = fused_pna_layer(
                 x, nbr, deg, *p, delta, skip=skip if has_skip else None,
                 gather_mode=gather_mode, mm=mm, act=act, save_res=True,
@@ -586,7 +587,7 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
                 fused_gather_backward,
             )
             from gnnbuilder_tpu.ops.pallas.scatter_bwd import (
-                fused_scatter_backward,
+                fused_pna_scatter_backward,
             )
 
             w_pre, b_pre, k_post, b_post, w_lin, b_lin = p
@@ -621,23 +622,29 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
             ties_mn = aux[:, 4 * F : 5 * F]
             std_out = agg_cat[:, 3 * F : 4 * F]
 
-            c_lin = ct_mean / denom
-            c_a = ct_std / (denom * std_out)
-            c_mx = ct_mx / jnp.maximum(ties_mx, 1.0)
-            c_mn = ct_mn / jnp.maximum(ties_mn, 1.0)
-
-            cstk = jnp.concatenate(
-                [c_lin, c_a, c_a * mean_raw, mx_raw, c_mx, mn_raw, c_mn],
-                axis=-1,
-            )
-            bwd_kw = dict(v=v, has_lin=True, has_dev=True, n_cmp=2,
-                          fwd_gather_mode=gather_mode, **cfg)
-            if _scatter_ok(x.shape[0], F):
-                # forward-table transpose scatter: no coefficient gathers,
-                # no reverse tables (scatter_bwd.py module docstring)
-                dv = fused_scatter_backward(cstk, nbr, deg, **bwd_kw)
+            if _scatter_ok(x.shape[0], F, nbr.shape[1]):
+                # forward-table transpose scatter with the coefficient
+                # prep fused into the kernel: no cstk materialization, no
+                # coefficient gathers, no reverse tables
+                dv = fused_pna_scatter_backward(
+                    d_agg, aux, agg_cat, deg, nbr, v=v,
+                    fwd_gather_mode=gather_mode, **cfg,
+                )
             else:
-                dv = fused_gather_backward(cstk, rev_nbr, out_deg, **bwd_kw)
+                c_lin = ct_mean / denom
+                c_a = ct_std / (denom * std_out)
+                c_mx = ct_mx / jnp.maximum(ties_mx, 1.0)
+                c_mn = ct_mn / jnp.maximum(ties_mn, 1.0)
+                cstk = jnp.concatenate(
+                    [c_lin, c_a, c_a * mean_raw, mx_raw, c_mx, mn_raw,
+                     c_mn],
+                    axis=-1,
+                )
+                dv = fused_gather_backward(
+                    cstk, rev_nbr, out_deg, v=v,
+                    has_lin=True, has_dev=True, n_cmp=2,
+                    fwd_gather_mode=gather_mode, **cfg,
+                )
 
             # pre_nn chains: u = x @ w_i + b_pre (receiver), v = x @ w_j
             du = ct_mx + ct_mn + ct_mean

@@ -56,6 +56,7 @@ for compare-heavy aggregators (PNA), selected per-shape by the callers.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -71,10 +72,21 @@ from gnnbuilder_tpu.ops.pallas.pna_layer import (
     supports,
 )
 
-__all__ = ["fused_scatter_backward", "supports_scatter"]
+__all__ = [
+    "fused_scatter_backward",
+    "fused_pna_scatter_backward",
+    "supports_scatter",
+]
 
 # VMEM working-set budget (16 MB hardware, headroom for Mosaic spills)
 _VMEM_BUDGET = 10 * 1024 * 1024
+
+# Measured on v5e (full PNA train step b1024, median-of-5): unrolling the
+# sub-tile loop beats lax.fori_loop 6.62 vs 6.82 ms (Mosaic pipelines the
+# static schedule better); an explicitly-built row-layout scatter one-hot
+# (regular dots after a vector relayout of the ids) was no better than
+# dot_general with a transposed lhs, so the tdot form stays.
+_UNROLL = os.environ.get("GNNB_SCAT_UNROLL", "1") == "1"
 
 
 def supports_scatter(
@@ -83,6 +95,7 @@ def supports_scatter(
     window_slack: int,
     feature_dim: int = 128,
     n_terms: int = 7,
+    max_width: int = 8,
 ) -> bool:
     """Static preconditions for the scatter backward.  Beyond the shared
     window preconditions: real sub-tiling (slack > 0, 128-divisible
@@ -101,13 +114,14 @@ def supports_scatter(
         return False
     twb = tn + 4 * sl
     tws = tns + 2 * sl
-    f, k = feature_dim, n_terms
+    f, k, w = feature_dim, n_terms, max_width
     est = 4 * (
         2 * twb * f            # double-buffered v window
         + twb * f              # accumulator
         + 2 * tn * k * f       # pipelined cstk block
-        + 2 * tws * f          # S accumulator + gather temporaries
-        + tns * tws * 2        # one-hot pair
+        + 2 * tws * f          # S accumulator + scatter temporaries
+        + w * tns * tws        # slot-major one-hot (all W slots at once)
+        + 3 * w * tns * f      # g + C + one replicated coefficient block
     )
     return est <= _VMEM_BUDGET
 
@@ -115,15 +129,7 @@ def supports_scatter(
 def _kernel(
     offs_ref,    # scalar prefetch: [N/TNS] sub-window offset in tile window
     v_hbm,       # [N + 4*slack, F] ANY — zero-padded sender rows
-    cstk_ref,    # [TN, K*F] VMEM — receiver-row coefficient blocks
-    idc_ref,     # [W*TN, 1] int32 sub-window-localized slot ids (-1 = pad)
-    idr_ref,     # [1, W*TN] the same ids in row layout (scatter one-hots)
-    own_ref,     # [TN, F] out — window rows [2*slack, 2*slack + TN)
-    marg_ref,    # [1, 4*slack, F] out — left | right margin rows
-    v_win,       # scratch [2*TWB, F] double-buffered window
-    acc,         # scratch [TWB, F] f32 window accumulator
-    dma_sem,     # DMA semaphores (2,)
-    *,
+    *rest,       # coefficient inputs, ids input, outputs, scratch (below)
     W: int,
     TNS: int,
     TWS: int,
@@ -134,7 +140,25 @@ def _kernel(
     has_dev: bool,
     n_cmp: int,
     fwd_gather_mode: str,
+    raw_pna: bool,
 ):
+    if raw_pna:
+        # PNA raw mode: coefficients are computed IN VMEM from the saved
+        # residuals — no XLA prep pass, no 7F cstk HBM round-trip
+        (dagg_ref,   # [TN, 4F] epilogue-vjp cotangent of the agg concat
+         aux_ref,    # [TN, 5F] fwd-saved mx | mn | mean | ties_mx | ties_mn
+         std_ref,    # [TN, F] fwd std output (column block 3 of agg_cat)
+         degf_ref,   # [TN, 1] f32 in-degree
+         idc_ref, own_ref, marg_ref, v_win, acc, dma_sem) = rest
+    else:
+        (cstk_ref,   # [TN, K*F] precomputed receiver-row coefficient blocks
+         idc_ref,    # [W*TN, 1] int32 sub-window-localized ids (-1 = pad)
+         own_ref,    # [TN, F] out — window rows [2*slack, 2*slack + TN)
+         marg_ref,   # [1, 4*slack, F] out — left | right margin rows
+         v_win,      # scratch [2*TWB, F] double-buffered window
+         acc,        # scratch [TWB, F] f32 window accumulator
+         dma_sem,    # DMA semaphores (2,)
+         ) = rest
     i = pl.program_id(0)
     nt = pl.num_programs(0)
     TN = own_ref.shape[0]
@@ -162,9 +186,20 @@ def _kernel(
 
     acc[:] = jnp.zeros((TWB, F), jnp.float32)
 
-    lane_g = jax.lax.broadcasted_iota(jnp.int32, (TNS, TWS), 1)
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (TWS, TNS), 0)
+    # ALL W slots ride one tall one-hot [W*TNS, TWS] (slot-major rows, the
+    # _stack_ids layout): one gather matmul and one transposed scatter
+    # matmul per sub-tile instead of W small ones — 4x taller MXU operands
+    # and 1/W the matmul count.
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (W * TNS, TWS), 1)
     bdot = lambda m, x: jnp.dot(m, x, preferred_element_type=jnp.float32)
+    # scatter = the TRANSPOSE of the gather one-hot: contract over the
+    # slot dim (lhs dim 0) so no [TWS, W*TNS] row-layout one-hot (or a
+    # second ids input) is ever materialized
+    tdot = lambda m, x, **kw: jax.lax.dot_general(
+        m, x, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, **kw,
+    )
+    need_g = has_dev or n_cmp > 0
 
     def sub_tile(k, carry):
         j = i * KT + k
@@ -173,74 +208,101 @@ def _kernel(
         slot0 = pl.multiple_of(k * W * TNS, 8)
 
         sub = v_win[pl.ds(buf * TWB + off, TWS), :]          # [TWS, F]
-        cs = cstk_ref[pl.ds(rows, TNS), :]                   # [TNS, K*F]
         idc = idc_ref[pl.ds(slot0, W * TNS), :]              # [W*TNS, 1]
-        idr = idr_ref[:, pl.ds(slot0, W * TNS)]              # [1, W*TNS]
+        # receiver-row coefficient blocks replicated to slot-major rows
+        rep = lambda a: jnp.concatenate([a] * W, axis=0)     # [W*TNS, F]
 
         # per-receiver constant term (pad slots are killed by the zero
         # one-hot scatter column, so no validity mask is needed on C)
-        c0 = None
-        if has_lin:
-            c0 = cs[:, :LF]
-        if has_dev:
-            ca = cs[:, LF : LF + F]
-            ca_mean = cs[:, LF + F : LF + DF]
-            c0 = ca_mean * -1.0 if c0 is None else c0 - ca_mean
+        ca = None
+        cmp_terms = []
+        if raw_pna:
+            # same op order as the XLA prep in pna_layer.bwd — raw mode
+            # matches the cstk path to FMA-contraction ulps
+            da = dagg_ref[pl.ds(rows, TNS), :]
+            au = aux_ref[pl.ds(rows, TNS), :]
+            so = std_ref[pl.ds(rows, TNS), :]
+            dg = degf_ref[pl.ds(rows, TNS), :]
+            denom = jnp.maximum(dg, 1.0)
+            ne = dg > 0.0
+            ct_mx = jnp.where(ne, da[:, 0:F], 0.0)
+            ct_mn = jnp.where(ne, da[:, F : 2 * F], 0.0)
+            ct_mean = jnp.where(ne, da[:, 2 * F : 3 * F], 0.0)
+            c_lin = ct_mean / denom
+            ca = da[:, 3 * F : 4 * F] / (denom * so)
+            c0 = c_lin - ca * au[:, 2 * F : 3 * F]           # mean_raw
+            cmp_terms = [
+                (au[:, 0:F],
+                 ct_mx / jnp.maximum(au[:, 3 * F : 4 * F], 1.0)),
+                (au[:, F : 2 * F],
+                 ct_mn / jnp.maximum(au[:, 4 * F : 5 * F], 1.0)),
+            ]
+        else:
+            cs = cstk_ref[pl.ds(rows, TNS), :]               # [TNS, K*F]
+            c0 = None
+            if has_lin:
+                c0 = cs[:, :LF]
+            if has_dev:
+                ca = cs[:, LF : LF + F]
+                ca_mean = cs[:, LF + F : LF + DF]
+                c0 = ca_mean * -1.0 if c0 is None else c0 - ca_mean
+            for c in range(n_cmp):
+                cmp_terms.append((
+                    cs[:, LF + DF + 2 * c * F : LF + DF + (2 * c + 1) * F],
+                    cs[:, LF + DF + (2 * c + 1) * F
+                        : LF + DF + (2 * c + 2) * F],
+                ))
 
-        if fwd_gather_mode in ("split2", "bf16"):
-            sub_h = sub.astype(jnp.bfloat16)
-            sub_l = (
-                (sub - sub_h.astype(jnp.float32)).astype(jnp.bfloat16)
-                if fwd_gather_mode == "split2" else None
-            )
-
-        s_acc = jnp.zeros((TWS, F), jnp.float32)
-        for w in range(W):
-            ids_w = idc[w * TNS : (w + 1) * TNS, :]          # [TNS, 1]
-            oh = ids_w == lane_g                             # [TNS, TWS]
-            # re-gather the forward's message values bit-exactly
-            # (idempotent split2 reconstruction, module docstring)
-            if fwd_gather_mode == "highest":
+        oh = idc == lane_g                                   # [W*TNS, TWS]
+        # re-gather the forward's message values bit-exactly
+        # (idempotent split2 reconstruction, module docstring)
+        g = None
+        if fwd_gather_mode == "highest":
+            ohf = oh.astype(jnp.float32)
+            if need_g:
                 g = jnp.dot(
-                    oh.astype(jnp.float32), sub,
+                    ohf, sub,
                     preferred_element_type=jnp.float32, precision=_HI,
                 )
-            else:
-                ohb = oh.astype(jnp.bfloat16)
+        else:
+            ohb = oh.astype(jnp.bfloat16)
+            if need_g:
+                sub_h = sub.astype(jnp.bfloat16)
                 g = bdot(ohb, sub_h)
-                if sub_l is not None:
+                if fwd_gather_mode == "split2":
+                    sub_l = (sub - sub_h.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
                     g = g + bdot(ohb, sub_l)
 
-            C = c0 if c0 is not None else jnp.zeros((TNS, F), jnp.float32)
-            if has_dev:
-                C = C + ca * g
-            for c in range(n_cmp):
-                ref = cs[:, LF + DF + 2 * c * F : LF + DF + (2 * c + 1) * F]
-                coef = cs[
-                    :, LF + DF + (2 * c + 1) * F : LF + DF + (2 * c + 2) * F
-                ]
-                C = C + jnp.where(g == ref, coef, 0.0)
+        C = (
+            rep(c0) if c0 is not None
+            else jnp.zeros((W * TNS, F), jnp.float32)
+        )
+        if has_dev:
+            C = C + rep(ca) * g
+        for ref, coef in cmp_terms:
+            C = C + jnp.where(g == rep(ref), rep(coef), 0.0)
 
-            # scatter precision is independent of the gather domain: like
-            # the gather backward, gradient SUMS stay at split-f32 accuracy
-            # even under the bf16 policy (only compares/deviations live in
-            # the bf16 message domain)
-            oht = lane_s == idr[:, w * TNS : (w + 1) * TNS]  # [TWS, TNS]
-            if fwd_gather_mode == "highest":
-                s_acc = s_acc + jnp.dot(
-                    oht.astype(jnp.float32), C,
-                    preferred_element_type=jnp.float32, precision=_HI,
-                )
-            else:
-                ohtb = oht.astype(jnp.bfloat16)
-                ch = C.astype(jnp.bfloat16)
-                cl = (C - ch.astype(jnp.float32)).astype(jnp.bfloat16)
-                s_acc = s_acc + bdot(ohtb, ch) + bdot(ohtb, cl)
+        # scatter precision is independent of the gather domain: like
+        # the gather backward, gradient SUMS stay at split-f32 accuracy
+        # even under the bf16 policy (only compares/deviations live in
+        # the bf16 message domain)
+        if fwd_gather_mode == "highest":
+            s_acc = tdot(ohf, C, precision=_HI)
+        else:
+            ch = C.astype(jnp.bfloat16)
+            cl = (C - ch.astype(jnp.float32)).astype(jnp.bfloat16)
+            s_acc = tdot(ohb, ch) + tdot(ohb, cl)
 
         acc[pl.ds(off, TWS), :] = acc[pl.ds(off, TWS), :] + s_acc
         return carry
 
-    jax.lax.fori_loop(0, KT, sub_tile, 0)
+    if _UNROLL:
+        for _k in range(KT):
+            sub_tile(_k, 0)
+    else:
+        jax.lax.fori_loop(0, KT, sub_tile, 0)
 
     own_ref[:] = acc[S2 : S2 + TN, :]
     marg_ref[0, :S2, :] = acc[:S2, :]
@@ -285,11 +347,79 @@ def fused_scatter_backward(
         )
     W = nbr_nodes.shape[1]
     TN, SL = tile_rows, window_slack
-    if not supports_scatter(N, TN, SL, F, K) and not interpret:
+    if not supports_scatter(N, TN, SL, F, K, W) and not interpret:
         raise ValueError(
             f"fused_scatter_backward preconditions failed: N={N} TN={TN}"
         )
+    data_specs = [
+        pl.BlockSpec((TN, K * F), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return _launch(
+        [cstk], data_specs, nbr_nodes, in_degree, v,
+        has_lin=has_lin, has_dev=has_dev, n_cmp=n_cmp,
+        fwd_gather_mode=fwd_gather_mode, raw_pna=False,
+        N=N, F=F, W=W, TN=TN, SL=SL, interpret=interpret,
+    )
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fwd_gather_mode", "tile_rows", "window_slack", "interpret",
+    ),
+)
+def fused_pna_scatter_backward(
+    d_agg: jax.Array,       # [N, 4F] epilogue-vjp cotangent of agg concat
+    aux: jax.Array,         # [N, 5F] fwd-saved mx | mn | mean | ties
+    agg_cat: jax.Array,     # [N, 4F] fwd aggregator concat (std = block 3)
+    in_degree: jax.Array,   # [N]
+    nbr_nodes: jax.Array,   # [N, W] FORWARD neighbor table
+    v: jax.Array,           # [N, F] saved sender rows (gather source)
+    fwd_gather_mode: str = "split2",
+    tile_rows: int = 512,
+    window_slack: int = 64,
+    interpret: bool = False,
+):
+    """PNA backward with the coefficient prep fused into the kernel.
+
+    Functionally identical to building cstk in XLA and calling
+    fused_scatter_backward(has_lin=True, has_dev=True, n_cmp=2) — same op
+    order, so coefficients agree to FMA-contraction ulps — but the 7F
+    cstk array is never
+    materialized and the XLA prep pass disappears: the kernel reads the
+    saved residuals (d_agg, aux, std column of agg_cat, degree) as blocked
+    VMEM inputs and forms c_lin/c_a/c_mx/c_mn on the VPU.  Returns dv
+    [N, F] f32."""
+    N, F = v.shape
+    W = nbr_nodes.shape[1]
+    TN, SL = tile_rows, window_slack
+    if not supports_scatter(N, TN, SL, F, 10, W) and not interpret:
+        raise ValueError(
+            f"fused_pna_scatter_backward preconditions failed: N={N} TN={TN}"
+        )
+    degf = in_degree.astype(jnp.float32)[:, None]            # [N, 1]
+    data_specs = [
+        pl.BlockSpec((TN, 4 * F), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),               # d_agg
+        pl.BlockSpec((TN, 5 * F), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),               # aux
+        pl.BlockSpec((TN, F), lambda i, *_: (i, 3),
+                     memory_space=pltpu.VMEM),               # std column
+        pl.BlockSpec((TN, 1), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),               # degf
+    ]
+    return _launch(
+        [d_agg, aux, agg_cat, degf], data_specs, nbr_nodes, in_degree, v,
+        has_lin=True, has_dev=True, n_cmp=2,
+        fwd_gather_mode=fwd_gather_mode, raw_pna=True,
+        N=N, F=F, W=W, TN=TN, SL=SL, interpret=interpret,
+    )
+
+
+def _launch(data, data_specs, nbr_nodes, in_degree, v, *,
+            has_lin, has_dev, n_cmp, fwd_gather_mode, raw_pna,
+            N, F, W, TN, SL, interpret):
     TNS, TWS, sws = _schedule(N, TN, SL)
     S2 = 2 * SL
     TWB = TN + 4 * SL
@@ -302,13 +432,12 @@ def fused_scatter_backward(
     assert (offs >= 0).all() and (offs + TWS <= TWB).all()
 
     ids_col = _stack_ids(nbr_nodes, in_degree, sws, TNS)     # [N*W, 1]
-    ids_row = ids_col.reshape(nt, W * TN)
     v_pad = jnp.pad(v.astype(jnp.float32), ((S2, S2), (0, 0)))
 
     kern = functools.partial(
         _kernel, W=W, TNS=TNS, TWS=TWS, TWB=TWB, F=F, S2=S2,
         has_lin=has_lin, has_dev=has_dev, n_cmp=n_cmp,
-        fwd_gather_mode=fwd_gather_mode,
+        fwd_gather_mode=fwd_gather_mode, raw_pna=raw_pna,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -316,11 +445,8 @@ def fused_scatter_backward(
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # v_pad
-            pl.BlockSpec((TN, K * F), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
+            *data_specs,
             pl.BlockSpec((W * TN, 1), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W * TN), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -344,11 +470,11 @@ def fused_scatter_backward(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * W * TWS * F * 2,    # one gather + one scatter
-            bytes_accessed=N * (K + 3) * F * 4,
+            bytes_accessed=N * 14 * F * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray(offs), v_pad, cstk, ids_col, ids_row)
+    )(jnp.asarray(offs), v_pad, *data, ids_col)
 
     # overlap-add the margins: tile i's left margin covers rows
     # [i*TN - 2*slack, i*TN), its right margin [(i+1)*TN, (i+1)*TN + 2s);

@@ -165,6 +165,71 @@ def test_pna_vjp_through_scatter_backward(use_skip, act):
         assert rel(gp_f[k], gp_r[k]) < 1e-3, k
 
 
+@pytest.mark.parametrize("mode", ["split2", "highest"])
+def test_pna_raw_mode_matches_cstk_path(mode):
+    """fused_pna_scatter_backward (coefficient prep fused into the kernel)
+    must match building cstk in XLA + fused_scatter_backward — the in-VMEM
+    prep uses the same op order (scatter_bwd.py docstring)."""
+    import jax.numpy as jnp
+
+    from gnnbuilder_tpu.ops.pallas.ell_bwd import transform_like_gather
+    from gnnbuilder_tpu.ops.pallas.scatter_bwd import (
+        fused_pna_scatter_backward,
+        fused_scatter_backward,
+    )
+
+    N, W, SL, TN = 512, 4, 16, 128
+    nbr, deg, rng = _banded(11, N=N, W=W, SL=SL)
+    v = rng.standard_normal((N, F)).astype(np.float32)
+    vc = np.asarray(transform_like_gather(jnp.asarray(v), mode))
+
+    d_agg = jnp.asarray(
+        rng.standard_normal((N, 4 * F)).astype(np.float32) * 0.3
+    )
+    # aux: refs must exist in the gathered s-domain for compares to fire;
+    # ties >= 1; agg_cat's std block positive
+    aux = jnp.asarray(np.concatenate([
+        vc[nbr[:, 0]], vc[nbr[:, min(1, W - 1)]],
+        rng.standard_normal((N, F)).astype(np.float32),
+        1.0 + rng.integers(1, 3, (N, F)).astype(np.float32),
+        1.0 + rng.integers(1, 3, (N, F)).astype(np.float32),
+    ], axis=1))
+    agg_cat = jnp.asarray(
+        rng.standard_normal((N, 4 * F)).astype(np.float32) ** 2 + 0.1
+    )
+    degj = jnp.asarray(deg)
+
+    # the XLA prep (same formulas as pna_layer.bwd)
+    degf = degj.astype(jnp.float32)[:, None]
+    denom = jnp.maximum(degf, 1.0)
+    ne = degf > 0
+    ct_mx = jnp.where(ne, d_agg[:, 0:F], 0.0)
+    ct_mn = jnp.where(ne, d_agg[:, F : 2 * F], 0.0)
+    ct_mean = jnp.where(ne, d_agg[:, 2 * F : 3 * F], 0.0)
+    c_lin = ct_mean / denom
+    c_a = d_agg[:, 3 * F : 4 * F] / (denom * agg_cat[:, 3 * F : 4 * F])
+    c_mx = ct_mx / jnp.maximum(aux[:, 3 * F : 4 * F], 1.0)
+    c_mn = ct_mn / jnp.maximum(aux[:, 4 * F : 5 * F], 1.0)
+    cstk = jnp.concatenate(
+        [c_lin, c_a, c_a * aux[:, 2 * F : 3 * F], aux[:, 0:F], c_mx,
+         aux[:, F : 2 * F], c_mn], axis=-1,
+    )
+
+    kw = dict(fwd_gather_mode=mode, tile_rows=TN, window_slack=SL,
+              interpret=True)
+    ref = fused_scatter_backward(
+        cstk, jnp.asarray(nbr), degj, v=jnp.asarray(v),
+        has_lin=True, has_dev=True, n_cmp=2, **kw,
+    )
+    got = fused_pna_scatter_backward(
+        d_agg, aux, agg_cat, degj, jnp.asarray(nbr), jnp.asarray(v), **kw,
+    )
+    rel = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    # ulp-level only: the in-VMEM prep uses the same op ORDER but compiler
+    # FMA contraction differs between the XLA prep and the kernel
+    assert rel < 1e-5, (mode, rel)
+
+
 def test_scatter_rejects_bad_geometry():
     from gnnbuilder_tpu.ops.pallas.scatter_bwd import supports_scatter
 
