@@ -200,10 +200,11 @@ def _kernel(
     else:
         skip_ref = None
     if save_res:
-        out_ref, v_out_ref, agg_ref, aux_ref, x_win, v_scr, dma_sem = rest
+        (out_ref, v_out_ref, agg_ref, aux_ref, mid_ref, x_win, v_scr,
+         dma_sem) = rest
     else:
         out_ref, x_win, agg_ref, dma_sem = rest
-        v_out_ref = aux_ref = v_scr = None
+        v_out_ref = aux_ref = mid_ref = v_scr = None
 
     i = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -343,6 +344,11 @@ def _kernel(
         + amp * y[:, Fout : 2 * Fout]
         + att * y[:, 2 * Fout :]
     )
+    if save_res:
+        # mid (post-scaler pre-w_lin rows) is the backward's linearization
+        # point: saving it kills the epilogue y-recompute (agg_cat @ ks,
+        # the widest matmul of the backward) entirely
+        mid_ref[:] = mid
     o = dot(mid, w_lin_ref[:]) + b_lin_ref[:]
     if has_skip:
         o = o + skip_ref[:]
@@ -437,12 +443,14 @@ def fused_pna_layer(
     if save_res:
         out_specs = [
             out_specs, blk((TN, F)), blk((TN, 4 * F)), blk((TN, 5 * F)),
+            blk((TN, Fout)),
         ]
         out_shape = [
             out_shape,
             jax.ShapeDtypeStruct((N, F), jnp.float32),      # v
             jax.ShapeDtypeStruct((N, 4 * F), jnp.float32),  # agg concat
             jax.ShapeDtypeStruct((N, 5 * F), jnp.float32),  # aux
+            jax.ShapeDtypeStruct((N, Fout), jnp.float32),   # mid
         ]
         scratch.append(pltpu.VMEM((TWS, F), jnp.float32))   # v slice bounce
     else:
@@ -567,13 +575,13 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
         # forward-table scatter kernel (scatter_bwd.py, no reverse tables
         # needed) or the reverse-table gather kernel (ell_bwd.py)
         if has_rev or _scatter_ok(x.shape[0], p[0].shape[1], nbr.shape[1]):
-            out, v, agg_cat, aux = fused_pna_layer(
+            out, v, agg_cat, aux, mid = fused_pna_layer(
                 x, nbr, deg, *p, delta, skip=skip if has_skip else None,
                 gather_mode=gather_mode, mm=mm, act=act, save_res=True,
                 **cfg,
             )
             return out, (x, nbr, deg, rev_nbr, out_deg, skip, p,
-                         (v, agg_cat, aux))
+                         (v, agg_cat, aux, mid, out))
         return (
             f(x, nbr, deg, rev_nbr, out_deg, skip, *p),
             (x, nbr, deg, rev_nbr, out_deg, skip, p, None),
@@ -591,46 +599,93 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
             )
 
             w_pre, b_pre, k_post, b_post, w_lin, b_lin = p
-            v, agg_cat, aux = saved
+            v, agg_cat, aux, mid, out = saved
             Fin = x.shape[1]
             F = w_pre.shape[1]
+            Fout = w_lin.shape[1]
 
-            # epilogue grads: pure dense XLA from the saved agg concat
-            _, epi_vjp = jax.vjp(
-                lambda xx, ac, kp, bp, wl, bl, sk: _pna_epilogue(
-                    xx, ac, deg, kp, bp, wl, bl, sk, delta, act, has_skip
-                ),
-                x, agg_cat, k_post, b_post, w_lin, b_lin, skip,
-            )
-            dx_epi, d_agg, dk_post, db_post, dw_lin, db_lin, dskip = (
-                epi_vjp(ct)
-            )
+            # hand-written epilogue backward from the saved mid (the
+            # post-scaler pre-w_lin rows): no y = agg_cat @ ks recompute,
+            # and act' comes exactly from the saved post-act out for
+            # relu/sigmoid/tanh (gelu recomputes z from mid)
+            if act is None:
+                dz = ct
+            elif act == "relu":
+                dz = ct * (out > 0.0).astype(ct.dtype)
+            elif act == "sigmoid":
+                dz = ct * out * (1.0 - out)
+            elif act == "tanh":
+                dz = ct * (1.0 - out * out)
+            else:
+                z = mid @ w_lin + b_lin
+                if has_skip:
+                    z = z + skip
+                _, act_vjp = jax.vjp(_ACTS[act], z)
+                (dz,) = act_vjp(ct)
+            dskip = dz if has_skip else jnp.zeros_like(skip)
+            db_lin = dz.sum(axis=0)
+            dw_lin = mid.T @ dz
+            d_mid = dz @ w_lin.T
+            db_post = d_mid.sum(axis=0)
+            k0 = k_post[:Fin]
+            ks_t = jnp.concatenate(
+                [k_post[Fin + i * 4 * F : Fin + (i + 1) * 4 * F]
+                 for i in range(3)],
+                axis=1,
+            ).T  # [3*Fout, 4F]
+            dx_epi = d_mid @ k0.T
+            dk0 = x.T @ d_mid
 
             degf = deg.astype(jnp.float32)[:, None]
             denom = jnp.maximum(degf, 1.0)
             nonempty = degf > 0
-            # forward wrote where(nonempty, u + agg, 0) for max/min/mean
-            ct_mx = jnp.where(nonempty, d_agg[:, 0:F], 0.0)
-            ct_mn = jnp.where(nonempty, d_agg[:, F : 2 * F], 0.0)
-            ct_mean = jnp.where(nonempty, d_agg[:, 2 * F : 3 * F], 0.0)
-            ct_std = d_agg[:, 3 * F : 4 * F]
+            log_deg = jnp.log(denom + 1.0)
+            dy = jnp.concatenate(
+                [d_mid, (log_deg / delta) * d_mid,
+                 (delta / log_deg) * d_mid],
+                axis=1,
+            )  # [N, 3*Fout] cotangent of y = agg_cat @ ks
+            dks = jnp.concatenate(
+                [agg_cat.T @ dy[:, :Fout],
+                 agg_cat.T @ dy[:, Fout : 2 * Fout],
+                 agg_cat.T @ dy[:, 2 * Fout :]],
+                axis=1,
+            )  # [4F, 3*Fout], ks layout
+            dk_post = jnp.concatenate(
+                [dk0, dks[:, :Fout], dks[:, Fout : 2 * Fout],
+                 dks[:, 2 * Fout :]],
+                axis=0,
+            )
 
-            mx_raw = aux[:, 0:F]
-            mn_raw = aux[:, F : 2 * F]
-            mean_raw = aux[:, 2 * F : 3 * F]
-            ties_mx = aux[:, 3 * F : 4 * F]
-            ties_mn = aux[:, 4 * F : 5 * F]
-            std_out = agg_cat[:, 3 * F : 4 * F]
+            # du = masked sum of the mx|mn|mean blocks of
+            # d_agg = dy @ ks_t, contracted without materializing d_agg
+            sel = (ks_t[:, 0:F] + ks_t[:, F : 2 * F]
+                   + ks_t[:, 2 * F : 3 * F])  # [3*Fout, F]
+            du = jnp.where(nonempty, dy @ sel, 0.0)
 
             if _scatter_ok(x.shape[0], F, nbr.shape[1]):
-                # forward-table transpose scatter with the coefficient
-                # prep fused into the kernel: no cstk materialization, no
-                # coefficient gathers, no reverse tables
+                # forward-table transpose scatter with BOTH the epilogue
+                # d_agg production (dy @ ks_t) and the coefficient prep
+                # fused into the kernel: d_agg is never materialized in
+                # HBM, no coefficient gathers, no reverse tables
                 dv = fused_pna_scatter_backward(
-                    d_agg, aux, agg_cat, deg, nbr, v=v,
-                    fwd_gather_mode=gather_mode, **cfg,
+                    d_mid, aux, agg_cat, deg, nbr, v=v, ks_t=ks_t,
+                    delta=delta, fwd_gather_mode=gather_mode, **cfg,
                 )
             else:
+                d_agg = dy @ ks_t
+                ct_mx = jnp.where(nonempty, d_agg[:, 0:F], 0.0)
+                ct_mn = jnp.where(nonempty, d_agg[:, F : 2 * F], 0.0)
+                ct_mean = jnp.where(
+                    nonempty, d_agg[:, 2 * F : 3 * F], 0.0
+                )
+                ct_std = d_agg[:, 3 * F : 4 * F]
+                mx_raw = aux[:, 0:F]
+                mn_raw = aux[:, F : 2 * F]
+                mean_raw = aux[:, 2 * F : 3 * F]
+                ties_mx = aux[:, 3 * F : 4 * F]
+                ties_mn = aux[:, 4 * F : 5 * F]
+                std_out = agg_cat[:, 3 * F : 4 * F]
                 c_lin = ct_mean / denom
                 c_a = ct_std / (denom * std_out)
                 c_mx = ct_mx / jnp.maximum(ties_mx, 1.0)
@@ -647,13 +702,10 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
                 )
 
             # pre_nn chains: u = x @ w_i + b_pre (receiver), v = x @ w_j
-            du = ct_mx + ct_mn + ct_mean
             w_i, w_j = w_pre[:Fin], w_pre[Fin:]
             dx = dx_epi + du @ w_i.T + dv @ w_j.T
             dw_pre = jnp.concatenate([x.T @ du, x.T @ dv], axis=0)
             db_pre = du.sum(axis=0)
-            if not has_skip:
-                dskip = jnp.zeros_like(skip)
             return (dx, zero_i(nbr), zero_i(deg), zero_i(rev_nbr),
                     zero_i(out_deg), dskip,
                     dw_pre, db_pre, dk_post, db_post, dw_lin, db_lin)

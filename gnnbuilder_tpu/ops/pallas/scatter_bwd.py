@@ -141,14 +141,18 @@ def _kernel(
     n_cmp: int,
     fwd_gather_mode: str,
     raw_pna: bool,
+    delta: float = 1.0,
 ):
     if raw_pna:
-        # PNA raw mode: coefficients are computed IN VMEM from the saved
-        # residuals — no XLA prep pass, no 7F cstk HBM round-trip
-        (dagg_ref,   # [TN, 4F] epilogue-vjp cotangent of the agg concat
+        # PNA raw mode: the epilogue's d_agg production (dy @ ks^T) AND
+        # the coefficient prep both run IN VMEM from the saved residuals —
+        # no XLA prep pass, and neither the 4F d_agg nor the 7F cstk ever
+        # round-trips through HBM
+        (dmid_ref,   # [TN, F] cotangent of mid (post-scaler pre-w_lin)
          aux_ref,    # [TN, 5F] fwd-saved mx | mn | mean | ties_mx | ties_mn
          std_ref,    # [TN, F] fwd std output (column block 3 of agg_cat)
          degf_ref,   # [TN, 1] f32 in-degree
+         kst_ref,    # [3F, 4F] ks^T (post_nn scaler blocks, whole-array)
          idc_ref, own_ref, marg_ref, v_win, acc, dma_sem) = rest
     else:
         (cstk_ref,   # [TN, K*F] precomputed receiver-row coefficient blocks
@@ -201,6 +205,15 @@ def _kernel(
     )
     need_g = has_dev or n_cmp > 0
 
+    if raw_pna:
+        # hi/lo split of ks^T, hoisted out of the sub-tile loop: the
+        # 3-pass (hh + hl + lh) split matmul reconstructs the f32 product
+        # to ~1e-7 rel — tighter than XLA's default one-pass-bf16 f32
+        # matmuls on TPU
+        kst = kst_ref[:]
+        kth = kst.astype(jnp.bfloat16)
+        ktl = (kst - kth.astype(jnp.float32)).astype(jnp.bfloat16)
+
     def sub_tile(k, carry):
         j = i * KT + k
         off = pl.multiple_of(offs_ref[j], 8)
@@ -217,14 +230,23 @@ def _kernel(
         ca = None
         cmp_terms = []
         if raw_pna:
-            # same op order as the XLA prep in pna_layer.bwd — raw mode
-            # matches the cstk path to FMA-contraction ulps
-            da = dagg_ref[pl.ds(rows, TNS), :]
+            # d_agg = dy @ ks^T formed on the MXU from the F-wide d_mid
+            # block (the 4F d_agg never exists in HBM), then the same
+            # coefficient op order as the XLA prep in pna_layer.bwd
+            dm = dmid_ref[pl.ds(rows, TNS), :]
             au = aux_ref[pl.ds(rows, TNS), :]
             so = std_ref[pl.ds(rows, TNS), :]
             dg = degf_ref[pl.ds(rows, TNS), :]
             denom = jnp.maximum(dg, 1.0)
             ne = dg > 0.0
+            log_deg = jnp.log(denom + 1.0)
+            dy = jnp.concatenate(
+                [dm, (log_deg / delta) * dm, (delta / log_deg) * dm],
+                axis=1,
+            )                                                # [TNS, 3F]
+            dyh = dy.astype(jnp.bfloat16)
+            dyl = (dy - dyh.astype(jnp.float32)).astype(jnp.bfloat16)
+            da = bdot(dyh, kth) + bdot(dyh, ktl) + bdot(dyl, kth)
             ct_mx = jnp.where(ne, da[:, 0:F], 0.0)
             ct_mn = jnp.where(ne, da[:, F : 2 * F], 0.0)
             ct_mean = jnp.where(ne, da[:, 2 * F : 3 * F], 0.0)
@@ -366,30 +388,34 @@ def fused_scatter_backward(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "fwd_gather_mode", "tile_rows", "window_slack", "interpret",
+        "delta", "fwd_gather_mode", "tile_rows", "window_slack",
+        "interpret",
     ),
 )
 def fused_pna_scatter_backward(
-    d_agg: jax.Array,       # [N, 4F] epilogue-vjp cotangent of agg concat
+    d_mid: jax.Array,       # [N, F] cotangent of mid (pre-w_lin rows)
     aux: jax.Array,         # [N, 5F] fwd-saved mx | mn | mean | ties
     agg_cat: jax.Array,     # [N, 4F] fwd aggregator concat (std = block 3)
     in_degree: jax.Array,   # [N]
     nbr_nodes: jax.Array,   # [N, W] FORWARD neighbor table
     v: jax.Array,           # [N, F] saved sender rows (gather source)
+    ks_t: jax.Array,        # [3F, 4F] post_nn scaler blocks, transposed
+    delta: float,
     fwd_gather_mode: str = "split2",
     tile_rows: int = 512,
     window_slack: int = 64,
     interpret: bool = False,
 ):
-    """PNA backward with the coefficient prep fused into the kernel.
+    """PNA backward with the epilogue d_agg production AND the coefficient
+    prep fused into the kernel.
 
-    Functionally identical to building cstk in XLA and calling
-    fused_scatter_backward(has_lin=True, has_dev=True, n_cmp=2) — same op
-    order, so coefficients agree to FMA-contraction ulps — but the 7F
-    cstk array is never
-    materialized and the XLA prep pass disappears: the kernel reads the
-    saved residuals (d_agg, aux, std column of agg_cat, degree) as blocked
-    VMEM inputs and forms c_lin/c_a/c_mx/c_mn on the VPU.  Returns dv
+    Functionally identical to computing d_agg = dy @ ks_t in XLA, building
+    cstk, and calling fused_scatter_backward(has_lin=True, has_dev=True,
+    n_cmp=2) — same op order, so coefficients agree to split-matmul ulps —
+    but neither the 4F d_agg nor the 7F cstk is ever materialized: the
+    kernel reads the F-wide d_mid block plus the saved residuals (aux, std
+    column of agg_cat, degree), forms d_agg on the MXU via a 3-pass hi/lo
+    split against ks_t, and the coefficients on the VPU.  Returns dv
     [N, F] f32."""
     N, F = v.shape
     W = nbr_nodes.shape[1]
@@ -400,26 +426,28 @@ def fused_pna_scatter_backward(
         )
     degf = in_degree.astype(jnp.float32)[:, None]            # [N, 1]
     data_specs = [
-        pl.BlockSpec((TN, 4 * F), lambda i, *_: (i, 0),
-                     memory_space=pltpu.VMEM),               # d_agg
+        pl.BlockSpec((TN, F), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),               # d_mid
         pl.BlockSpec((TN, 5 * F), lambda i, *_: (i, 0),
                      memory_space=pltpu.VMEM),               # aux
         pl.BlockSpec((TN, F), lambda i, *_: (i, 3),
                      memory_space=pltpu.VMEM),               # std column
         pl.BlockSpec((TN, 1), lambda i, *_: (i, 0),
                      memory_space=pltpu.VMEM),               # degf
+        pl.BlockSpec(memory_space=pltpu.VMEM),               # ks_t (whole)
     ]
     return _launch(
-        [d_agg, aux, agg_cat, degf], data_specs, nbr_nodes, in_degree, v,
+        [d_mid, aux, agg_cat, degf, ks_t.astype(jnp.float32)],
+        data_specs, nbr_nodes, in_degree, v,
         has_lin=True, has_dev=True, n_cmp=2,
-        fwd_gather_mode=fwd_gather_mode, raw_pna=True,
+        fwd_gather_mode=fwd_gather_mode, raw_pna=True, delta=float(delta),
         N=N, F=F, W=W, TN=TN, SL=SL, interpret=interpret,
     )
 
 
 def _launch(data, data_specs, nbr_nodes, in_degree, v, *,
             has_lin, has_dev, n_cmp, fwd_gather_mode, raw_pna,
-            N, F, W, TN, SL, interpret):
+            N, F, W, TN, SL, interpret, delta=1.0):
     TNS, TWS, sws = _schedule(N, TN, SL)
     S2 = 2 * SL
     TWB = TN + 4 * SL
@@ -437,7 +465,7 @@ def _launch(data, data_specs, nbr_nodes, in_degree, v, *,
     kern = functools.partial(
         _kernel, W=W, TNS=TNS, TWS=TWS, TWB=TWB, F=F, S2=S2,
         has_lin=has_lin, has_dev=has_dev, n_cmp=n_cmp,
-        fwd_gather_mode=fwd_gather_mode, raw_pna=raw_pna,
+        fwd_gather_mode=fwd_gather_mode, raw_pna=raw_pna, delta=delta,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -470,8 +498,8 @@ def _launch(data, data_specs, nbr_nodes, in_degree, v, *,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * W * TWS * F * 2,    # one gather + one scatter
-            bytes_accessed=N * 14 * F * 4,
-            transcendentals=0,
+            bytes_accessed=N * (11 if raw_pna else 14) * F * 4,
+            transcendentals=N if raw_pna else 0,
         ),
         interpret=interpret,
     )(jnp.asarray(offs), v_pad, *data, ids_col)

@@ -167,9 +167,12 @@ def test_pna_vjp_through_scatter_backward(use_skip, act):
 
 @pytest.mark.parametrize("mode", ["split2", "highest"])
 def test_pna_raw_mode_matches_cstk_path(mode):
-    """fused_pna_scatter_backward (coefficient prep fused into the kernel)
-    must match building cstk in XLA + fused_scatter_backward — the in-VMEM
-    prep uses the same op order (scatter_bwd.py docstring)."""
+    """fused_pna_scatter_backward (epilogue d_agg production + coefficient
+    prep fused into the kernel) must match computing d_agg = dy @ ks_t in
+    XLA, building cstk, and calling fused_scatter_backward — the in-VMEM
+    path uses the same op order (scatter_bwd.py docstring); the d_agg
+    matmul itself is a 3-pass hi/lo split (~1e-7 rel vs the XLA f32
+    product)."""
     import jax.numpy as jnp
 
     from gnnbuilder_tpu.ops.pallas.ell_bwd import transform_like_gather
@@ -179,12 +182,16 @@ def test_pna_raw_mode_matches_cstk_path(mode):
     )
 
     N, W, SL, TN = 512, 4, 16, 128
+    delta = 2.0
     nbr, deg, rng = _banded(11, N=N, W=W, SL=SL)
     v = rng.standard_normal((N, F)).astype(np.float32)
     vc = np.asarray(transform_like_gather(jnp.asarray(v), mode))
 
-    d_agg = jnp.asarray(
-        rng.standard_normal((N, 4 * F)).astype(np.float32) * 0.3
+    d_mid = jnp.asarray(
+        rng.standard_normal((N, F)).astype(np.float32) * 0.3
+    )
+    ks_t = jnp.asarray(
+        rng.standard_normal((3 * F, 4 * F)).astype(np.float32) * 0.1
     )
     # aux: refs must exist in the gathered s-domain for compares to fire;
     # ties >= 1; agg_cat's std block positive
@@ -203,6 +210,12 @@ def test_pna_raw_mode_matches_cstk_path(mode):
     degf = degj.astype(jnp.float32)[:, None]
     denom = jnp.maximum(degf, 1.0)
     ne = degf > 0
+    log_deg = jnp.log(denom + 1.0)
+    dy = jnp.concatenate(
+        [d_mid, (log_deg / delta) * d_mid, (delta / log_deg) * d_mid],
+        axis=1,
+    )
+    d_agg = dy @ ks_t
     ct_mx = jnp.where(ne, d_agg[:, 0:F], 0.0)
     ct_mn = jnp.where(ne, d_agg[:, F : 2 * F], 0.0)
     ct_mean = jnp.where(ne, d_agg[:, 2 * F : 3 * F], 0.0)
@@ -222,12 +235,13 @@ def test_pna_raw_mode_matches_cstk_path(mode):
         has_lin=True, has_dev=True, n_cmp=2, **kw,
     )
     got = fused_pna_scatter_backward(
-        d_agg, aux, agg_cat, degj, jnp.asarray(nbr), jnp.asarray(v), **kw,
+        d_mid, aux, agg_cat, degj, jnp.asarray(nbr), jnp.asarray(v),
+        ks_t=ks_t, delta=delta, **kw,
     )
     rel = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-9))
-    # ulp-level only: the in-VMEM prep uses the same op ORDER but compiler
-    # FMA contraction differs between the XLA prep and the kernel
-    assert rel < 1e-5, (mode, rel)
+    # near-ulp only: same op ORDER, but the kernel's d_agg is a 3-pass
+    # hi/lo split matmul and compiler FMA contraction differs
+    assert rel < 2e-5, (mode, rel)
 
 
 def test_scatter_rejects_bad_geometry():
