@@ -53,6 +53,12 @@ class GNNModel(nn.Module):
     mlp_p_hidden: int = 1
     mlp_p_out: int = 1
     conv_kwargs: Optional[dict] = None  # e.g. {"delta": 2.78} for PNA
+    # rematerialize each conv layer in the backward (jax.checkpoint):
+    # trades the per-layer backward residuals (PNA saves ~9F floats/node —
+    # ~0.5 GB at qm9 b1024 x 6 layers) for a forward replay.  The TPU
+    # HBM-for-FLOPs knob; off by default because the hand-written backward
+    # kernels (ops/pallas/ell_bwd.py) are faster when memory fits.
+    remat: bool = False
 
     def __post_init__(self):
         # eager validation at construction, like the reference's
@@ -95,6 +101,11 @@ class GNNModel(nn.Module):
 
     def setup(self):
         conv_cls = SUPPORTED_GNN_CONVS[self.gnn_conv]
+        if self.remat:
+            # static_argnums counts the lifted __call__'s positional args
+            # with the module itself at 0: (module, g, x, act, skip) ->
+            # act (a string) must be static
+            conv_cls = nn.remat(conv_cls, static_argnums=(3,))
         kw: dict[str, Any] = dict(self.conv_kwargs or {})
         if self.gnn_conv in _EDGE_CONVS:
             kw["edge_dim"] = self.graph_input_edge_dim
@@ -185,7 +196,9 @@ class GNNModel(nn.Module):
             skip = (
                 h if self.gnn_skip_connection and 0 < i < L - 1 else None
             )
-            h = conv(g, h, act=self.gnn_activation, skip=skip)
+            # positional act/skip so nn.remat's static_argnums can mark the
+            # activation string static (kwargs cannot be)
+            h = conv(g, h, self.gnn_activation, skip)
         pooled = self.global_pooling(g, h)
         out = self.mlp_head(pooled)
         if self.output_activation is not None:
