@@ -23,9 +23,10 @@ the [TN, H*C] value lanes through a constant expansion matmul
 
 Constraints (dispatcher falls back to XLA otherwise): concat mode,
 Fin % 128 == 0 (auto-padding in the _auto wrapper), (H*C) % 128 == 0,
-standard window preconditions.  Backward: XLA-recompute custom VJP (the
-softmax backward needs alpha residuals; a hand-written reverse-table
-version can swap in under the same API later).
+standard window preconditions.  Backward: hand-written forward-table
+scatter kernel (ops/pallas/gat_bwd.py) re-deriving alpha from the
+forward-saved softmax max/denominator (save_res=True); XLA-recompute
+fallback when its geometry doesn't hold.
 """
 
 from __future__ import annotations
@@ -94,12 +95,20 @@ def _kernel(
     mm: str,
     act: Optional[str],
     has_skip: bool,
+    save_res: bool,
 ):
+    # save_res promotes the softmax statistics (per-head max m and
+    # denominator den) to kernel outputs — the residuals the hand-written
+    # backward (ops/pallas/gat_bwd.py) re-derives alpha from
     if has_skip:
-        skip_ref, out_ref, x_win, dma_sem = rest
+        skip_ref, *rest = rest
+    else:
+        skip_ref = None
+    if save_res:
+        out_ref, m_ref, den_ref, x_win, dma_sem = rest
     else:
         out_ref, x_win, dma_sem = rest
-        skip_ref = None
+        m_ref = den_ref = None
 
     i = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -208,6 +217,9 @@ def _kernel(
         if has_skip:
             o = o + skip_ref[pl.ds(rows, TNS), :]
         out_ref[pl.ds(rows, TNS), :] = _ACTS[act](o)
+        if save_res:
+            m_ref[pl.ds(rows, TNS), :] = m       # post-clamp (what e used)
+            den_ref[pl.ds(rows, TNS), :] = den   # pre-1e-16-clamp
         return carry
 
     jax.lax.fori_loop(0, KT, sub_tile, 0)
@@ -217,7 +229,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "heads", "neg_slope", "self_loops", "tile_rows", "window_slack",
-        "interpret", "gather_mode", "mm", "act",
+        "interpret", "gather_mode", "mm", "act", "save_res",
     ),
 )
 def fused_gat_layer(
@@ -238,6 +250,7 @@ def fused_gat_layer(
     gather_mode: str = "split2",
     mm: str = "f32",
     act: Optional[str] = None,
+    save_res: bool = False,  # also return (m, den) softmax residuals
 ):
     N, Fin = x.shape
     HC = w.shape[1]
@@ -260,6 +273,7 @@ def fused_gat_layer(
         _kernel, W=W, TNS=TNS, TWS=TWS, heads=heads,
         neg_slope=float(neg_slope), self_loops=self_loops,
         gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
+        save_res=save_res,
     )
 
     def blk(shape):
@@ -284,11 +298,20 @@ def fused_gat_layer(
         in_specs.append(blk((TN, HC)))
         inputs.append(skip)
 
+    out_specs = blk((TN, HC))
+    out_shape = jax.ShapeDtypeStruct((N, HC), jnp.float32)
+    if save_res:
+        out_specs = [out_specs, blk((TN, heads)), blk((TN, heads))]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((N, heads), jnp.float32),  # m
+            jax.ShapeDtypeStruct((N, heads), jnp.float32),  # den
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(max(N // TN, 1),),
         in_specs=in_specs,
-        out_specs=blk((TN, HC)),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, TWS, Fin), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -298,7 +321,7 @@ def fused_gat_layer(
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, HC), jnp.float32),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(N * (Fin + HC)) * 4,
@@ -342,21 +365,105 @@ def gat_layer_reference(x, nbr_nodes, in_degree, w, att_src, att_dst, bias,
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
                  interpret, gather_mode, mm, act, has_skip):
+    cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
+               interpret=interpret)
+
+    def _scatter_ok(n, hc):
+        # hand-written backward (ops/pallas/gat_bwd.py): self-loop mode
+        # (PyG default), activations whose derivative comes from the saved
+        # post-act output, and the scatter kernel's static geometry
+        from gnnbuilder_tpu.ops.pallas.gat_bwd import supports_gat_scatter
+
+        return (
+            self_loops
+            and act in (None, "relu", "sigmoid", "tanh")
+            and supports_gat_scatter(n, tile_rows, window_slack, hc, heads)
+        )
+
     @jax.custom_vjp
     def f(x, nbr, deg, skip, w, att_src, att_dst, bias):
         return fused_gat_layer(
             x, nbr, deg, w, att_src, att_dst, bias, heads,
             neg_slope=neg_slope, self_loops=self_loops,
             skip=skip if has_skip else None,
-            tile_rows=tile_rows, window_slack=window_slack,
-            interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+            gather_mode=gather_mode, mm=mm, act=act, **cfg,
         )
 
     def fwd(x, nbr, deg, skip, *p):
-        return f(x, nbr, deg, skip, *p), (x, nbr, deg, skip, p)
+        if _scatter_ok(x.shape[0], p[0].shape[1]):
+            out, m, den = fused_gat_layer(
+                x, nbr, deg, *p, heads,
+                neg_slope=neg_slope, self_loops=self_loops,
+                skip=skip if has_skip else None,
+                gather_mode=gather_mode, mm=mm, act=act, save_res=True,
+                **cfg,
+            )
+            return out, (x, nbr, deg, skip, p, (out, m, den))
+        return f(x, nbr, deg, skip, *p), (x, nbr, deg, skip, p, None)
 
     def bwd(res, ct):
-        x, nbr, deg, skip, p = res
+        x, nbr, deg, skip, p, saved = res
+        zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        if saved is not None:
+            from gnnbuilder_tpu.ops.pallas.gat_bwd import (
+                fused_gat_scatter_backward,
+            )
+
+            w, att_src, att_dst, bias = p
+            out, m, den = saved
+            HC = w.shape[1]
+            C = HC // heads
+
+            # activation derivative from the saved post-act output
+            if act is None:
+                dz = ct
+            elif act == "relu":
+                dz = ct * (out > 0.0).astype(ct.dtype)
+            elif act == "sigmoid":
+                dz = ct * out * (1.0 - out)
+            else:  # tanh
+                dz = ct * (1.0 - out * out)
+
+            # dense recompute (smooth math — float-level agreement with
+            # the forward's in-kernel h/a_src suffices; no exactness
+            # contract like PNA's extrema routing)
+            h = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            a_s, a_d, expand = _head_matrices(att_src, att_dst, heads, C)
+            a_src = jnp.dot(h, a_s, preferred_element_type=jnp.float32)
+            a_dst = jnp.dot(h, a_d, preferred_element_type=jnp.float32)
+
+            dv_val, da_src_nbr, dsum, s = fused_gat_scatter_backward(
+                dz, h, a_src, a_dst, m, den, nbr, deg, heads,
+                neg_slope=neg_slope, self_loops=True, **cfg,
+            )
+
+            # receiver-local self-slot terms
+            den_c = jnp.maximum(den, 1e-16)
+            pre_s = a_src + a_dst
+            lr_s = jnp.where(pre_s >= 0, pre_s, neg_slope * pre_s)
+            alpha_s = jnp.exp(lr_s - m) / den_c                 # [N, H]
+            dalpha_s = (dz * h) @ expand.T                      # [N, H]
+            dpre_s = (
+                alpha_s * (dalpha_s - s)
+                * jnp.where(pre_s >= 0, 1.0, neg_slope)
+            )
+            da_src = da_src_nbr + dpre_s
+            da_dst = dsum + dpre_s
+
+            dh = (
+                dv_val
+                + (alpha_s @ expand) * dz       # self value term
+                + da_src @ a_s.T                # a_src = h @ a_s
+                + da_dst @ a_d.T                # a_dst = h @ a_d
+            )
+            dw = x.T @ dh
+            dx = dh @ w.T
+            datt_src = ((da_src @ expand) * h).sum(0).reshape(1, heads, C)
+            datt_dst = ((da_dst @ expand) * h).sum(0).reshape(1, heads, C)
+            dbias = dz.sum(axis=0)
+            dskip = dz if has_skip else jnp.zeros_like(skip)
+            return (dx, zero_i(nbr), zero_i(deg), dskip,
+                    dw, datt_src, datt_dst, dbias)
         _, vjp = jax.vjp(
             lambda xx, sk, *pp: gat_layer_reference(
                 xx, nbr, deg, *pp, heads, neg_slope=neg_slope,
@@ -366,7 +473,6 @@ def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
             x, skip, *p,
         )
         grads = vjp(ct)
-        zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
         dskip = grads[1] if has_skip else jnp.zeros_like(skip)
         return (grads[0], zero_i(nbr), zero_i(deg), dskip) + grads[2:]
 

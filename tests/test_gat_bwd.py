@@ -1,0 +1,116 @@
+"""Hand-written GAT backward (ops/pallas/gat_bwd.py) gradient parity.
+
+The fused GAT layer's custom VJP routes through the forward-table scatter
+kernel whenever its geometry holds (gat_layer._make_vjp_fn._scatter_ok);
+this pins jax.grad through that path against jax.grad of the XLA
+reference layer, interpret mode on CPU, on a multi-tile banded batch that
+exercises margins, pad slots, empty rows, and multi-head reductions.
+
+GAT's backward is smooth (softmax — no extrema-tie routing), so the
+contract is float-level agreement, not bit-exactness: rtol 2e-4.
+Reference counterpart: none (GAT is the reference's `// TODO`,
+gnn_builder_lib.h:2343, and it has no training path at all).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_scatter_bwd import _banded
+
+N, W, SL, TN = 512, 4, 16, 128
+
+
+def _params(rng, fin, heads, c):
+    hc = heads * c
+    w = rng.standard_normal((fin, hc)).astype(np.float32) * 0.3
+    att_src = rng.standard_normal((1, heads, c)).astype(np.float32) * 0.3
+    att_dst = rng.standard_normal((1, heads, c)).astype(np.float32) * 0.3
+    bias = rng.standard_normal((hc,)).astype(np.float32) * 0.1
+    return w, att_src, att_dst, bias
+
+
+@pytest.mark.parametrize("heads,c", [(1, 128), (4, 32)])
+@pytest.mark.parametrize("act", [None, "relu", "tanh"])
+def test_gat_scatter_backward_matches_reference(heads, c, act):
+    from gnnbuilder_tpu.ops.pallas.gat_bwd import supports_gat_scatter
+    from gnnbuilder_tpu.ops.pallas.gat_layer import (
+        fused_gat_layer_vjp,
+        gat_layer_reference,
+    )
+
+    hc = heads * c
+    assert supports_gat_scatter(N, TN, SL, hc, heads, W)
+
+    nbr, deg, rng = _banded(11, N=N, W=W, SL=SL)
+    fin = 128
+    x = rng.standard_normal((N, fin)).astype(np.float32)
+    skip = rng.standard_normal((N, hc)).astype(np.float32) * 0.2
+    w, att_src, att_dst, bias = _params(rng, fin, heads, c)
+    nbr_j = jnp.asarray(nbr)
+    deg_j = jnp.asarray(deg)
+    ct = rng.standard_normal((N, hc)).astype(np.float32)
+
+    def loss_fused(x_, sk_, w_, as_, ad_, b_):
+        out = fused_gat_layer_vjp(
+            x_, nbr_j, deg_j, w_, as_, ad_, b_, heads,
+            neg_slope=0.2, self_loops=True, skip=sk_,
+            tile_rows=TN, window_slack=SL, interpret=True,
+            gather_mode="split2", mm="f32", act=act,
+        )
+        return jnp.sum(out * ct)
+
+    def loss_ref(x_, sk_, w_, as_, ad_, b_):
+        out = gat_layer_reference(
+            x_, nbr_j, deg_j, w_, as_, ad_, b_, heads,
+            neg_slope=0.2, self_loops=True, skip=sk_, act=act,
+        )
+        return jnp.sum(out * ct)
+
+    args = (x, skip, w, att_src, att_dst, bias)
+    gf = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+
+    names = ("dx", "dskip", "dw", "datt_src", "datt_dst", "dbias")
+    for name, a, b in zip(names, gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(b).max()), 1e-6)
+        dev = float(np.abs(a - b).max()) / scale
+        assert dev < 2e-4, f"{name}: rel dev {dev}"
+
+
+def test_gat_scatter_path_is_taken():
+    """The VJP must actually route through the scatter kernel for this
+    geometry (guards against the gate silently falling back to the
+    XLA-recompute branch)."""
+    from gnnbuilder_tpu.ops.pallas import gat_bwd
+    from gnnbuilder_tpu.ops.pallas.gat_layer import fused_gat_layer_vjp
+
+    nbr, deg, rng = _banded(5, N=N, W=W, SL=SL)
+    x = rng.standard_normal((N, 128)).astype(np.float32)
+    w, att_src, att_dst, bias = _params(rng, 128, 1, 128)
+
+    calls = []
+    orig = gat_bwd.fused_gat_scatter_backward
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    gat_bwd.fused_gat_scatter_backward = spy
+    try:
+        jax.grad(
+            lambda x_: jnp.sum(
+                fused_gat_layer_vjp(
+                    x_, jnp.asarray(nbr), jnp.asarray(deg),
+                    w, att_src, att_dst, bias, 1,
+                    tile_rows=TN, window_slack=SL, interpret=True,
+                    mm="f32",
+                )
+            )
+        )(x)
+    finally:
+        gat_bwd.fused_gat_scatter_backward = orig
+    assert calls, "scatter backward was not invoked"
