@@ -52,6 +52,24 @@ class DSEEngine:
             with open(corpus_csv) as f:
                 self.rows = list(csv.DictReader(f))
 
+    @classmethod
+    def from_pretrained(
+        cls, dataset: str = "qm9", model_path: Optional[str] = None
+    ) -> "DSEEngine":
+        """Engine backed by the shipped cost-model pickle
+        (dse_models/model_direct.pk — the reference ships its fitted
+        models the same way, process_dse_models.py:299-310) so users can
+        rank/tune without measuring a corpus first."""
+        if model_path is None:
+            model_path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+                "dse_models", "model_direct.pk",
+            )
+        eng = cls(dataset=dataset)
+        eng.cost_model = CostModel.load(model_path)
+        return eng
+
     # ------------------------------------------------------------- corpus
     def build_corpus(
         self, n: int = 40, seed: int = 0, axes: Optional[dict] = None,
@@ -95,3 +113,54 @@ class DSEEngine:
         return [
             measure_config(c, dataset=self.dataset, iters=iters) for c in cfgs
         ]
+
+    # --------------------------------------------------------------- tune
+    def tune_kernels(
+        self,
+        conv: str,
+        gnn_hidden_dim: int = 128,
+        gnn_output_dim: int = 64,
+        gnn_num_layers: int = 6,
+        gnn_skip_connection: bool = True,
+        batch_size: int = 256,
+        precision: str = "f32",
+        avg_nodes: float = 16.0,
+        avg_edges: float = 34.0,
+        apply: bool = True,
+    ) -> dict:
+        """Pick the execution knobs (tile_rows, ell_width) for a FIXED
+        model/batch spec by cost-model prediction, optionally applying
+        them process-wide via ops.dispatch.set_kernel_overrides — the
+        autotuner role SURVEY §7 assigns the DSE.
+
+        Only numerics-preserving knobs are tuned: gather_mode stays at the
+        precision policy's default (split2 under f32, bf16 under bf16) —
+        the tuner must never silently trade accuracy for speed.
+        """
+        base = dict(
+            conv=conv, gnn_hidden_dim=gnn_hidden_dim,
+            gnn_output_dim=gnn_output_dim, gnn_num_layers=gnn_num_layers,
+            gnn_skip_connection=gnn_skip_connection,
+            batch_size=batch_size, precision=precision,
+            avg_nodes=avg_nodes, avg_edges=avg_edges,
+        )
+        cands = [
+            DSEConfig(**base, ell_width=ew, tile_rows=tr)
+            for ew in (None, 0)
+            for tr in (None, 256, 512, 1024)
+        ]
+        preds = self.predict(cands)
+        order = np.argsort(preds)
+        best = cands[int(order[0])]
+        if apply:
+            from gnnbuilder_tpu.ops import dispatch
+
+            dispatch.set_kernel_overrides(tile_rows=best.tile_rows)
+        return {
+            "best": best,
+            "predicted_us_per_graph": float(preds[int(order[0])]),
+            "ranked": [
+                (cands[int(i)], float(preds[int(i)])) for i in order
+            ],
+            "applied": bool(apply),
+        }

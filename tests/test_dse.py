@@ -102,3 +102,23 @@ def test_speedup_report(tmp_path):
     assert rep["num_designs"] == 4
     assert rep["predict_s_per_design"] < 1.0
     assert rep["speedup"] > 1.0  # measuring costs more than predicting
+
+
+def test_pretrained_tune_kernels():
+    """The shipped pickle drives the autotuner: from_pretrained loads
+    dse_models/model_direct.pk and tune_kernels ranks numerics-preserving
+    knob settings and applies the winner via dispatch overrides."""
+    from gnnbuilder_tpu.ops import dispatch
+
+    eng = dse.DSEEngine.from_pretrained()
+    r = eng.tune_kernels("pna", batch_size=1024, apply=True)
+    try:
+        assert r["applied"]
+        assert r["predicted_us_per_graph"] > 0
+        assert len(r["ranked"]) == 8  # 2 ell_width x 4 tile_rows
+        preds = [p for _, p in r["ranked"]]
+        assert preds == sorted(preds)
+        # gather_mode is never tuned (numerics-preserving contract)
+        assert all(c.gather_mode is None for c, _ in r["ranked"])
+    finally:
+        dispatch.set_kernel_overrides(None, None)
