@@ -102,8 +102,13 @@ def fused_config(
     from gnnbuilder_tpu.compile.precision import active_precision
 
     prec = active_precision()
-    if prec is not None and prec.name == "int8":
-        return None  # fused kernels are f32/bf16; int8 runs the XLA path
+    if prec is not None and prec.name == "int8" and kind == "layer":
+        # layer kernels embed dense matmuls that the int8 policy must
+        # quantize (ops/quant.py), so they stay on the XLA path; the
+        # aggregation-only kernel is numerics-neutral under int8 (both
+        # paths aggregate the f32 dequantized activations) and keeps the
+        # serving path fused
+        return None
     # bf16 precision: single-pass bf16 one-hot gather matches the policy's
     # numeric contract (split2 is the f32 default; pna_layer honors this);
     # an explicit DSE override wins

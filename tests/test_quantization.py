@@ -57,3 +57,33 @@ def test_program_int8_forward_close_to_f32():
     rel = np.abs(out8 - out32).max() / denom
     assert rel < 0.15, rel  # quantization noise accumulates over 3 layers
     assert np.isfinite(out8).all()
+
+
+def test_int8_fused_aggregation_parity():
+    """Under the int8 policy the aggregation-only fused kernel stays
+    enabled (dispatch.py): aggregation is f32 in both paths (only matmuls
+    quantize), so fused and XLA int8 forwards must agree exactly."""
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.data.datasets import load_dataset
+    from gnnbuilder_tpu.ops import dispatch
+
+    graphs = load_dataset("esol", n=32)
+    model = gnnb.GNNModel(
+        graph_input_feature_dim=9, gnn_hidden_dim=128, gnn_num_layers=3,
+        gnn_output_dim=128, gnn_conv="pna", conv_kwargs={"delta": 2.5},
+        pooling_aggrs=("mean",), mlp_out_dim=1,
+    )
+    prog = gnnb.Program(
+        model, max_nodes=1024, max_edges=2048, max_graphs=33,
+        precision="int8",
+    )
+    batch = prog.batch(graphs)
+    prog.init_params(batch)
+    try:
+        dispatch.set_fused_mode("never")
+        o_never = np.asarray(prog.forward(batch))
+        dispatch.set_fused_mode("always")
+        o_fused = np.asarray(prog.forward(batch))
+    finally:
+        dispatch.set_fused_mode("auto")
+    np.testing.assert_allclose(o_fused, o_never, atol=1e-6)
