@@ -159,6 +159,19 @@ def pad_sizes(
 # scales with N*ell_width; power-law graphs should use the flat segment path)
 ELL_MAX_WIDTH = 64
 
+# process-wide default for build_graph_batch(ell_width=None) — the DSE
+# autotuner's handle on the batch layout (ops/dispatch.set_kernel_overrides)
+_DEFAULT_ELL_WIDTH: Optional[int] = None
+
+
+def set_default_ell_width(w: Optional[int]) -> None:
+    """Set the packing-time ELL width used when build_graph_batch is called
+    with ell_width=None.  ``None`` restores the automatic policy; ``0``
+    disables ELL tables (flat segment path); an int fixes the bucket width.
+    Only affects batches packed after the call."""
+    global _DEFAULT_ELL_WIDTH
+    _DEFAULT_ELL_WIDTH = w
+
 
 def build_graph_batch(
     graphs,
@@ -237,6 +250,8 @@ def build_graph_batch(
     # None -> auto (batch max in-degree rounded to a multiple of 4, skipped
     # for high-degree batches); 0 -> disabled; int -> fixed bucket width.
     max_deg = int(in_degree.max()) if num_edges else 0
+    if ell_width is None:
+        ell_width = _DEFAULT_ELL_WIDTH
     if ell_width is None:
         w = max(_round_up(max_deg, 4), 4)
         ell_width = w if w <= ELL_MAX_WIDTH else 0

@@ -133,9 +133,12 @@ class DSEEngine:
         them process-wide via ops.dispatch.set_kernel_overrides — the
         autotuner role SURVEY §7 assigns the DSE.
 
-        Only numerics-preserving knobs are tuned: gather_mode stays at the
-        precision policy's default (split2 under f32, bf16 under bf16) —
-        the tuner must never silently trade accuracy for speed.
+        Only numerics-preserving knobs are tuned, and an existing
+        gather_mode override is left untouched (the tuner must never
+        silently trade accuracy for speed).  ``ell_width`` is a
+        packing-time knob: applying it changes the default for batches
+        packed AFTER the call (core/graph.set_default_ell_width); already
+        built batches keep their layout.
         """
         base = dict(
             conv=conv, gnn_hidden_dim=gnn_hidden_dim,
@@ -149,18 +152,21 @@ class DSEEngine:
             for ew in (None, 0)
             for tr in (None, 256, 512, 1024)
         ]
-        preds = self.predict(cands)
-        order = np.argsort(preds)
-        best = cands[int(order[0])]
+        ranked = self.optimize(cands, top_k=len(cands))
+        best, best_pred = ranked[0]
+        applied = {}
         if apply:
             from gnnbuilder_tpu.ops import dispatch
 
-            dispatch.set_kernel_overrides(tile_rows=best.tile_rows)
+            dispatch.set_kernel_overrides(
+                tile_rows=best.tile_rows, ell_width=best.ell_width
+            )
+            applied = {
+                "tile_rows": best.tile_rows, "ell_width": best.ell_width
+            }
         return {
             "best": best,
-            "predicted_us_per_graph": float(preds[int(order[0])]),
-            "ranked": [
-                (cands[int(i)], float(preds[int(i)])) for i in order
-            ],
-            "applied": bool(apply),
+            "predicted_us_per_graph": best_pred,
+            "ranked": ranked,
+            "applied": applied,
         }

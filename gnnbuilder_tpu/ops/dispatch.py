@@ -64,15 +64,30 @@ def set_fused_mode(mode: str, tile_rows: Optional[int] = None) -> None:
         _TILE_ROWS = tile_rows
 
 
+_KEEP = object()  # sentinel: "leave this knob untouched"
+
+
 def set_kernel_overrides(
-    tile_rows: Optional[int] = None, gather_mode: Optional[str] = None
+    tile_rows=_KEEP, gather_mode=_KEEP, ell_width=_KEEP
 ) -> None:
     """Pin the fused kernels' tuning knobs — the DSE autotuner's handle on
-    the p_in/p_out analog (tile height) and the gather precision.  None
-    restores the automatic policy."""
+    the p_in/p_out analog (tile height), the gather precision, and the
+    batch ELL layout.  Explicit ``None`` restores a knob's automatic
+    policy; an OMITTED knob is left untouched (so the tuner can set
+    tile_rows without silently clearing a pinned gather_mode).
+
+    ``ell_width`` is a packing-time layout knob (core/graph.py): it sets
+    the process-wide default used by ``build_graph_batch(ell_width=None)``
+    and therefore only affects batches packed AFTER the call."""
     global _TILE_ROWS, _GATHER_MODE
-    _TILE_ROWS = tile_rows
-    _GATHER_MODE = gather_mode
+    if tile_rows is not _KEEP:
+        _TILE_ROWS = tile_rows
+    if gather_mode is not _KEEP:
+        _GATHER_MODE = gather_mode
+    if ell_width is not _KEEP:
+        from gnnbuilder_tpu.core import graph
+
+        graph.set_default_ell_width(ell_width)
 
 
 def get_fused_mode() -> str:

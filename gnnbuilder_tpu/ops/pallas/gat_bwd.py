@@ -62,13 +62,18 @@ def supports_gat_scatter(
     window_slack: int,
     hc: int,
     heads: int,
-    max_width: int = 8,
+    max_width: int,
 ) -> bool:
     """Static preconditions: the shared window rules, real sub-tiling,
     margin disjointness (same gates as scatter_bwd.supports_scatter), and
-    a VMEM estimate for the GAT working set."""
+    a VMEM estimate for the GAT working set.  ``max_width`` is the batch's
+    REAL ELL width (no default — an optimistic guess here either crashes
+    training at backward trace time or over-rejects narrow batches)."""
     tn, sl = tile_rows, window_slack
     if hc % 128:
+        return False
+    # payload pads the per-head logits into one 128-lane block (HCP = HC+128)
+    if heads > 128 or hc % heads:
         return False
     if sl <= 0 or tn % 128 or not supports(num_nodes, tn, sl):
         return False
@@ -313,9 +318,9 @@ def fused_gat_scatter_backward(
         axis=1,
     )
     p_pad = jnp.pad(payload, ((S2, S2), (0, 0)))
-    et = jnp.asarray(
-        np.repeat(np.eye(H, dtype=np.float32), HC // H, axis=1).T
-    )  # [HC, H]
+    from gnnbuilder_tpu.ops.pallas.gat_layer import _expand_np
+
+    et = jnp.asarray(_expand_np(H, HC // H).T)  # [HC, H] lane -> head
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
 
     kern = functools.partial(

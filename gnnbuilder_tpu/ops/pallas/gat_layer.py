@@ -55,6 +55,13 @@ from gnnbuilder_tpu.ops.pallas.pna_layer import (
 __all__ = ["fused_gat_layer", "fused_gat_layer_vjp", "gat_layer_reference"]
 
 
+def _expand_np(heads: int, C: int) -> np.ndarray:
+    """Constant [H, H*C] head->lanes broadcast-expansion matrix (head-major
+    lane layout).  Single source of truth for the forward and the scatter
+    backward (gat_bwd.py uses its transpose as the lane->head reduction)."""
+    return np.repeat(np.eye(heads, dtype=np.float32), C, axis=1)
+
+
 def _head_matrices(att_src, att_dst, heads, C):
     """[1, H, C] attention vectors -> block-diagonal [H*C, H] matmul
     operands (column h holds att[h] in rows h*C:(h+1)*C), plus the constant
@@ -67,9 +74,7 @@ def _head_matrices(att_src, att_dst, heads, C):
         # [H, C, H]: slice h has a[h] in column h, zero elsewhere
         return (a[:, :, None] * eye[:, None, :]).reshape(heads * C, heads)
 
-    expand = jnp.asarray(
-        np.repeat(np.eye(heads, dtype=np.float32), C, axis=1)
-    )                                                   # [H, H*C]
+    expand = jnp.asarray(_expand_np(heads, C))          # [H, H*C]
     return blockdiag(att_src), blockdiag(att_dst), expand
 
 
@@ -368,16 +373,19 @@ def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret)
 
-    def _scatter_ok(n, hc):
+    def _scatter_ok(n, hc, w):
         # hand-written backward (ops/pallas/gat_bwd.py): self-loop mode
         # (PyG default), activations whose derivative comes from the saved
-        # post-act output, and the scatter kernel's static geometry
+        # post-act output, and the scatter kernel's static geometry gated
+        # with the batch's REAL ELL width (same as pna_layer's gate) —
+        # otherwise the save_res path commits to a backward whose own
+        # precondition check would raise instead of falling back
         from gnnbuilder_tpu.ops.pallas.gat_bwd import supports_gat_scatter
 
         return (
             self_loops
             and act in (None, "relu", "sigmoid", "tanh")
-            and supports_gat_scatter(n, tile_rows, window_slack, hc, heads)
+            and supports_gat_scatter(n, tile_rows, window_slack, hc, heads, w)
         )
 
     @jax.custom_vjp
@@ -390,7 +398,7 @@ def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
         )
 
     def fwd(x, nbr, deg, skip, *p):
-        if _scatter_ok(x.shape[0], p[0].shape[1]):
+        if _scatter_ok(x.shape[0], p[0].shape[1], nbr.shape[1]):
             out, m, den = fused_gat_layer(
                 x, nbr, deg, *p, heads,
                 neg_slope=neg_slope, self_loops=self_loops,

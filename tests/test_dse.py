@@ -111,14 +111,58 @@ def test_pretrained_tune_kernels():
     from gnnbuilder_tpu.ops import dispatch
 
     eng = dse.DSEEngine.from_pretrained()
+    # a pinned gather_mode must survive tuning (numerics contract)
+    dispatch.set_kernel_overrides(gather_mode="highest")
     r = eng.tune_kernels("pna", batch_size=1024, apply=True)
     try:
-        assert r["applied"]
+        assert r["applied"] == {
+            "tile_rows": r["best"].tile_rows,
+            "ell_width": r["best"].ell_width,
+        }
         assert r["predicted_us_per_graph"] > 0
         assert len(r["ranked"]) == 8  # 2 ell_width x 4 tile_rows
         preds = [p for _, p in r["ranked"]]
         assert preds == sorted(preds)
-        # gather_mode is never tuned (numerics-preserving contract)
+        # gather_mode is never tuned (numerics-preserving contract) and a
+        # pre-existing override is not clobbered by the apply step
         assert all(c.gather_mode is None for c, _ in r["ranked"])
+        assert dispatch._GATHER_MODE == "highest"
+        # the applied knobs match what actually executes: tile_rows via the
+        # dispatch override, ell_width via the packing-time default
+        assert dispatch._TILE_ROWS == r["best"].tile_rows
+        from gnnbuilder_tpu.core import graph as _g
+
+        assert _g._DEFAULT_ELL_WIDTH == r["best"].ell_width
     finally:
-        dispatch.set_kernel_overrides(None, None)
+        dispatch.set_kernel_overrides(None, None, None)
+
+
+def test_ell_width_override_reaches_packing():
+    """set_kernel_overrides(ell_width=0) flips subsequently packed batches
+    to the flat segment layout; None restores the auto policy; omitted
+    knobs are left untouched."""
+    import numpy as np
+
+    from gnnbuilder_tpu.core.graph import build_graph_batch
+    from gnnbuilder_tpu.data.datasets import FakeDataset
+    from gnnbuilder_tpu.ops import dispatch
+
+    graphs = FakeDataset(num_graphs=4, avg_num_nodes=8, node_dim=4, seed=0)
+    try:
+        dispatch.set_kernel_overrides(ell_width=0)
+        b0 = build_graph_batch(graphs)
+        assert b0.nbr_nodes is None  # flat segment path
+        dispatch.set_kernel_overrides(ell_width=None)
+        b1 = build_graph_batch(graphs)
+        assert b1.nbr_nodes is not None  # auto ELL restored
+        # explicit per-call width still wins over the process default
+        dispatch.set_kernel_overrides(ell_width=0)
+        b2 = build_graph_batch(graphs, ell_width=int(b1.nbr_nodes.shape[1]))
+        assert b2.nbr_nodes is not None
+        # omitted knobs untouched: setting tile_rows alone keeps ell_width
+        dispatch.set_kernel_overrides(tile_rows=256)
+        b3 = build_graph_batch(graphs)
+        assert b3.nbr_nodes is None and dispatch._TILE_ROWS == 256
+        assert np.allclose(np.asarray(b0.node_feat), np.asarray(b1.node_feat))
+    finally:
+        dispatch.set_kernel_overrides(None, None, None)

@@ -81,6 +81,59 @@ def test_gat_scatter_backward_matches_reference(heads, c, act):
         assert dev < 2e-4, f"{name}: rel dev {dev}"
 
 
+def test_scatter_gate_uses_real_ell_width():
+    """Regression: the fwd gate must evaluate supports_gat_scatter with the
+    batch's REAL ELL width.  A wide table (W=64 blows the VMEM estimate)
+    must fall back to the XLA-recompute branch — not commit to save_res and
+    then raise inside fused_gat_scatter_backward at backward trace time —
+    and the fallback gradients must still match the reference."""
+    from gnnbuilder_tpu.ops.pallas import gat_bwd
+    from gnnbuilder_tpu.ops.pallas.gat_layer import (
+        fused_gat_layer_vjp,
+        gat_layer_reference,
+    )
+
+    WIDE = 64
+    assert not gat_bwd.supports_gat_scatter(N, TN, SL, 128, 1, WIDE)
+    # heads > 128 overflows the padded logit lane block -> rejected
+    assert not gat_bwd.supports_gat_scatter(N, TN, SL, 256, 256, 4)
+
+    nbr, deg, rng = _banded(7, N=N, W=W, SL=SL)
+    # same batch, wider table: pad slots (>= deg) are ignored by both paths
+    nbr_wide = np.zeros((N, WIDE), np.int32)
+    nbr_wide[:, :W] = nbr
+    x = rng.standard_normal((N, 128)).astype(np.float32)
+    w, att_src, att_dst, bias = _params(rng, 128, 1, 128)
+    ct = rng.standard_normal((N, 128)).astype(np.float32)
+
+    calls = []
+    orig = gat_bwd.fused_gat_scatter_backward
+    gat_bwd.fused_gat_scatter_backward = (
+        lambda *a, **k: calls.append(1) or orig(*a, **k)
+    )
+    try:
+        gx = jax.grad(
+            lambda x_: jnp.sum(ct * fused_gat_layer_vjp(
+                x_, jnp.asarray(nbr_wide), jnp.asarray(deg),
+                w, att_src, att_dst, bias, 1,
+                tile_rows=TN, window_slack=SL, interpret=True, mm="f32",
+            ))
+        )(x)
+    finally:
+        gat_bwd.fused_gat_scatter_backward = orig
+    assert not calls, "wide-W batch must not take the scatter backward"
+
+    gr = jax.grad(
+        lambda x_: jnp.sum(ct * gat_layer_reference(
+            x_, jnp.asarray(nbr), jnp.asarray(deg),
+            w, att_src, att_dst, bias, 1,
+        ))
+    )(x)
+    dev = float(np.abs(np.asarray(gx) - np.asarray(gr)).max())
+    scale = max(float(np.abs(np.asarray(gr)).max()), 1e-6)
+    assert dev / scale < 2e-4
+
+
 def test_gat_scatter_path_is_taken():
     """The VJP must actually route through the scatter kernel for this
     geometry (guards against the gate silently falling back to the
