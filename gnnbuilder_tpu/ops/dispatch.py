@@ -33,6 +33,7 @@ __all__ = [
 _MODE = "auto"
 _TILE_ROWS: Optional[int] = None   # explicit node-tile height (DSE-tunable)
 _GATHER_MODE: Optional[str] = None  # explicit gather precision (DSE-tunable)
+_SUB_ROWS: Optional[int] = None    # gather sub-tile height (DSE-tunable)
 _SINGLE_TILE_MAX = 1024   # below this, one tile covers the whole batch
 
 import contextlib as _contextlib
@@ -68,7 +69,7 @@ _KEEP = object()  # sentinel: "leave this knob untouched"
 
 
 def set_kernel_overrides(
-    tile_rows=_KEEP, gather_mode=_KEEP, ell_width=_KEEP
+    tile_rows=_KEEP, gather_mode=_KEEP, ell_width=_KEEP, sub_rows=_KEEP
 ) -> None:
     """Pin the fused kernels' tuning knobs — the DSE autotuner's handle on
     the p_in/p_out analog (tile height), the gather precision, and the
@@ -79,11 +80,13 @@ def set_kernel_overrides(
     ``ell_width`` is a packing-time layout knob (core/graph.py): it sets
     the process-wide default used by ``build_graph_batch(ell_width=None)``
     and therefore only affects batches packed AFTER the call."""
-    global _TILE_ROWS, _GATHER_MODE
+    global _TILE_ROWS, _GATHER_MODE, _SUB_ROWS
     if tile_rows is not _KEEP:
         _TILE_ROWS = tile_rows
     if gather_mode is not _KEEP:
         _GATHER_MODE = gather_mode
+    if sub_rows is not _KEEP:
+        _SUB_ROWS = sub_rows
     if ell_width is not _KEEP:
         from gnnbuilder_tpu.core import graph
 
@@ -152,6 +155,8 @@ def fused_config(
             out["gather_mode"] = gather_mode
         if kind == "layer":
             out["mm"] = "bf16" if on_tpu else "f32"
+            if _SUB_ROWS is not None and slack:
+                out["sub_rows"] = _SUB_ROWS
         return out
 
     slack = _round_up(maxg, 8)
@@ -165,14 +170,20 @@ def fused_config(
         # slack windows, else whole-array window (slack 0 disables
         # sub-tiling — see pna_layer._sub_rows)
         if N <= _SINGLE_TILE_MAX and N % 8 == 0:
-            if pna_supports(N, N, slack) and _sub_tile(N, slack) >= 2 * slack:
+            if (
+                pna_supports(N, N, slack, _SUB_ROWS)
+                and _sub_tile(N, slack) >= 2 * slack
+            ):
                 return cfg(N, slack)
             return cfg(N, 0)
         # measured preference on v5e: 512 > 1024 > 256; an explicit
         # set_kernel_overrides tile is tried first
         tiles = ([_TILE_ROWS] if _TILE_ROWS else []) + [512, 1024, 256, 128]
         for tn in tiles:
-            if pna_supports(N, tn, slack) and _sub_tile(tn, slack) >= 2 * slack:
+            if (
+                pna_supports(N, tn, slack, _SUB_ROWS)
+                and _sub_tile(tn, slack) >= 2 * slack
+            ):
                 return cfg(tn, slack)
         return None
 
@@ -209,4 +220,4 @@ def _agg_vmem_ok(tn: int, tw: int, feature_dim: Optional[int]) -> bool:
 def _sub_tile(tn: int, slack: int) -> int:
     from gnnbuilder_tpu.ops.pallas.pna_layer import _sub_rows
 
-    return _sub_rows(tn, slack)
+    return _sub_rows(tn, slack, _SUB_ROWS)

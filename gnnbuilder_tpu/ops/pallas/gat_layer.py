@@ -234,7 +234,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "heads", "neg_slope", "self_loops", "tile_rows", "window_slack",
-        "interpret", "gather_mode", "mm", "act", "save_res",
+        "interpret", "gather_mode", "mm", "act", "save_res", "sub_rows",
     ),
 )
 def fused_gat_layer(
@@ -256,6 +256,7 @@ def fused_gat_layer(
     mm: str = "f32",
     act: Optional[str] = None,
     save_res: bool = False,  # also return (m, den) softmax residuals
+    sub_rows: Optional[int] = None,  # gather sub-tile height (None = 128)
 ):
     N, Fin = x.shape
     HC = w.shape[1]
@@ -263,12 +264,12 @@ def fused_gat_layer(
     W = nbr_nodes.shape[1]
     TN = tile_rows
     SL = window_slack
-    if not supports(N, TN, SL) and not interpret:
+    if not supports(N, TN, SL, sub_rows) and not interpret:
         raise ValueError(f"fused_gat_layer preconditions failed: N={N}")
     if act not in _ACTS:
         raise ValueError(f"unsupported fused activation {act!r}")
 
-    TNS, TWS, sws = _schedule(N, TN, SL)
+    TNS, TWS, sws = _schedule(N, TN, SL, sub_rows)
     ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
     a_s, a_d, expand = _head_matrices(att_src, att_dst, heads, C)
@@ -369,9 +370,12 @@ def gat_layer_reference(x, nbr_nodes, in_degree, w, att_src, att_dst, bias,
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
-                 interpret, gather_mode, mm, act, has_skip):
+                 interpret, gather_mode, mm, act, has_skip, sub_rows=None):
+    # sub_rows shapes the forward gather only; the scatter backward keeps
+    # its own default schedule
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret)
+    fcfg = dict(cfg, sub_rows=sub_rows)
 
     def _scatter_ok(n, hc, w):
         # hand-written backward (ops/pallas/gat_bwd.py): self-loop mode
@@ -394,7 +398,7 @@ def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
             x, nbr, deg, w, att_src, att_dst, bias, heads,
             neg_slope=neg_slope, self_loops=self_loops,
             skip=skip if has_skip else None,
-            gather_mode=gather_mode, mm=mm, act=act, **cfg,
+            gather_mode=gather_mode, mm=mm, act=act, **fcfg,
         )
 
     def fwd(x, nbr, deg, skip, *p):
@@ -404,7 +408,7 @@ def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
                 neg_slope=neg_slope, self_loops=self_loops,
                 skip=skip if has_skip else None,
                 gather_mode=gather_mode, mm=mm, act=act, save_res=True,
-                **cfg,
+                **fcfg,
             )
             return out, (x, nbr, deg, skip, p, (out, m, den))
         return f(x, nbr, deg, skip, *p), (x, nbr, deg, skip, p, None)
@@ -492,7 +496,7 @@ def fused_gat_layer_vjp(
     x, nbr_nodes, in_degree, w, att_src, att_dst, bias, heads,
     neg_slope=0.2, self_loops=True, skip=None,
     tile_rows=512, window_slack=64, interpret=False,
-    gather_mode="split2", mm="f32", act=None,
+    gather_mode="split2", mm="f32", act=None, sub_rows=None,
 ):
     """Differentiable fused GAT layer (Pallas fwd, XLA-reference bwd).
 
@@ -507,7 +511,7 @@ def fused_gat_layer_vjp(
     has_skip = skip is not None
     fn = _make_vjp_fn(
         heads, float(neg_slope), self_loops, tile_rows, window_slack,
-        interpret, gather_mode, mm, act, has_skip,
+        interpret, gather_mode, mm, act, has_skip, sub_rows,
     )
     skip_in = skip if has_skip else jnp.zeros((N, w.shape[1]), x.dtype)
     return fn(x, nbr_nodes, in_degree.astype(jnp.int32), skip_in,

@@ -185,7 +185,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "conv", "eps", "tile_rows", "window_slack", "interpret",
-        "gather_mode", "mm", "act", "save_s",
+        "gather_mode", "mm", "act", "save_s", "sub_rows",
     ),
 )
 def fused_mp_layer(
@@ -203,6 +203,7 @@ def fused_mp_layer(
     mm: str = "f32",
     act: Optional[str] = None,
     save_s: bool = False,   # also return the aggregated sums (bwd residual)
+    sub_rows: Optional[int] = None,  # gather sub-tile height (None = 128)
 ):
     N, F = v.shape
     W = nbr_nodes.shape[1]
@@ -210,12 +211,12 @@ def fused_mp_layer(
     SL = window_slack
     if conv not in MP_CONVS:
         raise ValueError(f"conv must be one of {MP_CONVS}")
-    if not supports(N, TN, SL) and not interpret:
+    if not supports(N, TN, SL, sub_rows) and not interpret:
         raise ValueError(f"fused_mp_layer preconditions failed: N={N}")
     if act not in _ACTS:
         raise ValueError(f"unsupported fused activation {act!r}")
 
-    TNS, TWS, sws = _schedule(N, TN, SL)
+    TNS, TWS, sws = _schedule(N, TN, SL, sub_rows)
     ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
 
@@ -352,16 +353,19 @@ def _epilogue_and_grads(conv, eps, act, has_skip, v, s, deg, skip, p, ct):
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
-                 mm, act, has_skip, has_rev):
+                 mm, act, has_skip, has_rev, sub_rows=None):
+    # sub_rows shapes the forward gather only; the backward count-SpMM
+    # keeps its own default schedule
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret)
+    fcfg = dict(cfg, sub_rows=sub_rows)
 
     @jax.custom_vjp
     def f(v, nbr, deg, rev_nbr, out_deg, skip, w0, b0, w1, b1):
         return fused_mp_layer(
             v, nbr, deg, conv, w0=w0, b0=b0, w1=w1, b1=b1, eps=eps,
             skip=skip if has_skip else None,
-            gather_mode=gather_mode, mm=mm, act=act, **cfg,
+            gather_mode=gather_mode, mm=mm, act=act, **fcfg,
         )
 
     def fwd(v, nbr, deg, rev_nbr, out_deg, skip, *p):
@@ -372,7 +376,8 @@ def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
                 v, nbr, deg, conv,
                 w0=p[0], b0=p[1], w1=p[2], b1=p[3], eps=eps,
                 skip=skip if has_skip else None,
-                gather_mode=gather_mode, mm=mm, act=act, save_s=True, **cfg,
+                gather_mode=gather_mode, mm=mm, act=act, save_s=True,
+                **fcfg,
             )
             return out, (v, nbr, deg, rev_nbr, out_deg, skip, p, s)
         return (
@@ -420,7 +425,7 @@ def fused_mp_layer_vjp(
     v, nbr_nodes, in_degree, conv, w0=None, b0=None, w1=None, b1=None,
     eps=0.0, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
-    gather_mode="split2", mm="f32", act=None,
+    gather_mode="split2", mm="f32", act=None, sub_rows=None,
 ):
     """Differentiable fused layer.  Pallas forward always; hand-written
     Pallas backward (reverse-table count-SpMM, ops/pallas/ell_bwd.py) when
@@ -429,7 +434,7 @@ def fused_mp_layer_vjp(
     has_rev = rev_nbr_nodes is not None and out_degree is not None
     fn = _make_vjp_fn(
         conv, float(eps), tile_rows, window_slack, interpret, gather_mode,
-        mm, act, has_skip, has_rev,
+        mm, act, has_skip, has_rev, sub_rows,
     )
     F = v.shape[1]
     z = jnp.zeros((1, 1), jnp.float32)
@@ -455,7 +460,7 @@ def fused_mp_layer_auto(
     v, nbr_nodes, in_degree, conv, w0=None, b0=None, w1=None, b1=None,
     eps=0.0, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
-    gather_mode="split2", mm="f32", act=None,
+    gather_mode="split2", mm="f32", act=None, sub_rows=None,
 ):
     """fused_mp_layer_vjp with automatic zero-padding of unaligned feature
     dims to MXU lanes (pad lanes are inert: zero x lanes -> zero aggregate
@@ -476,7 +481,8 @@ def fused_mp_layer_auto(
                 skip=_pad_cols(skip, Fout_p) if skip is not None else None,
                 rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
                 tile_rows=tile_rows, window_slack=window_slack,
-                interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+                interpret=interpret, gather_mode=gather_mode, mm=mm,
+                act=act, sub_rows=sub_rows,
             )
             return out[:, :Fout]
     elif conv == "sage":
@@ -492,7 +498,8 @@ def fused_mp_layer_auto(
                 skip=_pad_cols(skip, Fout_p) if skip is not None else None,
                 rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
                 tile_rows=tile_rows, window_slack=window_slack,
-                interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+                interpret=interpret, gather_mode=gather_mode, mm=mm,
+                act=act, sub_rows=sub_rows,
             )
             return out[:, :Fout]
     else:  # gcn: v = (x@W)*dis already has the OUTPUT width
@@ -503,7 +510,8 @@ def fused_mp_layer_auto(
                 skip=_pad_cols(skip, F_p) if skip is not None else None,
                 rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
                 tile_rows=tile_rows, window_slack=window_slack,
-                interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+                interpret=interpret, gather_mode=gather_mode, mm=mm,
+                act=act, sub_rows=sub_rows,
             )
             return out[:, :F]
     return fused_mp_layer_vjp(
@@ -511,4 +519,5 @@ def fused_mp_layer_auto(
         skip=skip, rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
         tile_rows=tile_rows, window_slack=window_slack,
         interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+        sub_rows=sub_rows,
     )

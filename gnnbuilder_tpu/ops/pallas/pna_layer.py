@@ -87,22 +87,39 @@ _ACTS = {
 }
 
 
-def _sub_rows(tile_rows: int, window_slack: int) -> int:
+def _sub_rows(
+    tile_rows: int, window_slack: int, sub_rows: Optional[int] = None
+) -> int:
     """Gather sub-tile height.  The one-hot gather costs W*(TNS+2*slack)*F
     MACs per node, so narrow sub-tiles cut the realization cost directly;
     128 keeps the stacked one-hot operand [W*128, 128+2*slack] MXU-shaped.
-    slack == 0 means "the window is the whole tile" (no graph-contiguity
-    assumption), so sub-tiling MUST be off; likewise for tiles not
-    divisible by 128."""
+    But each sub-tile issues one window DMA, and on-chip probes show a
+    per-DMA latency floor — ``sub_rows`` widens the sub-tile (fewer, larger
+    DMAs; slack amortized over more rows) at the cost of a wider gather
+    window.  Must be a multiple of 128 dividing tile_rows; invalid values
+    fall back to the 128 default.  slack == 0 means "the window is the
+    whole tile" (no graph-contiguity assumption), so sub-tiling MUST be
+    off; likewise for tiles not divisible by 128."""
     if window_slack == 0 or tile_rows % 128:
         return tile_rows
+    if (
+        sub_rows is not None
+        and sub_rows % 128 == 0
+        and tile_rows % sub_rows == 0
+    ):
+        return sub_rows
     return 128
 
 
-def supports(num_nodes: int, tile_rows: int, window_slack: int) -> bool:
+def supports(
+    num_nodes: int,
+    tile_rows: int,
+    window_slack: int,
+    sub_rows: Optional[int] = None,
+) -> bool:
     """Static preconditions shared by the fused kernels (also re-exported
     by ell_agg for the multi-aggregate kernel)."""
-    tns = _sub_rows(tile_rows, window_slack)
+    tns = _sub_rows(tile_rows, window_slack, sub_rows)
     tws = tns + 2 * window_slack
     return (
         num_nodes % tile_rows == 0
@@ -113,11 +130,13 @@ def supports(num_nodes: int, tile_rows: int, window_slack: int) -> bool:
     )
 
 
-def pna_layer_supported(num_nodes, f_in, f_out, tile_rows, window_slack):
+def pna_layer_supported(
+    num_nodes, f_in, f_out, tile_rows, window_slack, sub_rows=None
+):
     return (
         f_in % 128 == 0
         and f_out % 128 == 0
-        and supports(num_nodes, tile_rows, window_slack)
+        and supports(num_nodes, tile_rows, window_slack, sub_rows)
     )
 
 
@@ -127,10 +146,10 @@ def _window_starts(n: int, tile_rows: int, window: int, slack: int) -> np.ndarra
     return ws.astype(np.int32)
 
 
-def _schedule(n: int, tn: int, slack: int):
+def _schedule(n: int, tn: int, slack: int, sub_rows: Optional[int] = None):
     """Host-side constants: gather sub-tile height, sub-window width, and
     each sub-tile's (clamped, 8-aligned) window start."""
-    tns = _sub_rows(tn, slack)
+    tns = _sub_rows(tn, slack, sub_rows)
     tws = tns + 2 * slack
     sws = _window_starts(n, tns, tws, slack)       # [n/tns]
     return tns, tws, sws
@@ -359,7 +378,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "delta", "tile_rows", "window_slack", "interpret", "gather_mode",
-        "mm", "act", "save_res",
+        "mm", "act", "save_res", "sub_rows",
     ),
 )
 def fused_pna_layer(
@@ -381,6 +400,7 @@ def fused_pna_layer(
     mm: str = "f32",
     act: Optional[str] = None,
     save_res: bool = False,  # also return (v, agg_cat, aux) bwd residuals
+    sub_rows: Optional[int] = None,  # gather sub-tile height (None = 128)
 ):
     N, Fin = x.shape
     F = w_pre.shape[1]
@@ -388,12 +408,15 @@ def fused_pna_layer(
     W = nbr_nodes.shape[1]
     TN = tile_rows
     SL = window_slack
-    if not pna_layer_supported(N, Fin, Fout, TN, SL) and not interpret:
+    if (
+        not pna_layer_supported(N, Fin, Fout, TN, SL, sub_rows)
+        and not interpret
+    ):
         raise ValueError(f"fused_pna_layer preconditions failed: N={N}")
     if act not in _ACTS:
         raise ValueError(f"unsupported fused activation {act!r}")
 
-    TNS, TWS, sws = _schedule(N, TN, SL)
+    TNS, TWS, sws = _schedule(N, TN, SL, sub_rows)
     ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
     w_i, w_j = w_pre[:Fin], w_pre[Fin:]
@@ -551,9 +574,12 @@ def _pna_epilogue(x, agg_cat, deg, k_post, b_post, w_lin, b_lin, skip,
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
-                 mm, act, has_skip, has_rev):
+                 mm, act, has_skip, has_rev, sub_rows=None):
+    # the backward kernels keep their own (default) sub-tile schedule; the
+    # sub_rows knob only shapes the forward gather's DMA/compute trade
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret)
+    fcfg = dict(cfg, sub_rows=sub_rows)
 
     def _scatter_ok(n, f, w):
         from gnnbuilder_tpu.ops.pallas.scatter_bwd import supports_scatter
@@ -567,7 +593,7 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
         return fused_pna_layer(
             x, nbr, deg, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
             delta, skip=skip if has_skip else None,
-            gather_mode=gather_mode, mm=mm, act=act, **cfg,
+            gather_mode=gather_mode, mm=mm, act=act, **fcfg,
         )
 
     def fwd(x, nbr, deg, rev_nbr, out_deg, skip, *p):
@@ -578,7 +604,7 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
             out, v, agg_cat, aux, mid = fused_pna_layer(
                 x, nbr, deg, *p, delta, skip=skip if has_skip else None,
                 gather_mode=gather_mode, mm=mm, act=act, save_res=True,
-                **cfg,
+                **fcfg,
             )
             return out, (x, nbr, deg, rev_nbr, out_deg, skip, p,
                          (v, agg_cat, aux, mid, out))
@@ -729,7 +755,7 @@ def fused_pna_layer_vjp(
     x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
     delta, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
-    gather_mode="split2", mm="f32", act=None,
+    gather_mode="split2", mm="f32", act=None, sub_rows=None,
 ):
     """Differentiable fused layer.  Pallas forward always; hand-written
     Pallas backward (reverse-table kernel, ops/pallas/ell_bwd.py) when the
@@ -738,7 +764,7 @@ def fused_pna_layer_vjp(
     has_rev = rev_nbr_nodes is not None and out_degree is not None
     fn = _make_vjp_fn(
         float(delta), tile_rows, window_slack, interpret, gather_mode,
-        mm, act, has_skip, has_rev,
+        mm, act, has_skip, has_rev, sub_rows,
     )
     skip_in = skip if has_skip else jnp.zeros((x.shape[0], w_lin.shape[1]),
                                               x.dtype)
@@ -777,7 +803,7 @@ def fused_pna_layer_auto(
     x, nbr_nodes, in_degree, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
     delta, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
-    gather_mode="split2", mm="f32", act=None,
+    gather_mode="split2", mm="f32", act=None, sub_rows=None,
 ):
     """fused_pna_layer_vjp with automatic zero-padding of unaligned feature
     dims to MXU lanes (128).
@@ -822,7 +848,7 @@ def fused_pna_layer_auto(
             rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
             tile_rows=tile_rows,
             window_slack=window_slack, interpret=interpret,
-            gather_mode=gather_mode, mm=mm, act=act,
+            gather_mode=gather_mode, mm=mm, act=act, sub_rows=sub_rows,
         )
         return out[:, :Fout]
 
@@ -832,4 +858,5 @@ def fused_pna_layer_auto(
         rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
         tile_rows=tile_rows, window_slack=window_slack,
         interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+        sub_rows=sub_rows,
     )

@@ -321,3 +321,49 @@ def test_conv_uses_fused_mp_layer(conv_type):
     finally:
         dispatch.set_fused_mode("auto")
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("sub_rows", [256, 512])
+def test_sub_rows_knob_is_schedule_invariant(sub_rows):
+    """sub_rows widens the gather sub-tile (fewer, larger window DMAs —
+    the DSE's DMA-latency knob).  It must be pure schedule: outputs
+    bit-identical to the default TNS=128 for both the PNA and the generic
+    mp layer kernels, interpret mode."""
+    from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer
+    from gnnbuilder_tpu.ops.pallas.pna_layer import (
+        _sub_rows as sub_rows_fn,
+        fused_pna_layer,
+        supports,
+    )
+
+    b = _batch(num_graphs=72, node_budget=1024, seed=9)
+    N, F = b.num_nodes, 16
+    assert N == 1024
+    TN, SL = 512, 32
+    assert supports(N, TN, SL, sub_rows)
+    assert sub_rows_fn(TN, SL, sub_rows) == sub_rows
+    # invalid values fall back to the 128 default rather than miscompiling
+    assert sub_rows_fn(TN, SL, 96) == 128
+    assert sub_rows_fn(TN, SL, 384) == 128
+
+    rng = np.random.default_rng(11)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32)
+    x = r(N, F)
+    args = (x, b.nbr_nodes, b.in_degree, r(2 * F, F), r(F),
+            r(F + 12 * F, F), r(F), r(F, F), r(F))
+    base = fused_pna_layer(*args, 2.0, tile_rows=TN, window_slack=SL,
+                           interpret=True)
+    wide = fused_pna_layer(*args, 2.0, tile_rows=TN, window_slack=SL,
+                           interpret=True, sub_rows=sub_rows)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(wide))
+
+    w0, b0_, w1, b1_ = r(F, F), r(F), r(F, F), r(F)
+    mp_base = fused_mp_layer(x, b.nbr_nodes, b.in_degree, "gin",
+                             w0=w0, b0=b0_, w1=w1, b1=b1_,
+                             eps=0.1, tile_rows=TN, window_slack=SL,
+                             interpret=True)
+    mp_wide = fused_mp_layer(x, b.nbr_nodes, b.in_degree, "gin",
+                             w0=w0, b0=b0_, w1=w1, b1=b1_,
+                             eps=0.1, tile_rows=TN, window_slack=SL,
+                             interpret=True, sub_rows=sub_rows)
+    np.testing.assert_array_equal(np.asarray(mp_base), np.asarray(mp_wide))
