@@ -532,6 +532,20 @@ class LGConv(nn.Module):
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
         deg = g.in_degree.astype(x.dtype)
         dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1.0)), 0.0)
+
+        cfg = _layer_cfg(self, g, x)
+        if cfg is not None:
+            # whole-layer count-SpMM kernel (W-independent gather) with the
+            # receiver-side 1/sqrt(d_i) + skip + act fused as the epilogue
+            from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
+
+            return fused_mp_layer_auto(
+                x * dis[:, None], g.nbr_nodes, g.in_degree, "lg",
+                skip=skip, act=act,
+                rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
+                **cfg,
+            )
+
         fused = _fused_multi(g, ("sum",), x * dis[:, None])
         if fused is not None:
             return _finish(dis[:, None] * fused, act, skip)
@@ -563,6 +577,21 @@ class SimpleConv(nn.Module):
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
         agg = self.aggregation
         name = "sum" if agg == "add" else agg
+        if name in ("sum", "mean"):
+            # whole-layer count-SpMM kernel (W-independent gather); max/min
+            # need per-slot compares and stay on the multi-aggregate path
+            cfg = _layer_cfg(self, g, x)
+            if cfg is not None:
+                from gnnbuilder_tpu.ops.pallas.mp_layer import (
+                    fused_mp_layer_auto,
+                )
+
+                return fused_mp_layer_auto(
+                    x, g.nbr_nodes, g.in_degree, f"simple_{name}",
+                    skip=skip, act=act,
+                    rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
+                    **cfg,
+                )
         if name in ("sum", "mean", "max", "min"):
             fused = _fused_multi(g, (name,), x)
             if fused is not None:

@@ -59,7 +59,7 @@ __all__ = [
     "MP_CONVS",
 ]
 
-MP_CONVS = ("gin", "sage", "gcn")
+MP_CONVS = ("gin", "sage", "gcn", "lg", "simple_sum", "simple_mean")
 
 
 def _kernel(
@@ -173,6 +173,16 @@ def _kernel(
     elif conv == "gcn":
         dis = jax.lax.rsqrt(degf + 1.0)
         o = dis * (s_all + xt) + b0_ref[:]
+    elif conv == "lg":
+        # receiver-side 1/sqrt(d_i); the caller pre-scaled v by 1/sqrt(d_j)
+        dis = jnp.where(
+            deg > 0, jax.lax.rsqrt(jnp.maximum(degf, 1.0)), 0.0
+        )
+        o = dis * s_all
+    elif conv == "simple_sum":
+        o = s_all
+    elif conv == "simple_mean":
+        o = s_all / jnp.maximum(degf, 1.0)
     else:
         raise ValueError(f"unknown conv {conv}")
 
@@ -228,10 +238,14 @@ def fused_mp_layer(
     elif conv == "sage":
         Fout = w0.shape[1]
         mats = [w0, b0.reshape(1, -1), w1, jnp.zeros((1, Fout), jnp.float32)]
-    else:  # gcn: b0 is the bias; matmuls were done by the caller
+    elif conv == "gcn":  # b0 is the bias; matmuls were done by the caller
         Fout = F
         mats = [zero11, b0.reshape(1, -1), zero11,
                 jnp.zeros((1, Fout), jnp.float32)]
+    else:  # lg / simple_*: parameter-free epilogues
+        Fout = F
+        z1f = jnp.zeros((1, Fout), jnp.float32)
+        mats = [zero11, z1f, zero11, z1f]
 
     has_skip = skip is not None
     kern = functools.partial(
@@ -317,6 +331,16 @@ def mp_layer_reference(v, nbr_nodes, in_degree, conv,
     elif conv == "gcn":
         dis = jax.lax.rsqrt(degf + 1.0)
         o = dis * (s + v) + b0
+    elif conv == "lg":
+        deg2 = in_degree.astype(jnp.int32)[:, None]
+        dis = jnp.where(
+            deg2 > 0, jax.lax.rsqrt(jnp.maximum(degf, 1.0)), 0.0
+        )
+        o = dis * s
+    elif conv == "simple_sum":
+        o = s
+    elif conv == "simple_mean":
+        o = s / jnp.maximum(degf, 1.0)
     else:
         raise ValueError(conv)
     if skip is not None:
@@ -339,9 +363,18 @@ def _epilogue_and_grads(conv, eps, act, has_skip, v, s, deg, skip, p, ct):
         elif conv == "sage":
             mean = ss / jnp.maximum(degf, 1.0)
             o = mean @ w0_ + b0_ + vv @ w1_
-        else:  # gcn
+        elif conv == "gcn":
             dis = jax.lax.rsqrt(degf + 1.0)
             o = dis * (ss + vv) + b0_
+        elif conv == "lg":
+            dis = jnp.where(
+                degf > 0, jax.lax.rsqrt(jnp.maximum(degf, 1.0)), 0.0
+            )
+            o = dis * ss
+        elif conv == "simple_sum":
+            o = ss
+        else:  # simple_mean
+            o = ss / jnp.maximum(degf, 1.0)
         if has_skip:
             o = o + sk
         return _ACTS[act](o)
@@ -441,6 +474,10 @@ def fused_mp_layer_vjp(
     if conv == "gcn":
         Fout = F
         w0_, b0_, w1_, b1_ = z, b0, z, jnp.zeros((Fout,), jnp.float32)
+    elif conv in ("lg", "simple_sum", "simple_mean"):
+        Fout = F
+        zf = jnp.zeros((Fout,), jnp.float32)
+        w0_, b0_, w1_, b1_ = z, zf, z, zf
     elif conv == "sage":
         Fout = w0.shape[1]
         w0_, b0_, w1_, b1_ = w0, b0, w1, jnp.zeros((Fout,), jnp.float32)
@@ -502,11 +539,12 @@ def fused_mp_layer_auto(
                 act=act, sub_rows=sub_rows,
             )
             return out[:, :Fout]
-    else:  # gcn: v = (x@W)*dis already has the OUTPUT width
+    else:  # gcn/lg/simple: v already has the OUTPUT width
         if F_p != F:
             out = fused_mp_layer_vjp(
                 _pad_cols(v, F_p), nbr_nodes, in_degree, conv,
-                b0=jnp.pad(b0, (0, F_p - F)), eps=eps,
+                b0=jnp.pad(b0, (0, F_p - F)) if b0 is not None else None,
+                eps=eps,
                 skip=_pad_cols(skip, F_p) if skip is not None else None,
                 rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
                 tile_rows=tile_rows, window_slack=window_slack,

@@ -258,7 +258,9 @@ def test_bf16_program_forward_fused():
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
-@pytest.mark.parametrize("conv", ["gin", "sage", "gcn"])
+@pytest.mark.parametrize(
+    "conv", ["gin", "sage", "gcn", "lg", "simple_sum", "simple_mean"]
+)
 def test_fused_mp_layer_matches_reference(conv):
     """Generic whole-layer kernel (ops/pallas/mp_layer.py) vs XLA reference,
     interpret mode, with fused skip + activation."""
@@ -279,8 +281,10 @@ def test_fused_mp_layer_matches_reference(conv):
         p = dict(w0=r(F, F), b0=r(F), w1=r(F, F), b1=r(F), eps=0.15)
     elif conv == "sage":
         p = dict(w0=r(F, F), b0=r(F), w1=r(F, F))
-    else:
+    elif conv == "gcn":
         p = dict(b0=r(F))
+    else:  # lg / simple_*: parameter-free epilogues
+        p = {}
     got = fused_mp_layer_vjp(v, b.nbr_nodes, b.in_degree, conv, **p, **kw)
     ref = mp_layer_reference(v, b.nbr_nodes, b.in_degree, conv, **p,
                              skip=skip, act="relu")
@@ -302,11 +306,13 @@ def test_fused_mp_layer_matches_reference(conv):
                                rtol=1e-3)
 
 
-@pytest.mark.parametrize("conv_type", ["gin", "sage", "gcn"])
+@pytest.mark.parametrize(
+    "conv_type", ["gin", "sage", "gcn", "lg", "simple"]
+)
 def test_conv_uses_fused_mp_layer(conv_type):
-    """GIN/SAGE/GCN dispatch to the whole-layer kernel under mode 'always'
-    (auto-padded 16-dim features) and match their own XLA path with the
-    fused act+skip epilogue."""
+    """GIN/SAGE/GCN/LG/Simple dispatch to the whole-layer kernel under mode
+    'always' (auto-padded 16-dim features) and match their own XLA path
+    with the fused act+skip epilogue."""
     b = _batch(num_graphs=24, node_budget=512)
     cls = gnnb.SUPPORTED_GNN_CONVS[conv_type]
     conv = cls(in_channels=16, out_channels=16)
