@@ -34,6 +34,7 @@ _MODE = "auto"
 _TILE_ROWS: Optional[int] = None   # explicit node-tile height (DSE-tunable)
 _GATHER_MODE: Optional[str] = None  # explicit gather precision (DSE-tunable)
 _SUB_ROWS: Optional[int] = None    # gather sub-tile height (DSE-tunable)
+_WINDOW_MODE: Optional[str] = None  # "sub" | "tile" DMA granularity
 _SINGLE_TILE_MAX = 1024   # below this, one tile covers the whole batch
 
 import contextlib as _contextlib
@@ -69,7 +70,8 @@ _KEEP = object()  # sentinel: "leave this knob untouched"
 
 
 def set_kernel_overrides(
-    tile_rows=_KEEP, gather_mode=_KEEP, ell_width=_KEEP, sub_rows=_KEEP
+    tile_rows=_KEEP, gather_mode=_KEEP, ell_width=_KEEP, sub_rows=_KEEP,
+    window_mode=_KEEP,
 ) -> None:
     """Pin the fused kernels' tuning knobs — the DSE autotuner's handle on
     the p_in/p_out analog (tile height), the gather precision, and the
@@ -80,13 +82,17 @@ def set_kernel_overrides(
     ``ell_width`` is a packing-time layout knob (core/graph.py): it sets
     the process-wide default used by ``build_graph_batch(ell_width=None)``
     and therefore only affects batches packed AFTER the call."""
-    global _TILE_ROWS, _GATHER_MODE, _SUB_ROWS
+    global _TILE_ROWS, _GATHER_MODE, _SUB_ROWS, _WINDOW_MODE
     if tile_rows is not _KEEP:
         _TILE_ROWS = tile_rows
     if gather_mode is not _KEEP:
         _GATHER_MODE = gather_mode
     if sub_rows is not _KEEP:
         _SUB_ROWS = sub_rows
+    if window_mode is not _KEEP:
+        if window_mode not in (None, "sub", "tile"):
+            raise ValueError(f"unknown window_mode {window_mode!r}")
+        _WINDOW_MODE = window_mode
     if ell_width is not _KEEP:
         from gnnbuilder_tpu.core import graph
 
@@ -157,6 +163,8 @@ def fused_config(
             out["mm"] = "bf16" if on_tpu else "f32"
             if _SUB_ROWS is not None and slack:
                 out["sub_rows"] = _SUB_ROWS
+            if _WINDOW_MODE is not None and slack:
+                out["window_mode"] = _WINDOW_MODE
         return out
 
     slack = _round_up(maxg, 8)

@@ -44,11 +44,13 @@ from gnnbuilder_tpu.ops.pallas.pna_layer import (
     _ACTS,
     _BIG,
     _dot_mm,
+    _norm_window_mode,
     _pad_cols,
     _pad_rows,
     _rup,
     _schedule,
     _stack_ids,
+    _tile_schedule,
     supports,
 )
 
@@ -80,6 +82,7 @@ def _head_matrices(att_src, att_dst, heads, C):
 
 def _kernel(
     sws_ref,     # scalar prefetch: [N/TNS] window start per sub-tile
+    tsw_ref,     # scalar prefetch: [N/TN] tile window start (tile mode)
     x_hbm,       # [N, Fin] ANY — windowed neighbor reads
     x_ref,       # [TN, Fin] VMEM — receiver rows
     ids_ref,     # [W*TN, 1] int32 localized stacked slot ids (-1 = pad)
@@ -93,6 +96,8 @@ def _kernel(
     W: int,
     TNS: int,
     TWS: int,
+    TWL: int,
+    window_mode: str,
     heads: int,
     neg_slope: float,
     self_loops: bool,
@@ -109,10 +114,19 @@ def _kernel(
         skip_ref, *rest = rest
     else:
         skip_ref = None
+    tile_win = window_mode == "tile"
     if save_res:
-        out_ref, m_ref, den_ref, x_win, dma_sem = rest
+        if tile_win:
+            out_ref, m_ref, den_ref, x_win, pay_scr, dma_sem = rest
+        else:
+            out_ref, m_ref, den_ref, x_win, dma_sem = rest
+            pay_scr = None
     else:
-        out_ref, x_win, dma_sem = rest
+        if tile_win:
+            out_ref, x_win, pay_scr, dma_sem = rest
+        else:
+            out_ref, x_win, dma_sem = rest
+            pay_scr = None
         m_ref = den_ref = None
 
     i = pl.program_id(0)
@@ -123,15 +137,36 @@ def _kernel(
     dot = _dot_mm(mm)
     H = heads
 
-    def win_copy(j, buf):
-        start = pl.multiple_of(sws_ref[j], 8)
+    def win_copy(j, buf, rows_n, starts_ref):
+        start = pl.multiple_of(starts_ref[j], 8)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(start, TWS), :], x_win.at[buf], dma_sem.at[buf]
+            x_hbm.at[pl.ds(start, rows_n), :], x_win.at[buf],
+            dma_sem.at[buf],
         )
 
-    @pl.when(i == 0)
-    def _():
-        win_copy(0, 0).start()
+    if tile_win:
+        # ONE [TWL, Fin] window DMA per grid step; projection and
+        # source-logit halves computed once over the whole tile window
+        @pl.when(i == 0)
+        def _():
+            win_copy(0, 0, TWL, tsw_ref).start()
+
+        buf_t = jax.lax.rem(i, 2)
+        win_copy(i, buf_t, TWL, tsw_ref).wait()
+
+        @pl.when(i + 1 < nt)
+        def _():
+            win_copy(i + 1, jax.lax.rem(i + 1, 2), TWL, tsw_ref).start()
+
+        hwin_all = dot(x_win[buf_t], w_ref[:])           # [TWL, HC]
+        aswin_all = jnp.dot(hwin_all, as_ref[:],
+                            preferred_element_type=jnp.float32)  # [TWL, H]
+        pay_scr[:, :HC] = hwin_all
+        pay_scr[:, HC:] = aswin_all
+    else:
+        @pl.when(i == 0)
+        def _():
+            win_copy(0, 0, TWS, sws_ref).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (W * TNS, TWS), 1)
 
@@ -140,26 +175,29 @@ def _kernel(
 
     def sub_tile(k, carry):
         j = i * KT + k
-        buf = jax.lax.rem(j, 2)
-        win_copy(j, buf).wait()
-
-        @pl.when(j + 1 < nt * KT)
-        def _():
-            win_copy(j + 1, jax.lax.rem(j + 1, 2)).start()
-
         rows = pl.multiple_of(k * TNS, 8)
-        hwin = dot(x_win[buf], w_ref[:])                 # [TWS, HC]
-        # per-head source-logit halves: exact HIGHEST (the att reduction
-        # is the numerically touchy part of GAT)
-        aswin = jnp.dot(hwin, as_ref[:],
-                        preferred_element_type=jnp.float32)  # [TWS, H]
+        if tile_win:
+            woff = pl.multiple_of(sws_ref[j] - tsw_ref[i], 8)
+            payload = pay_scr[pl.ds(woff, TWS), :]          # [TWS, HC+H]
+        else:
+            buf = jax.lax.rem(j, 2)
+            win_copy(j, buf, TWS, sws_ref).wait()
+
+            @pl.when(j + 1 < nt * KT)
+            def _():
+                win_copy(j + 1, jax.lax.rem(j + 1, 2), TWS, sws_ref).start()
+
+            hwin = dot(x_win[buf], w_ref[:])             # [TWS, HC]
+            # per-head source-logit halves: exact HIGHEST (the att
+            # reduction is the numerically touchy part of GAT)
+            aswin = jnp.dot(hwin, as_ref[:],
+                            preferred_element_type=jnp.float32)  # [TWS, H]
+            # one stacked gather for values + logit halves
+            payload = jnp.concatenate([hwin, aswin], axis=-1)  # [TWS,HC+H]
         x_sub = x_ref[pl.ds(rows, TNS), :]
         h_sub = dot(x_sub, w_ref[:])                     # [TNS, HC]
         ad_sub = jnp.dot(h_sub, ad_ref[:],
                          preferred_element_type=jnp.float32)  # [TNS, H]
-
-        # one stacked gather for values + logit halves
-        payload = jnp.concatenate([hwin, aswin], axis=-1)   # [TWS, HC+H]
         ids = ids_ref[pl.ds(pl.multiple_of(k * W * TNS, 8), W * TNS), :]
         ohb = ids == lane
         if gather_mode == "highest":
@@ -235,6 +273,7 @@ def _kernel(
     static_argnames=(
         "heads", "neg_slope", "self_loops", "tile_rows", "window_slack",
         "interpret", "gather_mode", "mm", "act", "save_res", "sub_rows",
+        "window_mode",
     ),
 )
 def fused_gat_layer(
@@ -257,6 +296,7 @@ def fused_gat_layer(
     act: Optional[str] = None,
     save_res: bool = False,  # also return (m, den) softmax residuals
     sub_rows: Optional[int] = None,  # gather sub-tile height (None = 128)
+    window_mode: str = "sub",  # "sub" = DMA per sub-tile, "tile" = per tile
 ):
     N, Fin = x.shape
     HC = w.shape[1]
@@ -270,13 +310,19 @@ def fused_gat_layer(
         raise ValueError(f"unsupported fused activation {act!r}")
 
     TNS, TWS, sws = _schedule(N, TN, SL, sub_rows)
+    window_mode = _norm_window_mode(window_mode, TN, TNS, SL)
+    if window_mode == "tile":
+        TWL, tsws = _tile_schedule(N, TN, SL)
+    else:
+        TWL, tsws = TWS, np.zeros(1, np.int32)
     ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
     a_s, a_d, expand = _head_matrices(att_src, att_dst, heads, C)
 
     has_skip = skip is not None
     kern = functools.partial(
-        _kernel, W=W, TNS=TNS, TWS=TWS, heads=heads,
+        _kernel, W=W, TNS=TNS, TWS=TWS, TWL=TWL, window_mode=window_mode,
+        heads=heads,
         neg_slope=float(neg_slope), self_loops=self_loops,
         gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
         save_res=save_res,
@@ -297,7 +343,7 @@ def fused_gat_layer(
         vmem(), vmem(), vmem(), vmem(), vmem(),
     ]
     inputs = [
-        jnp.asarray(sws), x, x, ids_stack, deg2d,
+        jnp.asarray(sws), jnp.asarray(tsws), x, x, ids_stack, deg2d,
         w, a_s, a_d, expand, bias.reshape(1, -1),
     ]
     if has_skip:
@@ -313,15 +359,17 @@ def fused_gat_layer(
             jax.ShapeDtypeStruct((N, heads), jnp.float32),  # m
             jax.ShapeDtypeStruct((N, heads), jnp.float32),  # den
         ]
+    scratch = [pltpu.VMEM((2, TWL, Fin), x.dtype)]
+    if window_mode == "tile":
+        # tile-window payload (projected values + source-logit halves)
+        scratch.append(pltpu.VMEM((TWL, HC + heads), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(max(N // TN, 1),),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((2, TWS, Fin), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     flops = N * (2 * Fin * HC + 2 * W * TWS * (HC + heads)) * 2
     return pl.pallas_call(
@@ -370,12 +418,13 @@ def gat_layer_reference(x, nbr_nodes, in_degree, w, att_src, att_dst, bias,
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
-                 interpret, gather_mode, mm, act, has_skip, sub_rows=None):
-    # sub_rows shapes the forward gather only; the scatter backward keeps
-    # its own default schedule
+                 interpret, gather_mode, mm, act, has_skip, sub_rows=None,
+                 window_mode="sub"):
+    # sub_rows/window_mode shape the forward gather only; the scatter
+    # backward keeps its own default schedule
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret)
-    fcfg = dict(cfg, sub_rows=sub_rows)
+    fcfg = dict(cfg, sub_rows=sub_rows, window_mode=window_mode)
 
     def _scatter_ok(n, hc, w):
         # hand-written backward (ops/pallas/gat_bwd.py): self-loop mode
@@ -497,6 +546,7 @@ def fused_gat_layer_vjp(
     neg_slope=0.2, self_loops=True, skip=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
+    window_mode="sub",
 ):
     """Differentiable fused GAT layer (Pallas fwd, XLA-reference bwd).
 
@@ -511,7 +561,7 @@ def fused_gat_layer_vjp(
     has_skip = skip is not None
     fn = _make_vjp_fn(
         heads, float(neg_slope), self_loops, tile_rows, window_slack,
-        interpret, gather_mode, mm, act, has_skip, sub_rows,
+        interpret, gather_mode, mm, act, has_skip, sub_rows, window_mode,
     )
     skip_in = skip if has_skip else jnp.zeros((N, w.shape[1]), x.dtype)
     return fn(x, nbr_nodes, in_degree.astype(jnp.int32), skip_in,

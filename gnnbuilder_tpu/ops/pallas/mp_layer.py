@@ -43,11 +43,13 @@ from gnnbuilder_tpu.ops.pallas.pna_layer import (
     _ACTS,
     _dot_mm,
     _HI,
+    _norm_window_mode,
     _pad_cols,
     _pad_rows,
     _rup,
     _schedule,
     _stack_ids,
+    _tile_schedule,
     supports,
 )
 
@@ -64,6 +66,7 @@ MP_CONVS = ("gin", "sage", "gcn", "lg", "simple_sum", "simple_mean")
 
 def _kernel(
     sws_ref,     # scalar prefetch: [N/TNS] window start per sub-tile
+    tsw_ref,     # scalar prefetch: [N/TN] tile window start (tile mode)
     x_hbm,       # [N, F] ANY — windowed neighbor reads (v array)
     x_ref,       # [TN, F] VMEM — receiver rows of v
     ids_ref,     # [W*TN, 1] int32 localized stacked slot ids (-1 = pad)
@@ -78,6 +81,8 @@ def _kernel(
     W: int,
     TNS: int,
     TWS: int,
+    TWL: int,
+    window_mode: str,
     eps: float,
     gather_mode: str,
     mm: str,
@@ -103,15 +108,33 @@ def _kernel(
     KT = TN // TNS
     dot = _dot_mm(mm)
 
-    def win_copy(j, buf):
-        start = pl.multiple_of(sws_ref[j], 8)
+    tile_win = window_mode == "tile"
+
+    def win_copy(j, buf, rows_n, starts_ref):
+        start = pl.multiple_of(starts_ref[j], 8)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(start, TWS), :], x_win.at[buf], dma_sem.at[buf]
+            x_hbm.at[pl.ds(start, rows_n), :], x_win.at[buf],
+            dma_sem.at[buf],
         )
 
-    @pl.when(i == 0)
-    def _():
-        win_copy(0, 0).start()
+    if tile_win:
+        # ONE [TWL, F] window DMA per grid step (vs KT per-sub-tile DMAs);
+        # sub-tiles slice their narrow TWS windows out of VMEM — attacks
+        # the per-DMA latency floor without widening the gather
+        @pl.when(i == 0)
+        def _():
+            win_copy(0, 0, TWL, tsw_ref).start()
+
+        buf_t = jax.lax.rem(i, 2)
+        win_copy(i, buf_t, TWL, tsw_ref).wait()
+
+        @pl.when(i + 1 < nt)
+        def _():
+            win_copy(i + 1, jax.lax.rem(i + 1, 2), TWL, tsw_ref).start()
+    else:
+        @pl.when(i == 0)
+        def _():
+            win_copy(0, 0, TWS, sws_ref).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (W * TNS, TWS), 1)
 
@@ -119,14 +142,18 @@ def _kernel(
     # module size — and compile time — independent of KT
     def sub_tile(k, carry):
         j = i * KT + k
-        buf = jax.lax.rem(j, 2)
-        win_copy(j, buf).wait()
+        if tile_win:
+            woff = pl.multiple_of(sws_ref[j] - tsw_ref[i], 8)
+            vwin = x_win[buf_t, pl.ds(woff, TWS), :]  # [TWS, F]
+        else:
+            buf = jax.lax.rem(j, 2)
+            win_copy(j, buf, TWS, sws_ref).wait()
 
-        @pl.when(j + 1 < nt * KT)
-        def _():
-            win_copy(j + 1, jax.lax.rem(j + 1, 2)).start()
+            @pl.when(j + 1 < nt * KT)
+            def _():
+                win_copy(j + 1, jax.lax.rem(j + 1, 2), TWS, sws_ref).start()
 
-        vwin = x_win[buf]  # [TWS, F]
+            vwin = x_win[buf]  # [TWS, F]
         ids = ids_ref[pl.ds(pl.multiple_of(k * W * TNS, 8), W * TNS), :]
         ohb = ids == lane                                    # [W*TNS, TWS]
         if gather_mode == "highest":
@@ -195,7 +222,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "conv", "eps", "tile_rows", "window_slack", "interpret",
-        "gather_mode", "mm", "act", "save_s", "sub_rows",
+        "gather_mode", "mm", "act", "save_s", "sub_rows", "window_mode",
     ),
 )
 def fused_mp_layer(
@@ -214,6 +241,7 @@ def fused_mp_layer(
     act: Optional[str] = None,
     save_s: bool = False,   # also return the aggregated sums (bwd residual)
     sub_rows: Optional[int] = None,  # gather sub-tile height (None = 128)
+    window_mode: str = "sub",  # "sub" = DMA per sub-tile, "tile" = per tile
 ):
     N, F = v.shape
     W = nbr_nodes.shape[1]
@@ -227,6 +255,11 @@ def fused_mp_layer(
         raise ValueError(f"unsupported fused activation {act!r}")
 
     TNS, TWS, sws = _schedule(N, TN, SL, sub_rows)
+    window_mode = _norm_window_mode(window_mode, TN, TNS, SL)
+    if window_mode == "tile":
+        TWL, tsws = _tile_schedule(N, TN, SL)
+    else:
+        TWL, tsws = TWS, np.zeros(1, np.int32)
     ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
 
@@ -249,7 +282,8 @@ def fused_mp_layer(
 
     has_skip = skip is not None
     kern = functools.partial(
-        _kernel, conv=conv, W=W, TNS=TNS, TWS=TWS, eps=float(eps),
+        _kernel, conv=conv, W=W, TNS=TNS, TWS=TWS, TWL=TWL,
+        window_mode=window_mode, eps=float(eps),
         gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
         save_s=save_s,
     )
@@ -268,14 +302,15 @@ def fused_mp_layer(
         blk((TN, 1)),
         vmem(), vmem(), vmem(), vmem(),
     ]
-    inputs = [jnp.asarray(sws), v, v, ids_stack, deg2d] + mats
+    inputs = [jnp.asarray(sws), jnp.asarray(tsws), v, v, ids_stack,
+              deg2d] + mats
     if has_skip:
         in_specs.append(blk((TN, Fout)))
         inputs.append(skip)
 
     out_specs = blk((TN, Fout))
     out_shape = jax.ShapeDtypeStruct((N, Fout), jnp.float32)
-    scratch = [pltpu.VMEM((2, TWS, F), v.dtype)]
+    scratch = [pltpu.VMEM((2, TWL, F), v.dtype)]
     if save_s:
         out_specs = [out_specs, blk((TN, F))]
         out_shape = [out_shape, jax.ShapeDtypeStruct((N, F), jnp.float32)]
@@ -284,7 +319,7 @@ def fused_mp_layer(
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(max(N // TN, 1),),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -386,12 +421,13 @@ def _epilogue_and_grads(conv, eps, act, has_skip, v, s, deg, skip, p, ct):
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
-                 mm, act, has_skip, has_rev, sub_rows=None):
-    # sub_rows shapes the forward gather only; the backward count-SpMM
-    # keeps its own default schedule
+                 mm, act, has_skip, has_rev, sub_rows=None,
+                 window_mode="sub"):
+    # sub_rows/window_mode shape the forward gather only; the backward
+    # count-SpMM keeps its own default schedule
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret)
-    fcfg = dict(cfg, sub_rows=sub_rows)
+    fcfg = dict(cfg, sub_rows=sub_rows, window_mode=window_mode)
 
     @jax.custom_vjp
     def f(v, nbr, deg, rev_nbr, out_deg, skip, w0, b0, w1, b1):
@@ -459,6 +495,7 @@ def fused_mp_layer_vjp(
     eps=0.0, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
+    window_mode="sub",
 ):
     """Differentiable fused layer.  Pallas forward always; hand-written
     Pallas backward (reverse-table count-SpMM, ops/pallas/ell_bwd.py) when
@@ -467,7 +504,7 @@ def fused_mp_layer_vjp(
     has_rev = rev_nbr_nodes is not None and out_degree is not None
     fn = _make_vjp_fn(
         conv, float(eps), tile_rows, window_slack, interpret, gather_mode,
-        mm, act, has_skip, has_rev, sub_rows,
+        mm, act, has_skip, has_rev, sub_rows, window_mode,
     )
     F = v.shape[1]
     z = jnp.zeros((1, 1), jnp.float32)
@@ -498,6 +535,7 @@ def fused_mp_layer_auto(
     eps=0.0, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
+    window_mode="sub",
 ):
     """fused_mp_layer_vjp with automatic zero-padding of unaligned feature
     dims to MXU lanes (pad lanes are inert: zero x lanes -> zero aggregate
@@ -519,7 +557,7 @@ def fused_mp_layer_auto(
                 rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
-                act=act, sub_rows=sub_rows,
+                act=act, sub_rows=sub_rows, window_mode=window_mode,
             )
             return out[:, :Fout]
     elif conv == "sage":
@@ -536,7 +574,7 @@ def fused_mp_layer_auto(
                 rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
-                act=act, sub_rows=sub_rows,
+                act=act, sub_rows=sub_rows, window_mode=window_mode,
             )
             return out[:, :Fout]
     else:  # gcn/lg/simple: v already has the OUTPUT width
@@ -549,7 +587,7 @@ def fused_mp_layer_auto(
                 rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
-                act=act, sub_rows=sub_rows,
+                act=act, sub_rows=sub_rows, window_mode=window_mode,
             )
             return out[:, :F]
     return fused_mp_layer_vjp(
@@ -557,5 +595,5 @@ def fused_mp_layer_auto(
         skip=skip, rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
         tile_rows=tile_rows, window_slack=window_slack,
         interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
-        sub_rows=sub_rows,
+        sub_rows=sub_rows, window_mode=window_mode,
     )

@@ -155,6 +155,28 @@ def _schedule(n: int, tn: int, slack: int, sub_rows: Optional[int] = None):
     return tns, tws, sws
 
 
+def _tile_schedule(n: int, tn: int, slack: int):
+    """Tile-level window constants for window_mode='tile': one [TWL, F]
+    DMA per grid step covers every sub-tile's gather window inside that
+    tile (windows overlap with stride TNS, so the union is just the tile
+    rows +- slack).  Each sub-tile's window is then a VMEM slice at offset
+    sws[j] - tsws[t] — in [0, TWL - TWS] and 8-aligned by construction."""
+    twl = min(tn + 2 * slack, n)
+    tsws = _window_starts(n, tn, twl, slack)       # [n/tn]
+    return twl, tsws
+
+
+def _norm_window_mode(window_mode: str, tn: int, tns: int,
+                      slack: int) -> str:
+    """'tile' only means something when sub-tiling is active (TNS < TN and
+    slack > 0); otherwise the per-sub-tile stream IS one DMA per tile."""
+    if window_mode not in ("sub", "tile"):
+        raise ValueError(f"unknown window_mode {window_mode!r}")
+    if tns == tn or slack == 0:
+        return "sub"
+    return window_mode
+
+
 def _stack_ids(nbr_nodes, in_degree, sws: np.ndarray, tns: int):
     """[N*W, 1] localized slot ids: row j*(W*TNS) + w*TNS + r holds
     nbr[j*TNS+r, w] - sws[j], or -1 for padding slots (w >= degree).
@@ -185,6 +207,7 @@ def _dot_mm(mm: str):
 
 def _kernel(
     sws_ref,     # scalar prefetch: [N/TNS] window start per sub-tile
+    tsw_ref,     # scalar prefetch: [N/TN] tile window start (tile mode)
     x_hbm,       # [N, Fin] ANY — windowed neighbor reads
     x_ref,       # [TN, Fin] VMEM — receiver rows
     ids_ref,     # [W*TN, 1] int32 localized stacked slot ids (-1 = pad)
@@ -202,6 +225,8 @@ def _kernel(
     W: int,
     TNS: int,
     TWS: int,
+    TWL: int,
+    window_mode: str,
     delta: float,
     gather_mode: str,
     mm: str,
@@ -218,11 +243,17 @@ def _kernel(
         skip_ref, *rest = rest
     else:
         skip_ref = None
+    tile_win = window_mode == "tile"
     if save_res:
         (out_ref, v_out_ref, agg_ref, aux_ref, mid_ref, x_win, v_scr,
          dma_sem) = rest
+        vwin_all = v_scr if tile_win else None  # [TWL, F] in tile mode
     else:
-        out_ref, x_win, agg_ref, dma_sem = rest
+        if tile_win:
+            out_ref, x_win, agg_ref, vwin_all, dma_sem = rest
+        else:
+            out_ref, x_win, agg_ref, dma_sem = rest
+            vwin_all = None
         v_out_ref = aux_ref = mid_ref = v_scr = None
 
     i = pl.program_id(0)
@@ -234,18 +265,38 @@ def _kernel(
     KT = TN // TNS
     dot = _dot_mm(mm)
 
-    def win_copy(j, buf):
-        start = pl.multiple_of(sws_ref[j], 8)
+    def win_copy(j, buf, rows_n, starts_ref):
+        start = pl.multiple_of(starts_ref[j], 8)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(start, TWS), :], x_win.at[buf], dma_sem.at[buf]
+            x_hbm.at[pl.ds(start, rows_n), :], x_win.at[buf],
+            dma_sem.at[buf],
         )
 
-    # double-buffered sub-window stream over the FLAT sub-tile sequence
-    # j = i*KT + k: each sub-tile's compute overlaps the next one's DMA,
-    # including across grid-step boundaries (scratch persists)
-    @pl.when(i == 0)
-    def _():
-        win_copy(0, 0).start()
+    if tile_win:
+        # ONE [TWL, Fin] window DMA per grid step (vs KT per-sub-tile DMAs
+        # below — the measured per-DMA latency floor is the 34%-roofline
+        # culprit), double-buffered across tiles; the neighbor-half pre_nn
+        # matmul runs once over the whole tile window and each sub-tile
+        # slices its narrow TWS gather window out of VMEM
+        @pl.when(i == 0)
+        def _():
+            win_copy(0, 0, TWL, tsw_ref).start()
+
+        buf_t = jax.lax.rem(i, 2)
+        win_copy(i, buf_t, TWL, tsw_ref).wait()
+
+        @pl.when(i + 1 < nt)
+        def _():
+            win_copy(i + 1, jax.lax.rem(i + 1, 2), TWL, tsw_ref).start()
+
+        vwin_all[:] = dot(x_win[buf_t], w_j_ref[:])  # [TWL, F] f32
+    else:
+        # double-buffered sub-window stream over the FLAT sub-tile sequence
+        # j = i*KT + k: each sub-tile's compute overlaps the next one's DMA,
+        # including across grid-step boundaries (scratch persists)
+        @pl.when(i == 0)
+        def _():
+            win_copy(0, 0, TWS, sws_ref).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (W * TNS, TWS), 1)
 
@@ -254,23 +305,34 @@ def _kernel(
     # therefore compile time — independent of KT
     def sub_tile(k, carry):
         j = i * KT + k
-        buf = jax.lax.rem(j, 2)
-        win_copy(j, buf).wait()
-
-        @pl.when(j + 1 < nt * KT)
-        def _():
-            win_copy(j + 1, jax.lax.rem(j + 1, 2)).start()
-
         rows = pl.multiple_of(k * TNS, 8)
-        vwin = dot(x_win[buf], w_j_ref[:])  # [TWS, F] f32
-        if save_res:
-            # this sub-tile's own rows of v (window rows [off, off+TNS));
-            # both j*TNS and the window start are 8-aligned.  Mosaic has no
-            # dynamic_slice on values, so bounce through a VMEM scratch ref
-            # (refs support dynamic pl.ds starts).
-            off = pl.multiple_of(j * TNS - pl.multiple_of(sws_ref[j], 8), 8)
-            v_scr[:] = vwin
-            v_out_ref[pl.ds(rows, TNS), :] = v_scr[pl.ds(off, TNS), :]
+        if tile_win:
+            woff = pl.multiple_of(sws_ref[j] - tsw_ref[i], 8)
+            vwin = vwin_all[pl.ds(woff, TWS), :]            # [TWS, F] f32
+            if save_res:
+                voff = pl.multiple_of(j * TNS - tsw_ref[i], 8)
+                v_out_ref[pl.ds(rows, TNS), :] = vwin_all[
+                    pl.ds(voff, TNS), :
+                ]
+        else:
+            buf = jax.lax.rem(j, 2)
+            win_copy(j, buf, TWS, sws_ref).wait()
+
+            @pl.when(j + 1 < nt * KT)
+            def _():
+                win_copy(j + 1, jax.lax.rem(j + 1, 2), TWS, sws_ref).start()
+
+            vwin = dot(x_win[buf], w_j_ref[:])  # [TWS, F] f32
+            if save_res:
+                # this sub-tile's own rows of v (window rows [off,
+                # off+TNS)); both j*TNS and the window start are 8-aligned.
+                # Mosaic has no dynamic_slice on values, so bounce through
+                # a VMEM scratch ref (refs support dynamic pl.ds starts).
+                off = pl.multiple_of(
+                    j * TNS - pl.multiple_of(sws_ref[j], 8), 8
+                )
+                v_scr[:] = vwin
+                v_out_ref[pl.ds(rows, TNS), :] = v_scr[pl.ds(off, TNS), :]
         x_sub = x_ref[pl.ds(rows, TNS), :]
         u_sub = dot(x_sub, w_i_ref[:]) + b_pre_ref[:]
 
@@ -378,7 +440,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "delta", "tile_rows", "window_slack", "interpret", "gather_mode",
-        "mm", "act", "save_res", "sub_rows",
+        "mm", "act", "save_res", "sub_rows", "window_mode",
     ),
 )
 def fused_pna_layer(
@@ -401,6 +463,7 @@ def fused_pna_layer(
     act: Optional[str] = None,
     save_res: bool = False,  # also return (v, agg_cat, aux) bwd residuals
     sub_rows: Optional[int] = None,  # gather sub-tile height (None = 128)
+    window_mode: str = "sub",  # "sub" = DMA per sub-tile, "tile" = per tile
 ):
     N, Fin = x.shape
     F = w_pre.shape[1]
@@ -417,6 +480,11 @@ def fused_pna_layer(
         raise ValueError(f"unsupported fused activation {act!r}")
 
     TNS, TWS, sws = _schedule(N, TN, SL, sub_rows)
+    window_mode = _norm_window_mode(window_mode, TN, TNS, SL)
+    if window_mode == "tile":
+        TWL, tsws = _tile_schedule(N, TN, SL)
+    else:
+        TWL, tsws = TWS, np.zeros(1, np.int32)
     ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
     w_i, w_j = w_pre[:Fin], w_pre[Fin:]
@@ -428,7 +496,8 @@ def fused_pna_layer(
 
     has_skip = skip is not None
     kern = functools.partial(
-        _kernel, W=W, TNS=TNS, TWS=TWS, delta=float(delta),
+        _kernel, W=W, TNS=TNS, TWS=TWS, TWL=TWL, window_mode=window_mode,
+        delta=float(delta),
         gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
         save_res=save_res,
     )
@@ -450,7 +519,7 @@ def fused_pna_layer(
         vmem(), vmem(),                      # w_lin, b_lin
     ]
     inputs = [
-        jnp.asarray(sws),
+        jnp.asarray(sws), jnp.asarray(tsws),
         x, x, ids_stack, deg2d,
         w_i, w_j, b_pre.reshape(1, -1),
         k0, ks, b_post.reshape(1, -1),
@@ -462,7 +531,8 @@ def fused_pna_layer(
 
     out_specs = blk((TN, Fout))
     out_shape = jax.ShapeDtypeStruct((N, Fout), jnp.float32)
-    scratch = [pltpu.VMEM((2, TWS, Fin), x.dtype)]  # double-buffered window
+    tile_win = window_mode == "tile"
+    scratch = [pltpu.VMEM((2, TWL, Fin), x.dtype)]  # double-buffered window
     if save_res:
         out_specs = [
             out_specs, blk((TN, F)), blk((TN, 4 * F)), blk((TN, 5 * F)),
@@ -475,12 +545,16 @@ def fused_pna_layer(
             jax.ShapeDtypeStruct((N, 5 * F), jnp.float32),  # aux
             jax.ShapeDtypeStruct((N, Fout), jnp.float32),   # mid
         ]
-        scratch.append(pltpu.VMEM((TWS, F), jnp.float32))   # v slice bounce
+        # tile mode: whole-tile-window v; sub mode: v slice bounce
+        scratch.append(pltpu.VMEM((TWL if tile_win else TWS, F),
+                                  jnp.float32))
     else:
         scratch.append(pltpu.VMEM((TN, 4 * F), jnp.float32))  # agg concat
+        if tile_win:
+            scratch.append(pltpu.VMEM((TWL, F), jnp.float32))  # tile-win v
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(N // TN,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -574,12 +648,14 @@ def _pna_epilogue(x, agg_cat, deg, k_post, b_post, w_lin, b_lin, skip,
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
-                 mm, act, has_skip, has_rev, sub_rows=None):
+                 mm, act, has_skip, has_rev, sub_rows=None,
+                 window_mode="sub"):
     # the backward kernels keep their own (default) sub-tile schedule; the
-    # sub_rows knob only shapes the forward gather's DMA/compute trade
+    # sub_rows/window_mode knobs only shape the forward gather's
+    # DMA/compute trade
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret)
-    fcfg = dict(cfg, sub_rows=sub_rows)
+    fcfg = dict(cfg, sub_rows=sub_rows, window_mode=window_mode)
 
     def _scatter_ok(n, f, w):
         from gnnbuilder_tpu.ops.pallas.scatter_bwd import supports_scatter
@@ -756,6 +832,7 @@ def fused_pna_layer_vjp(
     delta, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
+    window_mode="sub",
 ):
     """Differentiable fused layer.  Pallas forward always; hand-written
     Pallas backward (reverse-table kernel, ops/pallas/ell_bwd.py) when the
@@ -764,7 +841,7 @@ def fused_pna_layer_vjp(
     has_rev = rev_nbr_nodes is not None and out_degree is not None
     fn = _make_vjp_fn(
         float(delta), tile_rows, window_slack, interpret, gather_mode,
-        mm, act, has_skip, has_rev, sub_rows,
+        mm, act, has_skip, has_rev, sub_rows, window_mode,
     )
     skip_in = skip if has_skip else jnp.zeros((x.shape[0], w_lin.shape[1]),
                                               x.dtype)
@@ -804,6 +881,7 @@ def fused_pna_layer_auto(
     delta, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
+    window_mode="sub",
 ):
     """fused_pna_layer_vjp with automatic zero-padding of unaligned feature
     dims to MXU lanes (128).
@@ -849,6 +927,7 @@ def fused_pna_layer_auto(
             tile_rows=tile_rows,
             window_slack=window_slack, interpret=interpret,
             gather_mode=gather_mode, mm=mm, act=act, sub_rows=sub_rows,
+            window_mode=window_mode,
         )
         return out[:, :Fout]
 
@@ -858,5 +937,5 @@ def fused_pna_layer_auto(
         rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
         tile_rows=tile_rows, window_slack=window_slack,
         interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
-        sub_rows=sub_rows,
+        sub_rows=sub_rows, window_mode=window_mode,
     )

@@ -373,3 +373,80 @@ def test_sub_rows_knob_is_schedule_invariant(sub_rows):
                              eps=0.1, tile_rows=TN, window_slack=SL,
                              interpret=True, sub_rows=sub_rows)
     np.testing.assert_array_equal(np.asarray(mp_base), np.asarray(mp_wide))
+
+
+def test_window_mode_tile_is_schedule_invariant():
+    """window_mode='tile' (one window DMA per grid tile, sub-tiles slice
+    VMEM) is a pure DMA-schedule change: outputs must be bit-identical to
+    the per-sub-tile stream for all three fused layer kernel families,
+    including the save_res residual paths."""
+    from gnnbuilder_tpu.ops.pallas.gat_layer import fused_gat_layer
+    from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer
+    from gnnbuilder_tpu.ops.pallas.pna_layer import fused_pna_layer
+
+    b = _batch(num_graphs=72, node_budget=1024, seed=9)
+    N, F = b.num_nodes, 16
+    TN, SL = 512, 32
+    rng = np.random.default_rng(17)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32)
+    x = r(N, F)
+    skip = r(N, F)
+
+    args = (x, b.nbr_nodes, b.in_degree, r(2 * F, F), r(F),
+            r(F + 12 * F, F), r(F), r(F, F), r(F))
+    for save in (False, True):
+        outs = [
+            fused_pna_layer(*args, 2.0, skip=skip, act="relu",
+                            tile_rows=TN, window_slack=SL, interpret=True,
+                            save_res=save, window_mode=wm)
+            for wm in ("sub", "tile")
+        ]
+        if save:
+            for a, c in zip(*outs):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        else:
+            np.testing.assert_array_equal(*map(np.asarray, outs))
+
+    w0, b0_, w1, b1_ = r(F, F), r(F), r(F, F), r(F)
+    for conv in ("gin", "lg"):
+        kw = (dict(w0=w0, b0=b0_, w1=w1, b1=b1_, eps=0.1)
+              if conv == "gin" else {})
+        outs = [
+            fused_mp_layer(x, b.nbr_nodes, b.in_degree, conv, **kw,
+                           skip=skip, act="relu", tile_rows=TN,
+                           window_slack=SL, interpret=True, window_mode=wm)
+            for wm in ("sub", "tile")
+        ]
+        np.testing.assert_array_equal(*map(np.asarray, outs))
+
+    H = 4
+    gat_args = (x, b.nbr_nodes, b.in_degree, r(F, F),
+                r(1, H, F // H), r(1, H, F // H), r(F))
+    outs = [
+        fused_gat_layer(*gat_args, H, skip=skip, act="relu",
+                        tile_rows=TN, window_slack=SL, interpret=True,
+                        window_mode=wm)
+        for wm in ("sub", "tile")
+    ]
+    np.testing.assert_array_equal(*map(np.asarray, outs))
+
+
+def test_window_mode_dispatch_override():
+    """set_kernel_overrides(window_mode='tile') drives the whole-layer
+    kernels through the tile-window DMA schedule at the model level with
+    unchanged outputs (vs the default schedule)."""
+    b = _batch(num_graphs=24, node_budget=512)
+    conv = gnnb.SUPPORTED_GNN_CONVS["gin"](in_channels=16, out_channels=16)
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (b.num_nodes, 16), jnp.float32)
+    params = conv.init(rng, b, x)
+
+    dispatch.set_fused_mode("always")
+    try:
+        base = np.asarray(conv.apply(params, b, x, act="relu"))
+        dispatch.set_kernel_overrides(window_mode="tile")
+        tile = np.asarray(conv.apply(params, b, x, act="relu"))
+    finally:
+        dispatch.set_kernel_overrides(window_mode=None)
+        dispatch.set_fused_mode("auto")
+    np.testing.assert_array_equal(base, tile)
