@@ -68,13 +68,16 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gnnbuilder_tpu.ops.pallas.pna_layer import (
     _HI,
+    _norm_window_mode,
     _schedule,
     _stack_ids,
+    _tile_schedule,
     supports,
 )
 
@@ -98,12 +101,15 @@ def transform_like_gather(v: jax.Array, gather_mode: str) -> jax.Array:
 
 def _kernel(
     sws_ref,     # scalar prefetch: [N/TNS] window start per sub-tile
+    tsw_ref,     # scalar prefetch: [N/TN] tile window start (tile mode)
     c_hbm,       # [N, K*F] ANY — stacked coefficients, windowed DMA
     ids_ref,     # [W*TN, 1] int32 localized stacked slot ids (-1 = pad)
     *rest,       # ([v_ref], out_ref, c_win[2,TWS,K*F], dma_sem[2])
     W: int,
     TNS: int,
     TWS: int,
+    TWL: int,
+    window_mode: str,
     F: int,
     has_lin: bool,
     has_dev: bool,
@@ -124,16 +130,33 @@ def _kernel(
     LF = F if has_lin else 0                  # linear block width
     DF = 2 * F if has_dev else 0              # dev block width (d1 | d2)
     PF = 2 * n_cmp * F                        # per-slot cmp block width
+    tile_win = window_mode == "tile"
 
-    def win_copy(j, buf):
-        start = pl.multiple_of(sws_ref[j], 8)
+    def win_copy(j, buf, rows_n, starts_ref):
+        start = pl.multiple_of(starts_ref[j], 8)
         return pltpu.make_async_copy(
-            c_hbm.at[pl.ds(start, TWS), :], c_win.at[buf], dma_sem.at[buf]
+            c_hbm.at[pl.ds(start, rows_n), :], c_win.at[buf],
+            dma_sem.at[buf],
         )
 
-    @pl.when(i == 0)
-    def _():
-        win_copy(0, 0).start()
+    if tile_win:
+        # ONE [TWL, K*F] coefficient-window DMA per grid step; sub-tiles
+        # slice their narrow TWS windows out of VMEM (same rationale as
+        # the forward kernels' tile mode)
+        @pl.when(i == 0)
+        def _():
+            win_copy(0, 0, TWL, tsw_ref).start()
+
+        buf_t = jax.lax.rem(i, 2)
+        win_copy(i, buf_t, TWL, tsw_ref).wait()
+
+        @pl.when(i + 1 < nt)
+        def _():
+            win_copy(i + 1, jax.lax.rem(i + 1, 2), TWL, tsw_ref).start()
+    else:
+        @pl.when(i == 0)
+        def _():
+            win_copy(0, 0, TWS, sws_ref).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (W * TNS, TWS), 1)
     bdot = lambda m, x: jnp.dot(m, x, preferred_element_type=jnp.float32)
@@ -145,15 +168,19 @@ def _kernel(
 
     def sub_tile(k, carry):
         j = i * KT + k
-        buf = jax.lax.rem(j, 2)
-        win_copy(j, buf).wait()
+        if tile_win:
+            woff = pl.multiple_of(sws_ref[j] - tsw_ref[i], 8)
+            cw = c_win[buf_t, pl.ds(woff, TWS), :]           # [TWS, K*F]
+        else:
+            buf = jax.lax.rem(j, 2)
+            win_copy(j, buf, TWS, sws_ref).wait()
 
-        @pl.when(j + 1 < nt * KT)
-        def _():
-            win_copy(j + 1, jax.lax.rem(j + 1, 2)).start()
+            @pl.when(j + 1 < nt * KT)
+            def _():
+                win_copy(j + 1, jax.lax.rem(j + 1, 2), TWS, sws_ref).start()
 
+            cw = c_win[buf]                                  # [TWS, K*F]
         rows = pl.multiple_of(k * TNS, 8)
-        cw = c_win[buf]                                      # [TWS, K*F]
         ids = ids_ref[pl.ds(pl.multiple_of(k * W * TNS, 8), W * TNS), :]
         ohb = ids == lane                                    # [W*TNS, TWS]
 
@@ -226,7 +253,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "has_lin", "has_dev", "n_cmp", "fwd_gather_mode",
-        "tile_rows", "window_slack", "interpret",
+        "tile_rows", "window_slack", "interpret", "window_mode",
     ),
 )
 def fused_gather_backward(
@@ -241,6 +268,7 @@ def fused_gather_backward(
     tile_rows: int = 512,
     window_slack: int = 64,
     interpret: bool = False,
+    window_mode: str = "sub",
 ):
     """Accumulate gathered coefficient terms over each row's table slots.
 
@@ -266,10 +294,16 @@ def fused_gather_backward(
         raise ValueError(f"fused_gather_backward preconditions failed: N={N}")
 
     TNS, TWS, sws = _schedule(N, TN, SL)
+    window_mode = _norm_window_mode(window_mode, TN, TNS, SL)
+    if window_mode == "tile":
+        TWL, tsws = _tile_schedule(N, TN, SL)
+    else:
+        TWL, tsws = TWS, np.zeros(1, np.int32)
     ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
 
     kern = functools.partial(
-        _kernel, W=W, TNS=TNS, TWS=TWS, F=F, has_lin=has_lin,
+        _kernel, W=W, TNS=TNS, TWS=TWS, TWL=TWL, window_mode=window_mode,
+        F=F, has_lin=has_lin,
         has_dev=has_dev, n_cmp=n_cmp, fwd_gather_mode=fwd_gather_mode,
     )
 
@@ -281,18 +315,18 @@ def fused_gather_backward(
         pl.BlockSpec(memory_space=pl.ANY),   # cstk (windowed, manual DMA)
         blk((W * TN, 1)),                    # stacked localized ids
     ]
-    inputs = [jnp.asarray(sws), cstk, ids_stack]
+    inputs = [jnp.asarray(sws), jnp.asarray(tsws), cstk, ids_stack]
     if needs_v:
         in_specs.append(blk((TN, F)))
         inputs.append(v)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(max(N // TN, 1),),
         in_specs=in_specs,
         out_specs=blk((TN, F)),
         scratch_shapes=[
-            pltpu.VMEM((2, TWS, K * F), cstk.dtype),
+            pltpu.VMEM((2, TWL, K * F), cstk.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

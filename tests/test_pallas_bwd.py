@@ -214,3 +214,38 @@ def test_whole_model_grads_through_fused_backward(batch):
     flat_f = jax.tree.leaves(g_fused)
     for a, c in zip(flat_f, flat_r):
         assert _rel(a, c) < 1e-3
+
+
+def test_gather_backward_window_mode_tile_invariant():
+    """fused_gather_backward under window_mode='tile' (one coefficient-
+    window DMA per grid tile) is bit-identical to the per-sub-tile
+    stream, for both the full PNA term set and the lin-only mp shape."""
+    from gnnbuilder_tpu.ops.pallas.ell_bwd import fused_gather_backward
+
+    rng = np.random.default_rng(7)
+    N, F, W = 1024, 16, 4
+    base = np.arange(N)[:, None]
+    nbr = jnp.asarray(
+        np.clip(base + rng.integers(-24, 25, (N, W)), 0, N - 1), jnp.int32
+    )
+    deg = jnp.asarray(rng.integers(0, W + 1, N), jnp.int32)
+    v = jnp.asarray(rng.standard_normal((N, F)), jnp.float32)
+
+    cstk7 = jnp.asarray(rng.standard_normal((N, 7 * F)), jnp.float32)
+    kw = dict(has_lin=True, has_dev=True, n_cmp=2,
+              fwd_gather_mode="split2", tile_rows=512, window_slack=24,
+              interpret=True)
+    outs = [
+        fused_gather_backward(cstk7, nbr, deg, v=v, window_mode=wm, **kw)
+        for wm in ("sub", "tile")
+    ]
+    np.testing.assert_array_equal(*map(np.asarray, outs))
+
+    c1 = jnp.asarray(rng.standard_normal((N, F)), jnp.float32)
+    outs = [
+        fused_gather_backward(c1, nbr, deg, has_lin=True, tile_rows=512,
+                              window_slack=24, interpret=True,
+                              window_mode=wm)
+        for wm in ("sub", "tile")
+    ]
+    np.testing.assert_array_equal(*map(np.asarray, outs))
