@@ -232,6 +232,26 @@ class GINEConv(nn.Module):
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
         assert g.edge_feat is not None, "GINEConv requires edge features"
         e = self.lin_edge(g.edge_feat)
+        cfg = _layer_cfg(self, g, x)
+        if cfg is not None and g.nbr_edges is not None:
+            from gnnbuilder_tpu.ops.pallas.gine_layer import (
+                fused_gine_layer_auto,
+                gine_layer_supported,
+            )
+
+            if gine_layer_supported(
+                g.num_nodes, g.num_edges, g.nbr_nodes.shape[1],
+                cfg["tile_rows"], cfg["window_slack"],
+                cfg.get("sub_rows"),
+            ) or cfg.get("interpret"):
+                p = self.variables["params"]
+                return fused_gine_layer_auto(
+                    x, e, g.nbr_nodes, g.nbr_edges, g.row_offsets,
+                    g.in_degree,
+                    p["lin0"]["kernel"], p["lin0"]["bias"],
+                    p["lin1"]["kernel"], p["lin1"]["bias"],
+                    eps=self.eps, skip=skip, act=act, **cfg,
+                )
         if _use_ell(g):
             # message table: x_j from the node table, W e_ij from the edge
             # table — both dense gathers, then a masked width reduce

@@ -450,3 +450,122 @@ def test_window_mode_dispatch_override():
         dispatch.set_kernel_overrides(window_mode=None)
         dispatch.set_fused_mode("auto")
     np.testing.assert_array_equal(base, tile)
+
+
+def test_fused_gine_layer_matches_reference():
+    """Whole-layer GINE kernel (ops/pallas/gine_layer.py): dual windowed
+    gather (node + CSR-sorted edge window) + relu message + GIN epilogue
+    vs the XLA ELL reference, interpret mode, both window modes."""
+    from gnnbuilder_tpu.ops.pallas.gine_layer import (
+        fused_gine_layer,
+        gine_layer_reference,
+    )
+
+    rng = np.random.default_rng(21)
+    N, F, W = 1024, 16, 4
+    base = np.arange(N)[:, None]
+    nbr = np.clip(base + rng.integers(-24, 25, (N, W)), 0, N - 1)
+    deg = rng.integers(0, W + 1, N).astype(np.int32)
+    ro = np.zeros(N + 1, np.int32)
+    ro[1:] = np.cumsum(deg)
+    E = ((int(ro[-1]) + 7) // 8) * 8 + 512
+    nbre = np.zeros((N, W), np.int32)
+    for r in range(N):
+        nbre[r, : deg[r]] = ro[r] + np.arange(deg[r])
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32)
+    x, pe, skip = r(N, F), r(E, F), r(N, F)
+    w0, b0, w1, b1 = r(F, F), r(F), r(F, F), r(F)
+
+    ref = gine_layer_reference(x, pe, jnp.asarray(nbr, jnp.int32),
+                               jnp.asarray(nbre), jnp.asarray(deg),
+                               w0, b0, w1, b1, eps=0.15, skip=skip,
+                               act="relu")
+    outs = []
+    for wm in ("sub", "tile"):
+        got = fused_gine_layer(
+            x, pe, jnp.asarray(nbr, jnp.int32), jnp.asarray(nbre),
+            jnp.asarray(ro), jnp.asarray(deg), w0, b0, w1, b1, eps=0.15,
+            skip=skip, tile_rows=512, window_slack=24, interpret=True,
+            act="relu", window_mode=wm)
+        outs.append(got)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-3)
+    np.testing.assert_array_equal(*map(np.asarray, outs))
+
+
+def test_fused_gine_layer_grads():
+    """Custom VJP (XLA-reference backward) matches grads of the reference."""
+    from gnnbuilder_tpu.ops.pallas.gine_layer import (
+        fused_gine_layer_vjp,
+        gine_layer_reference,
+    )
+
+    rng = np.random.default_rng(22)
+    N, F, W = 512, 16, 4
+    base = np.arange(N)[:, None]
+    nbr = np.clip(base + rng.integers(-24, 25, (N, W)), 0, N - 1)
+    deg = rng.integers(0, W + 1, N).astype(np.int32)
+    ro = np.zeros(N + 1, np.int32)
+    ro[1:] = np.cumsum(deg)
+    E = ((int(ro[-1]) + 7) // 8) * 8 + 256
+    nbre = np.zeros((N, W), np.int32)
+    for r_ in range(N):
+        nbre[r_, : deg[r_]] = ro[r_] + np.arange(deg[r_])
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32)
+    x, pe = r(N, F), r(E, F)
+    w0, b0, w1, b1 = r(F, F), r(F), r(F, F), r(F)
+
+    def loss_fused(x_, pe_, w0_):
+        o = fused_gine_layer_vjp(
+            x_, pe_, jnp.asarray(nbr, jnp.int32), jnp.asarray(nbre),
+            jnp.asarray(ro), jnp.asarray(deg), w0_, b0, w1, b1, eps=0.1,
+            tile_rows=N, window_slack=24, interpret=True, act="relu")
+        return (o ** 2).sum()
+
+    def loss_ref(x_, pe_, w0_):
+        o = gine_layer_reference(
+            x_, pe_, jnp.asarray(nbr, jnp.int32), jnp.asarray(nbre),
+            jnp.asarray(deg), w0_, b0, w1, b1, eps=0.1, act="relu")
+        return (o ** 2).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, pe, w0)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, pe, w0)
+    for a, c in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=5e-3, rtol=1e-2)
+
+
+def test_gine_conv_uses_fused_layer():
+    """GINEConv dispatches to the whole-layer kernel under mode 'always'
+    and matches its own XLA path."""
+    rng = np.random.default_rng(4)
+    gs = []
+    for _ in range(24):
+        n = int(rng.integers(4, 12))
+        e = int(rng.integers(4, 20))
+
+        class G:
+            pass
+
+        g = G()
+        g.x = rng.standard_normal((n, 16)).astype(np.float32)
+        g.edge_index = rng.integers(0, n, size=(2, e))
+        g.edge_attr = rng.standard_normal((e, 8)).astype(np.float32)
+        gs.append(g)
+    from gnnbuilder_tpu.core.graph import build_graph_batch
+
+    b = build_graph_batch(gs, node_budget=512)
+    conv = gnnb.SUPPORTED_GNN_CONVS["gine"](
+        in_channels=16, out_channels=16, edge_dim=8)
+    rngk = jax.random.PRNGKey(5)
+    x = jax.random.normal(rngk, (b.num_nodes, 16), jnp.float32)
+    params = conv.init(rngk, b, x)
+
+    try:
+        dispatch.set_fused_mode("never")
+        ref = np.asarray(conv.apply(params, b, x, act="relu"))
+        dispatch.set_fused_mode("always")
+        got = np.asarray(conv.apply(params, b, x, act="relu"))
+    finally:
+        dispatch.set_fused_mode("auto")
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
