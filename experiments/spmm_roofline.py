@@ -1,0 +1,171 @@
+"""SpMM fraction-of-roofline measurement (the BASELINE.json kernel target).
+
+BASELINE.md: "PNA on QM9: SpMM at >=90% of roofline edges/s per chip."
+The SpMM proper is the neighbor aggregation — sum_j A[i,j] * v[j] — which
+this framework runs as the count-SpMM inside the fused layer kernels
+(ops/pallas/mp_layer.py) and as the multi-aggregate gather kernel
+(ops/pallas/ell_agg.py).  This probe times those kernels standalone on the
+real chip over the canonical QM9 b1024 batch and reports each against its
+information-theoretic roofline (bench/roofline.py): read v + tables once,
+write the output once; compute = the count-matrix matmul realization.
+
+The full-model number in bench.py divides by a 6-layer roofline that is
+dominated by PNA's 4-aggregator gather realization and epilogue matmuls —
+a different (and much stricter) ratio than the SpMM target.
+
+Writes results_tpu/spmm_roofline.json and prints one JSON line.
+Chained-call protocol throughout (x = f(x); CLAUDE.md relay rules) via a
+stateful closure under bench/timing.marginal_time, the same pattern as
+bench.py's train-step measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def chained_time(f, x0, n_lo, n_hi, repeats):
+    """marginal_time over a CHAINED call sequence: the closure feeds each
+    output back as the next input, so consecutive device calls cannot
+    overlap/elide through the relay."""
+    from gnnbuilder_tpu.bench.timing import marginal_time
+
+    st = {"x": x0}
+
+    def one():
+        st["x"] = f(st["x"])
+        return st["x"]
+
+    return marginal_time(one, n_lo=n_lo, n_hi=n_hi, repeats=repeats)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnnbuilder_tpu.bench.canonical import canonical_batches
+    from gnnbuilder_tpu.bench.roofline import chip_peaks, roofline_report
+    from gnnbuilder_tpu.ops.pallas.ell_agg import fused_ell_aggregate
+    from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer
+
+    log(f"devices: {jax.devices()}")
+    on_tpu = jax.default_backend() == "tpu"
+
+    _, batches = canonical_batches(
+        "qm9", n_graphs=1100, batch_size=1024, node_multiple=256
+    )
+    b = batches[0]
+    N, W = b.nbr_nodes.shape
+    F = 128
+    real_edges = int(np.asarray(b.edge_mask).sum())
+    maxg = b.max_graph_nodes_static
+    slack = ((maxg + 7) // 8) * 8
+    log(f"N={N} W={W} F={F} edges={real_edges} slack={slack}")
+
+    peak_flops, peak_bw = chip_peaks()
+    v0 = jax.random.normal(jax.random.PRNGKey(0), (N, F), jnp.float32)
+    nbr = b.nbr_nodes
+    deg = b.in_degree.astype(jnp.int32)
+    bias = jnp.zeros((F,), jnp.float32)
+
+    results = {}
+
+    # --- count-SpMM (sum aggregation) via the fused gcn layer kernel:
+    # out = rsqrt(deg+1) * (A @ v + v) + 0 — the SpMM plus a free epilogue.
+    # Same [N, F] shape in and out, so calls chain (x = f(x)).
+    # traffic: v read + out write ([N,F] f32 each), stacked ids [N*W] i32,
+    # degree [N] i32
+    min_bytes = N * F * 4 * 2 + N * W * 4 + N * 4
+    best = None
+    for tn in (256, 512, 1024):
+        if N % tn:
+            continue
+
+        def f(x, _tn=tn):
+            return fused_mp_layer(
+                x, nbr, deg, "gcn", b0=bias,
+                tile_rows=_tn, window_slack=slack,
+                interpret=not on_tpu, gather_mode="split2", mm="bf16",
+            )
+
+        fj = jax.jit(f)
+        x = fj(v0)  # compile + warm
+        dt = chained_time(fj, x, n_lo=10, n_hi=60, repeats=5)
+        # compute: two bf16 passes of the count matrix [TNS, TWS] @ [TWS, F]
+        # per sub-tile (TNS = 128 under sub-tiling) -> 2 * TWS * F MACs/node
+        tns = 128 if tn % 128 == 0 else tn
+        tws = tns + 2 * slack
+        flops = N * 2 * tws * F * 2
+        rep = roofline_report(dt, flops=flops, min_bytes=min_bytes,
+                              num_edges=real_edges)
+        log(f"count-SpMM tn={tn}: {dt*1e6:.1f} us, "
+            f"{rep['fraction_of_roofline']*100:.0f}% of "
+            f"{rep['bound']}-bound roofline, "
+            f"{rep['edges_per_s']/1e6:,.0f}M edges/s")
+        if best is None or dt < best[1]:
+            best = (tn, dt, rep)
+    results["count_spmm"] = {
+        "tile_rows": best[0],
+        "latency_us": best[1] * 1e6,
+        **{k: best[2][k] for k in (
+            "fraction_of_roofline", "bound", "edges_per_s",
+            "roofline_edges_per_s")},
+    }
+
+    # --- multi-aggregate gather kernel (PNA's 4-aggregator SpMM analog):
+    # realizes the per-slot table; output [N, 4F], chained through a slice.
+    def agg4(x):
+        out = fused_ell_aggregate(
+            x, nbr, deg, ("max", "min", "mean", "std"),
+            tile_rows=256, window_slack=slack,
+            interpret=not on_tpu, gather_mode="split2",
+        )
+        return out[:, 2 * F : 3 * F]  # mean block keeps the chain honest
+
+    f4 = jax.jit(agg4)
+    x = f4(v0)
+    dt4 = chained_time(f4, x, n_lo=8, n_hi=40, repeats=5)
+    tw = 256 + 2 * slack
+    flops4 = N * W * tw * F * 2 * 2  # split2 = 2 passes
+    min_bytes4 = N * F * 4 + N * 4 * F * 4 + N * W * 4 + N * 4
+    rep4 = roofline_report(dt4, flops=flops4, min_bytes=min_bytes4,
+                           num_edges=real_edges)
+    log(f"4-agg gather: {dt4*1e6:.1f} us, "
+        f"{rep4['fraction_of_roofline']*100:.0f}% of {rep4['bound']}-bound "
+        f"roofline, {rep4['edges_per_s']/1e6:,.0f}M edges/s")
+    results["multi_aggregate"] = {
+        "latency_us": dt4 * 1e6,
+        **{k: rep4[k] for k in (
+            "fraction_of_roofline", "bound", "edges_per_s",
+            "roofline_edges_per_s")},
+    }
+
+    results["meta"] = {
+        "N": N, "W": W, "F": F, "edges": real_edges,
+        "peak_flops": peak_flops, "peak_bw": peak_bw,
+        "protocol": "chained",
+    }
+    out_path = os.path.join(ROOT, "results_tpu", "spmm_roofline.json")
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps({
+        "metric": "qm9_spmm_fraction_of_roofline",
+        "value": round(results["count_spmm"]["fraction_of_roofline"], 3),
+        "edges_per_s": round(results["count_spmm"]["edges_per_s"], 1),
+        "multi_agg_fraction": round(
+            results["multi_aggregate"]["fraction_of_roofline"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
