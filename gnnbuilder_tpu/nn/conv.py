@@ -79,15 +79,31 @@ def _use_ell(g: GraphBatch) -> bool:
 def _layer_cfg(mod, g: GraphBatch, x):
     """Whole-layer fused-kernel config for this batch, or None.  Mirrors the
     PNAConv gate: auto-padding covers unaligned dims, but tiny unaligned
-    batches stay on the XLA path where padding costs more than it saves."""
+    batches stay on the XLA path where padding costs more than it saves.
+
+    Under an active halo scope (shard_map edge partitioning) the config is
+    computed for the per-shard extended window and the *_auto wrappers
+    route through parallel/halo.halo_wrap_layer."""
     if mod.is_initializing():
         return None
     from gnnbuilder_tpu.ops import dispatch
+    from gnnbuilder_tpu.parallel.halo import active_halo
 
+    hs = active_halo()
+    hl = x.shape[0] if hs is not None else None
+    # size gate works on the rows the kernel would actually process: the
+    # per-shard extended window under halo, the whole batch otherwise
+    n_gate = (hl + 2 * hs[1]) if hs is not None else g.num_nodes
     aligned = x.shape[-1] % 128 == 0 and mod.out_channels % 128 == 0
-    if not aligned and g.num_nodes < 512:
+    if not aligned and n_gate < 512:
         return None
-    return dispatch.fused_config(g, kind="layer")
+    return dispatch.fused_config(g, kind="layer", halo_local_rows=hl)
+
+
+def _halo_on() -> bool:
+    from gnnbuilder_tpu.parallel.halo import active_halo
+
+    return active_halo() is not None
 
 
 def _fused_multi(g: GraphBatch, aggregators, v, u=None):
@@ -232,7 +248,10 @@ class GINEConv(nn.Module):
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
         assert g.edge_feat is not None, "GINEConv requires edge features"
         e = self.lin_edge(g.edge_feat)
-        cfg = _layer_cfg(self, g, x)
+        # GINE has no halo formulation (edge-indexed gathers are whole-batch
+        # layouts) — the dispatcher gate plus the edge-table check keep it on
+        # the (GSPMD-only) paths under sharding
+        cfg = None if _halo_on() else _layer_cfg(self, g, x)
         if cfg is not None and g.nbr_edges is not None:
             from gnnbuilder_tpu.ops.pallas.gine_layer import (
                 fused_gine_layer_auto,
@@ -363,8 +382,15 @@ class PNAConv(nn.Module):
             aligned = (
                 x.shape[-1] % 128 == 0 and self.out_channels % 128 == 0
             )
-            cfg = dispatch.fused_config(g, kind="layer")
-            if cfg is not None and not (not aligned and n < 512):
+            cfg = dispatch.fused_config(
+                g, kind="layer",
+                halo_local_rows=x.shape[0] if _halo_on() else None,
+            )
+            from gnnbuilder_tpu.parallel.halo import active_halo
+
+            hs = active_halo()
+            n_gate = (x.shape[0] + 2 * hs[1]) if hs is not None else n
+            if cfg is not None and not (not aligned and n_gate < 512):
                 p = self.variables["params"]
                 return fused_pna_layer_auto(
                     x, g.nbr_nodes, g.in_degree,
@@ -465,7 +491,10 @@ class GATConv(nn.Module):
                 fused_gat_layer_vjp,
             )
 
-            cfg = dispatch.fused_config(g, kind="layer")
+            cfg = dispatch.fused_config(
+                g, kind="layer",
+                halo_local_rows=x.shape[0] if _halo_on() else None,
+            )
             if cfg is not None:
                 cfg.pop("mm", None)
                 p = self.variables["params"]

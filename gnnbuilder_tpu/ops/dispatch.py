@@ -107,7 +107,10 @@ from gnnbuilder_tpu.core.graph import _round_up
 
 
 def fused_config(
-    g, feature_dim: Optional[int] = None, kind: str = "agg"
+    g,
+    feature_dim: Optional[int] = None,
+    kind: str = "agg",
+    halo_local_rows: Optional[int] = None,
 ) -> Optional[dict]:
     """Return kernel kwargs {tile_rows, window_slack, interpret, ...} if the
     fused path applies to this batch, else None (callers fall back to XLA).
@@ -120,8 +123,19 @@ def fused_config(
         ("mm"): one-pass bf16 on TPU — the same numeric contract as XLA's
         default f32 matmul lowering — f32 in interpret mode so CPU parity
         tests stay exact.
+
+    Under an active halo scope (tracing inside shard_map on edge-
+    partitioned rows), whole-batch geometry is meaningless: layer-kind
+    callers must pass their LOCAL row count (``halo_local_rows``) and wrap
+    the kernel call in parallel/halo.halo_wrap_layer; every other caller
+    gets None (the agg kernels have no per-shard adaptation).
     """
     if _MODE == "never" or g.nbr_nodes is None or _SUPPRESSED.get():
+        return None
+    from gnnbuilder_tpu.parallel.halo import active_halo, halo_pad_rows
+
+    halo_on = active_halo() is not None
+    if halo_on and (kind != "layer" or halo_local_rows is None):
         return None
     from gnnbuilder_tpu.compile.precision import active_precision
 
@@ -152,6 +166,10 @@ def fused_config(
     maxg = getattr(g, "max_graph_nodes_static", 0)
     if maxg <= 0:
         return None
+    if halo_on:
+        # per-shard extended-array geometry (must agree with
+        # halo_wrap_layer's construction)
+        N = halo_pad_rows(halo_local_rows, _round_up(maxg, 8))
 
     def cfg(tile_rows, slack):
         out = dict(

@@ -552,7 +552,21 @@ def fused_gat_layer_vjp(
 
     Auto-pads an unaligned INPUT dim to MXU lanes (zero x lanes feed zero
     W rows — inert); the per-head width H*C must already be 128-aligned
-    (the dispatcher checks)."""
+    (the dispatcher checks).  Under an active halo scope, runs per shard
+    on the ring-exchanged window (parallel/halo.halo_wrap_layer)."""
+    from gnnbuilder_tpu.parallel.halo import active_halo, halo_wrap_layer
+
+    if active_halo() is not None:
+        return halo_wrap_layer(
+            lambda xw, nb, dg, sk: fused_gat_layer_vjp(
+                xw, nb, dg, w, att_src, att_dst, bias, heads,
+                neg_slope=neg_slope, self_loops=self_loops, skip=sk,
+                tile_rows=tile_rows, window_slack=window_slack,
+                interpret=interpret, gather_mode=gather_mode, mm=mm,
+                act=act, sub_rows=sub_rows, window_mode=window_mode,
+            ),
+            x, nbr_nodes, in_degree, skip=skip,
+        )
     N, Fin = x.shape
     Fin_p = _rup(Fin)
     if Fin_p != Fin:

@@ -539,7 +539,24 @@ def fused_mp_layer_auto(
 ):
     """fused_mp_layer_vjp with automatic zero-padding of unaligned feature
     dims to MXU lanes (pad lanes are inert: zero x lanes -> zero aggregate
-    lanes -> zero weight rows; padded output columns are sliced off)."""
+    lanes -> zero weight rows; padded output columns are sliced off).
+
+    Under an active halo scope (shard_map edge partitioning), runs the
+    kernel per shard on the ring-exchanged [halo | local | halo] window
+    via parallel/halo.halo_wrap_layer (reverse tables are whole-batch
+    layouts — the backward falls to the kernel-internal default)."""
+    from gnnbuilder_tpu.parallel.halo import active_halo, halo_wrap_layer
+
+    if active_halo() is not None:
+        return halo_wrap_layer(
+            lambda xw, nb, dg, sk: fused_mp_layer_auto(
+                xw, nb, dg, conv, w0=w0, b0=b0, w1=w1, b1=b1, eps=eps,
+                skip=sk, tile_rows=tile_rows, window_slack=window_slack,
+                interpret=interpret, gather_mode=gather_mode, mm=mm,
+                act=act, sub_rows=sub_rows, window_mode=window_mode,
+            ),
+            v, nbr_nodes, in_degree, skip=skip,
+        )
     N, F = v.shape
     F_p = _rup(F)
     if conv == "gin":

@@ -886,6 +886,10 @@ def fused_pna_layer_auto(
     """fused_pna_layer_vjp with automatic zero-padding of unaligned feature
     dims to MXU lanes (128).
 
+    Under an active halo scope, runs per shard on the ring-exchanged
+    [halo | local | halo] window (parallel/halo.halo_wrap_layer); the
+    scatter backward (forward tables only) still applies per shard.
+
     Zero pad lanes are inert end to end: padded x lanes produce zero v
     lanes; aggregator pad lanes feed zero rows of the (padded) post_nn
     kernel; the padded output columns are sliced off.  This lets the raw
@@ -897,6 +901,19 @@ def fused_pna_layer_auto(
     columns are sliced off before any consumer, so fusing the activation
     remains safe even for sigmoid (pad cols become 0.5, then dropped).
     """
+    from gnnbuilder_tpu.parallel.halo import active_halo, halo_wrap_layer
+
+    if active_halo() is not None:
+        return halo_wrap_layer(
+            lambda xw, nb, dg, sk: fused_pna_layer_auto(
+                xw, nb, dg, w_pre, b_pre, k_post, b_post, w_lin, b_lin,
+                delta, skip=sk, tile_rows=tile_rows,
+                window_slack=window_slack, interpret=interpret,
+                gather_mode=gather_mode, mm=mm, act=act,
+                sub_rows=sub_rows, window_mode=window_mode,
+            ),
+            x, nbr_nodes, in_degree, skip=skip,
+        )
     N, Fin = x.shape
     F = w_pre.shape[1]          # pre_nn width (== in_channels for PNA)
     Fout = w_lin.shape[1]

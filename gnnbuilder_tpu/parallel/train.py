@@ -75,9 +75,11 @@ def _halo_apply(model, mesh, example_batch: GraphBatch, axis: str = "dp"):
     specs = halo_batch_specs(example_batch)
 
     def body(params, batch):
-        # the fused Pallas kernels assume whole-batch window layouts, not
-        # per-shard ones — keep them off inside the shard body
-        with halo_scope(axis, halo), no_fused():
+        # fused layer kernels run PER SHARD on the halo-extended window
+        # (ops/dispatch + parallel/halo.halo_wrap_layer); the remaining
+        # halo-aware XLA ops (pooling psums, non-layer aggregations) trace
+        # under the same scope
+        with halo_scope(axis, halo):
             return model.apply(params, batch)
 
     sm = _shard_map()(
