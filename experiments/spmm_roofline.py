@@ -33,19 +33,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def chained_time(f, x0, n_lo, n_hi, repeats):
-    """marginal_time over a CHAINED call sequence: the closure feeds each
-    output back as the next input, so consecutive device calls cannot
-    overlap/elide through the relay."""
-    from gnnbuilder_tpu.bench.timing import marginal_time
+def chained_time(f, x0, n_lo=10, n_hi=50, repeats=5):
+    from gnnbuilder_tpu.bench.timing import chained_marginal_time
 
-    st = {"x": x0}
-
-    def one():
-        st["x"] = f(st["x"])
-        return st["x"]
-
-    return marginal_time(one, n_lo=n_lo, n_hi=n_hi, repeats=repeats)
+    return chained_marginal_time(f, x0, n_lo=n_lo, n_hi=n_hi,
+                                 repeats=repeats)
 
 
 def main():

@@ -57,3 +57,20 @@ def marginal_time(
     # through the symmetric component)
     est = float(np.median(estimates))
     return max(est, 1e-9)
+
+
+def chained_marginal_time(
+    fn, x0, n_lo: int = 10, n_hi: int = 50, repeats: int = 5
+) -> float:
+    """marginal_time over a CHAINED call sequence: the closure feeds each
+    output back as the next input (x = fn(x)), so consecutive device calls
+    cannot overlap or elide through the axon relay — the HONEST protocol
+    for per-op numbers (CLAUDE.md).  ``fn`` must map its output shape to
+    its input shape."""
+    st = {"x": x0}
+
+    def one():
+        st["x"] = fn(st["x"])
+        return st["x"]
+
+    return marginal_time(one, n_lo=n_lo, n_hi=n_hi, repeats=repeats)

@@ -367,30 +367,17 @@ class PNAConv(nn.Module):
         # scalers + post_nn + lin + skip/activation epilogue in one kernel,
         # ops/pallas/pna_layer.py) when the dispatch policy allows
         if (
-            not self.is_initializing()
-            and tuple(self.aggregators) == PNA_AGGREGATORS
+            tuple(self.aggregators) == PNA_AGGREGATORS
             and tuple(self.scalers) == PNA_SCALERS
         ):
-            from gnnbuilder_tpu.ops import dispatch
             from gnnbuilder_tpu.ops.pallas.pna_layer import (
                 fused_pna_layer_auto,
             )
 
-            # feature alignment is handled by the kernel's auto-padding —
-            # but padding only pays off at scale; tiny batches keep
-            # unaligned layers on the XLA path
-            aligned = (
-                x.shape[-1] % 128 == 0 and self.out_channels % 128 == 0
-            )
-            cfg = dispatch.fused_config(
-                g, kind="layer",
-                halo_local_rows=x.shape[0] if _halo_on() else None,
-            )
-            from gnnbuilder_tpu.parallel.halo import active_halo
-
-            hs = active_halo()
-            n_gate = (x.shape[0] + 2 * hs[1]) if hs is not None else n
-            if cfg is not None and not (not aligned and n_gate < 512):
+            # shared gate (_layer_cfg): alignment/size heuristic + halo-
+            # aware geometry; auto-padding covers unaligned dims at scale
+            cfg = _layer_cfg(self, g, x)
+            if cfg is not None:
                 p = self.variables["params"]
                 return fused_pna_layer_auto(
                     x, g.nbr_nodes, g.in_degree,

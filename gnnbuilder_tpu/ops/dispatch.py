@@ -167,9 +167,11 @@ def fused_config(
     if maxg <= 0:
         return None
     if halo_on:
-        # per-shard extended-array geometry (must agree with
-        # halo_wrap_layer's construction)
-        N = halo_pad_rows(halo_local_rows, _round_up(maxg, 8))
+        # per-shard extended-array geometry: pad with the SCOPE's halo
+        # width (what halo_wrap_layer actually constructs — it may be set
+        # wider than maxg by the caller); the gather slack below still
+        # comes from maxg, which bounds id reach inside the window
+        N = halo_pad_rows(halo_local_rows, active_halo()[1])
 
     def cfg(tile_rows, slack):
         out = dict(

@@ -104,7 +104,6 @@ def _kernel(
     x_ref,       # [TN, F] VMEM — receiver rows
     idn_ref,     # [W*TN, 1] int32 localized node slot ids (-1 = pad)
     ide_ref,     # [W*TN, 1] int32 localized edge slot ids (-1 = pad)
-    deg_ref,     # [TN, 1] int32 (unused in-math; relu(0)=0 covers validity)
     w0_ref,      # [F, H]
     b0_ref,      # [1, H]
     w1_ref,      # [H, Fout]
@@ -288,9 +287,10 @@ def fused_gine_layer(
     ro = row_offsets.astype(jnp.int32)[idx]
     esws = jnp.clip((ro // 8) * 8, 0, E - EWS)
 
+    # validity lives entirely in the id stacks (invalid slots -> -1 ->
+    # zero gather rows -> relu(0)=0); no degree input needed in-kernel
     idn_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     ide_stack = _stack_edge_ids(nbr_edges, in_degree, esws, TNS)
-    deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
     Fout = w1.shape[1]
 
     has_skip = skip is not None
@@ -313,12 +313,11 @@ def fused_gine_layer(
         blk((TN, F)),
         blk((W * TN, 1)),
         blk((W * TN, 1)),
-        blk((TN, 1)),
         vmem(), vmem(), vmem(), vmem(),
     ]
     inputs = [
         jnp.asarray(sws), jnp.asarray(tsws), esws,
-        x, pe, x, idn_stack, ide_stack, deg2d,
+        x, pe, x, idn_stack, ide_stack,
         w0, b0.reshape(1, -1), w1, b1.reshape(1, -1),
     ]
     if has_skip:

@@ -92,7 +92,9 @@ def test_ell_agg_backward_parity(batch, aggs):
     assert _rel(gf, gr) < 3e-4, aggs
 
 
-@pytest.mark.parametrize("conv", ["gin", "sage", "gcn"])
+@pytest.mark.parametrize(
+    "conv", ["gin", "sage", "gcn", "lg", "simple_sum", "simple_mean"]
+)
 def test_mp_layer_backward_parity(batch, conv):
     from gnnbuilder_tpu.ops.pallas.mp_layer import (
         fused_mp_layer_vjp,
@@ -113,9 +115,12 @@ def test_mp_layer_backward_parity(batch, conv):
     elif conv == "sage":
         p = dict(w0=r(F, Fout), b0=r(Fout, sc=0.1), w1=r(F, Fout))
         st = dict(act="tanh")
-    else:
+    elif conv == "gcn":
         p = dict(b0=r(F, sc=0.1))
         st = dict(act=None)
+    else:  # lg / simple_*: parameter-free epilogues
+        p = dict(skip=r(N, F, sc=1.0))
+        st = dict(act="relu")
     kw = dict(_kw(b), mm="f32")
 
     def loss_fused(v, pp):
