@@ -76,10 +76,12 @@ def _use_ell(g: GraphBatch) -> bool:
     return g.nbr_nodes is not None
 
 
-def _layer_cfg(mod, g: GraphBatch, x):
+def _layer_cfg(mod, g: GraphBatch, x, out_dim=None):
     """Whole-layer fused-kernel config for this batch, or None.  Mirrors the
     PNAConv gate: auto-padding covers unaligned dims, but tiny unaligned
     batches stay on the XLA path where padding costs more than it saves.
+    ``out_dim`` overrides the output width used by the alignment check
+    (GAT: heads * per-head channels, not ``out_channels``).
 
     Under an active halo scope (shard_map edge partitioning) the config is
     computed for the per-shard extended window and the *_auto wrappers
@@ -94,7 +96,8 @@ def _layer_cfg(mod, g: GraphBatch, x):
     # size gate works on the rows the kernel would actually process: the
     # per-shard extended window under halo, the whole batch otherwise
     n_gate = (hl + 2 * hs[1]) if hs is not None else g.num_nodes
-    aligned = x.shape[-1] % 128 == 0 and mod.out_channels % 128 == 0
+    out = out_dim if out_dim is not None else mod.out_channels
+    aligned = x.shape[-1] % 128 == 0 and out % 128 == 0
     if not aligned and n_gate < 512:
         return None
     return dispatch.fused_config(g, kind="layer", halo_local_rows=hl)
@@ -467,21 +470,14 @@ class GATConv(nn.Module):
         # fully-fused Pallas layer (projection + SDDMM logits + masked
         # softmax + weighted sum + bias/skip/act, ops/pallas/gat_layer.py)
         # — the conv the reference never implemented, fused.  concat mode
-        # only; per-head width must be MXU-aligned (input dim auto-pads).
-        if (
-            not self.is_initializing()
-            and self.concat
-            and (H * C) % 128 == 0
-        ):
-            from gnnbuilder_tpu.ops import dispatch
+        # only; input dim and per-head width both auto-pad (unaligned
+        # head widths pay the padding only at scale — _layer_cfg gate).
+        if not self.is_initializing() and self.concat:
             from gnnbuilder_tpu.ops.pallas.gat_layer import (
                 fused_gat_layer_vjp,
             )
 
-            cfg = dispatch.fused_config(
-                g, kind="layer",
-                halo_local_rows=x.shape[0] if _halo_on() else None,
-            )
+            cfg = _layer_cfg(self, g, x, out_dim=H * C)
             if cfg is not None:
                 cfg.pop("mm", None)
                 p = self.variables["params"]

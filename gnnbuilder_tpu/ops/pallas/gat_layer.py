@@ -57,6 +57,10 @@ from gnnbuilder_tpu.ops.pallas.pna_layer import (
 __all__ = ["fused_gat_layer", "fused_gat_layer_vjp", "gat_layer_reference"]
 
 
+def _rup_mult(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
 def _expand_np(heads: int, C: int) -> np.ndarray:
     """Constant [H, H*C] head->lanes broadcast-expansion matrix (head-major
     lane layout).  Single source of truth for the forward and the scatter
@@ -572,6 +576,42 @@ def fused_gat_layer_vjp(
     if Fin_p != Fin:
         x = _pad_cols(x, Fin_p)
         w = _pad_rows(w, Fin_p)
+
+    # per-head width padding: C -> C_p with H*C_p a lane multiple.  Zero
+    # att lanes leave every logit unchanged; zero value lanes gather and
+    # accumulate zeros, so the padded output columns are exactly zero
+    # (+bias pad, which is zero) and slicing them off is inert — the same
+    # argument as the feature padding, applied per head block.  Padding
+    # sits OUTSIDE the custom VJP, so gradients slice back automatically.
+    import math
+
+    HC = w.shape[1]
+    C = HC // heads
+    C_p = _rup_mult(C, 128 // math.gcd(heads, 128))
+    if C_p != C:
+        def pad_heads(a, row_like=False):
+            # [*, H*C] -> [*, H*C_p], zero-filling each head block
+            lead = a.shape[:-1]
+            a3 = a.reshape(*lead, heads, C)
+            a3 = jnp.pad(
+                a3, [(0, 0)] * (a3.ndim - 1) + [(0, C_p - C)]
+            )
+            return a3.reshape(*lead, heads * C_p)
+
+        w = pad_heads(w)
+        att_src = jnp.pad(att_src, ((0, 0), (0, 0), (0, C_p - C)))
+        att_dst = jnp.pad(att_dst, ((0, 0), (0, 0), (0, C_p - C)))
+        bias = pad_heads(bias)
+        skip_p = pad_heads(skip) if skip is not None else None
+        out = fused_gat_layer_vjp(
+            x, nbr_nodes, in_degree, w, att_src, att_dst, bias, heads,
+            neg_slope=neg_slope, self_loops=self_loops, skip=skip_p,
+            tile_rows=tile_rows, window_slack=window_slack,
+            interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
+            sub_rows=sub_rows, window_mode=window_mode,
+        )
+        return out.reshape(N, heads, C_p)[:, :, :C].reshape(N, HC)
+
     has_skip = skip is not None
     fn = _make_vjp_fn(
         heads, float(neg_slope), self_loops, tile_rows, window_slack,

@@ -114,3 +114,65 @@ def test_conv_dispatch_parity(batch):
     finally:
         dispatch.set_fused_mode(mode)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_head_width_auto_padding(batch):
+    """Unaligned per-head widths pad to MXU lanes per head block (zero att
+    and value lanes are inert through the softmax); forward + grads match
+    the XLA reference, and the conv-level gate dispatches at scale."""
+    from gnnbuilder_tpu.nn.conv import GATConv
+    from gnnbuilder_tpu.ops import dispatch
+    from gnnbuilder_tpu.ops.pallas.gat_layer import (
+        fused_gat_layer_vjp,
+        gat_layer_reference,
+    )
+
+    b = batch
+    rng = np.random.default_rng(9)
+    N, F = b.node_feat.shape
+    H, C = 4, 16  # HC = 64 -> pads to C_p = 32 per head
+    r = lambda *s, sc=0.3: jnp.asarray(
+        rng.standard_normal(s).astype(np.float32) * sc
+    )
+    w, att_s, att_d = r(F, H * C), r(1, H, C), r(1, H, C)
+    bias, skip = r(H * C, sc=0.1), r(N, H * C, sc=1.0)
+    kw = dict(tile_rows=N, window_slack=0, interpret=True, mm="f32")
+
+    ref = gat_layer_reference(b.node_feat, b.nbr_nodes, b.in_degree,
+                              w, att_s, att_d, bias, H, skip=skip,
+                              act="relu")
+    got = fused_gat_layer_vjp(b.node_feat, b.nbr_nodes, b.in_degree,
+                              w, att_s, att_d, bias, H, skip=skip,
+                              act="relu", **kw)
+    assert got.shape == (N, H * C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+    def lf(xx, ww, asr):
+        return (fused_gat_layer_vjp(xx, b.nbr_nodes, b.in_degree, ww, asr,
+                                    att_d, bias, H, **kw) ** 2).sum()
+
+    def lr(xx, ww, asr):
+        return (gat_layer_reference(xx, b.nbr_nodes, b.in_degree, ww, asr,
+                                    att_d, bias, H) ** 2).sum()
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(b.node_feat, w, att_s)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(b.node_feat, w, att_s)
+    for a, c in zip(gf, gr):
+        rel = float(jnp.abs(a - c).max() / (jnp.abs(c).max() + 1e-9))
+        assert rel < 1e-3
+
+    # conv-level: unaligned head width dispatches under 'always' (the
+    # size gate passes: N >= 512) and matches the XLA path
+    conv = GATConv(in_channels=F, out_channels=16, heads=4)
+    params = conv.init(jax.random.PRNGKey(0), b, b.node_feat)
+    mode = dispatch.get_fused_mode()
+    try:
+        dispatch.set_fused_mode("never")
+        cref = conv.apply(params, b, b.node_feat)
+        dispatch.set_fused_mode("always")
+        cgot = conv.apply(params, b, b.node_feat)
+    finally:
+        dispatch.set_fused_mode(mode)
+    np.testing.assert_allclose(np.asarray(cgot), np.asarray(cref),
+                               atol=2e-4, rtol=1e-3)
