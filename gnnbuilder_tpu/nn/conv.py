@@ -76,12 +76,14 @@ def _use_ell(g: GraphBatch) -> bool:
     return g.nbr_nodes is not None
 
 
-def _layer_cfg(mod, g: GraphBatch, x, out_dim=None):
+def _layer_cfg(mod, g: GraphBatch, x, out_dim=None, int8_ok=False):
     """Whole-layer fused-kernel config for this batch, or None.  Mirrors the
     PNAConv gate: auto-padding covers unaligned dims, but tiny unaligned
     batches stay on the XLA path where padding costs more than it saves.
     ``out_dim`` overrides the output width used by the alignment check
-    (GAT: heads * per-head channels, not ``out_channels``).
+    (GAT: heads * per-head channels, not ``out_channels``).  ``int8_ok``
+    opts this conv's kernel into the int8 precision policy (the returned
+    cfg then carries ``int8=True`` — pop it and select the quant path).
 
     Under an active halo scope (shard_map edge partitioning) the config is
     computed for the per-shard extended window and the *_auto wrappers
@@ -100,13 +102,24 @@ def _layer_cfg(mod, g: GraphBatch, x, out_dim=None):
     aligned = x.shape[-1] % 128 == 0 and out % 128 == 0
     if not aligned and n_gate < 512:
         return None
-    return dispatch.fused_config(g, kind="layer", halo_local_rows=hl)
+    return dispatch.fused_config(
+        g, kind="layer", halo_local_rows=hl, int8_ok=int8_ok
+    )
 
 
 def _halo_on() -> bool:
     from gnnbuilder_tpu.parallel.halo import active_halo
 
     return active_halo() is not None
+
+
+def _quant_ok() -> bool:
+    """Whether the int8 quant epilogue may run: dynamic-scale mode only
+    (static calibration scales and max-recording stay on the XLA path,
+    which owns the per-site state)."""
+    from gnnbuilder_tpu.ops.quant import active_calibration
+
+    return active_calibration() is None
 
 
 def _fused_multi(g: GraphBatch, aggregators, v, u=None):
@@ -152,8 +165,9 @@ class GCNConv(nn.Module):
         deg = g.in_degree.astype(x.dtype) + 1.0  # +1 self loop
         dis = jax.lax.rsqrt(deg)
 
-        cfg = _layer_cfg(self, g, x)
+        cfg = _layer_cfg(self, g, x, int8_ok=True)
         if cfg is not None:
+            cfg.pop("int8", None)  # b0-only epilogue: numerics-neutral
             from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
 
             # PyG order: transform first, then propagate; p_j = h_j / sqrt(1+d_j)
@@ -203,7 +217,7 @@ class GINConv(nn.Module):
         self.lin1 = Linear(self.out_channels, name="lin1")
 
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
-        cfg = _layer_cfg(self, g, x)
+        cfg = _layer_cfg(self, g, x, int8_ok=_quant_ok())
         if cfg is not None:
             from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
 
@@ -214,7 +228,7 @@ class GINConv(nn.Module):
                 w1=p["lin1"]["kernel"], b1=p["lin1"]["bias"],
                 eps=self.eps, skip=skip, act=act,
                 rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
-                **cfg,
+                quant=cfg.pop("int8", False), **cfg,
             )
         agg = _fused_multi(g, ("sum",), x)
         if agg is None:
@@ -304,7 +318,7 @@ class SAGEConv(nn.Module):
         self.lin_r = Linear(self.out_channels, use_bias=False, name="lin_r")
 
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
-        cfg = _layer_cfg(self, g, x)
+        cfg = _layer_cfg(self, g, x, int8_ok=_quant_ok())
         if cfg is not None:
             from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
 
@@ -315,7 +329,7 @@ class SAGEConv(nn.Module):
                 w1=p["lin_r"]["kernel"],
                 skip=skip, act=act,
                 rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
-                **cfg,
+                quant=cfg.pop("int8", False), **cfg,
             )
         agg = _fused_multi(g, ("mean",), x)
         if agg is None:
@@ -565,8 +579,9 @@ class LGConv(nn.Module):
         deg = g.in_degree.astype(x.dtype)
         dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1.0)), 0.0)
 
-        cfg = _layer_cfg(self, g, x)
+        cfg = _layer_cfg(self, g, x, int8_ok=True)
         if cfg is not None:
+            cfg.pop("int8", None)  # parameter-free: numerics-neutral
             # whole-layer count-SpMM kernel (W-independent gather) with the
             # receiver-side 1/sqrt(d_i) + skip + act fused as the epilogue
             from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
@@ -612,8 +627,9 @@ class SimpleConv(nn.Module):
         if name in ("sum", "mean"):
             # whole-layer count-SpMM kernel (W-independent gather); max/min
             # need per-slot compares and stay on the multi-aggregate path
-            cfg = _layer_cfg(self, g, x)
+            cfg = _layer_cfg(self, g, x, int8_ok=True)
             if cfg is not None:
+                cfg.pop("int8", None)  # parameter-free: numerics-neutral
                 from gnnbuilder_tpu.ops.pallas.mp_layer import (
                     fused_mp_layer_auto,
                 )

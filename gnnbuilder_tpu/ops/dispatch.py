@@ -111,6 +111,7 @@ def fused_config(
     feature_dim: Optional[int] = None,
     kind: str = "agg",
     halo_local_rows: Optional[int] = None,
+    int8_ok: bool = False,
 ) -> Optional[dict]:
     """Return kernel kwargs {tile_rows, window_slack, interpret, ...} if the
     fused path applies to this batch, else None (callers fall back to XLA).
@@ -140,12 +141,14 @@ def fused_config(
     from gnnbuilder_tpu.compile.precision import active_precision
 
     prec = active_precision()
-    if prec is not None and prec.name == "int8" and kind == "layer":
+    int8_layer = prec is not None and prec.name == "int8" and kind == "layer"
+    if int8_layer and not int8_ok:
         # layer kernels embed dense matmuls that the int8 policy must
-        # quantize (ops/quant.py), so they stay on the XLA path; the
-        # aggregation-only kernel is numerics-neutral under int8 (both
-        # paths aggregate the f32 dequantized activations) and keeps the
-        # serving path fused
+        # quantize (ops/quant.py); a conv opts in with int8_ok when its
+        # kernel honors the policy (matmul-free epilogues, or the quant
+        # epilogue — the returned cfg carries int8=True so the caller
+        # selects it).  The aggregation-only kernel is numerics-neutral
+        # under int8 and keeps the serving path fused either way.
         return None
     # bf16 precision: single-pass bf16 one-hot gather matches the policy's
     # numeric contract (split2 is the f32 default; pna_layer honors this);
@@ -185,6 +188,8 @@ def fused_config(
                 out["sub_rows"] = _SUB_ROWS
             if _WINDOW_MODE is not None and slack:
                 out["window_mode"] = _WINDOW_MODE
+            if int8_layer:
+                out["int8"] = True
         return out
 
     slack = _round_up(maxg, 8)

@@ -75,8 +75,8 @@ def _kernel(
     b0_ref,      # [1, H]   (gin b0  / sage b_l)    — gcn bias
     w1_ref,      # [H, Fout](gin lin1 / sage W_r)   — zeros(1,1) for gcn
     b1_ref,      # [1, Fout](gin b1)                — zeros for sage/gcn
-    *rest,       # ([skip_ref], out_ref, [s_out_ref], x_win[2,TWS,F],
-                 #  [s_ref], dma_sem[2])
+    *rest,       # ([sw0, sw1] if quant, [skip_ref], out_ref, [s_out_ref],
+                 #  x_win[2,TWS,F], [s_ref], dma_sem[2])
     conv: str,
     W: int,
     TNS: int,
@@ -89,9 +89,14 @@ def _kernel(
     act: Optional[str],
     has_skip: bool,
     save_s: bool,
+    quant: bool = False,
 ):
     # with save_s the aggregated sums become a kernel OUTPUT (the backward
     # residual) instead of scratch; the compute is identical either way
+    if quant:
+        sw0_ref, sw1_ref, *rest = rest
+    else:
+        sw0_ref = sw1_ref = None
     if has_skip:
         skip_ref, *rest = rest
     else:
@@ -190,13 +195,33 @@ def _kernel(
     deg = deg_ref[:]
     degf = deg.astype(jnp.float32)
 
+    def qdot(h, wq_ref, sw_ref):
+        # in-kernel mirror of ops/quant.int8_matmul: symmetric per-row
+        # dynamic activation scales x per-channel weight scales, int32 MXU
+        # accumulation — identical formulas, so the fused path reproduces
+        # the XLA int8 policy's numerics
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-12
+        )
+        hq = jnp.clip(jnp.round(h / sx), -127, 127).astype(jnp.int8)
+        y = jnp.dot(hq, wq_ref[:], preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * sx * sw_ref[:]
+
     if conv == "gin":
         h = (1.0 + eps) * xt + s_all
-        o = dot(jax.nn.relu(dot(h, w0_ref[:]) + b0_ref[:]), w1_ref[:]) \
-            + b1_ref[:]
+        if quant:
+            a0 = jax.nn.relu(qdot(h, w0_ref, sw0_ref) + b0_ref[:])
+            o = qdot(a0, w1_ref, sw1_ref) + b1_ref[:]
+        else:
+            o = dot(jax.nn.relu(dot(h, w0_ref[:]) + b0_ref[:]), w1_ref[:]) \
+                + b1_ref[:]
     elif conv == "sage":
         mean = s_all / jnp.maximum(degf, 1.0)
-        o = dot(mean, w0_ref[:]) + b0_ref[:] + dot(xt, w1_ref[:])
+        if quant:
+            o = (qdot(mean, w0_ref, sw0_ref) + b0_ref[:]
+                 + qdot(xt, w1_ref, sw1_ref))
+        else:
+            o = dot(mean, w0_ref[:]) + b0_ref[:] + dot(xt, w1_ref[:])
     elif conv == "gcn":
         dis = jax.lax.rsqrt(degf + 1.0)
         o = dis * (s_all + xt) + b0_ref[:]
@@ -223,6 +248,7 @@ def _kernel(
     static_argnames=(
         "conv", "eps", "tile_rows", "window_slack", "interpret",
         "gather_mode", "mm", "act", "save_s", "sub_rows", "window_mode",
+        "quant",
     ),
 )
 def fused_mp_layer(
@@ -242,6 +268,7 @@ def fused_mp_layer(
     save_s: bool = False,   # also return the aggregated sums (bwd residual)
     sub_rows: Optional[int] = None,  # gather sub-tile height (None = 128)
     window_mode: str = "sub",  # "sub" = DMA per sub-tile, "tile" = per tile
+    quant: bool = False,    # int8 epilogue matmuls (serving precision)
 ):
     N, F = v.shape
     W = nbr_nodes.shape[1]
@@ -262,6 +289,20 @@ def fused_mp_layer(
         TWL, tsws = TWS, np.zeros(1, np.int32)
     ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
+
+    if quant and conv not in ("gin", "sage"):
+        raise ValueError(
+            "quant epilogues exist only for convs with in-kernel matmuls "
+            "(gin/sage); gcn/lg/simple kernels are numerics-neutral under "
+            "int8 — run them unquantized"
+        )
+    scales = []
+    if quant:
+        from gnnbuilder_tpu.ops.quant import quantize_weight
+
+        w0, sw0 = quantize_weight(w0)
+        w1, sw1 = quantize_weight(w1)
+        scales = [sw0.reshape(1, -1), sw1.reshape(1, -1)]
 
     zero11 = jnp.zeros((1, 1), jnp.float32)
     if conv == "gin":
@@ -285,7 +326,7 @@ def fused_mp_layer(
         _kernel, conv=conv, W=W, TNS=TNS, TWS=TWS, TWL=TWL,
         window_mode=window_mode, eps=float(eps),
         gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
-        save_s=save_s,
+        save_s=save_s, quant=quant,
     )
 
     def blk(shape):
@@ -303,7 +344,8 @@ def fused_mp_layer(
         vmem(), vmem(), vmem(), vmem(),
     ]
     inputs = [jnp.asarray(sws), jnp.asarray(tsws), v, v, ids_stack,
-              deg2d] + mats
+              deg2d] + mats + scales
+    in_specs = in_specs + [vmem()] * len(scales)
     if has_skip:
         in_specs.append(blk((TN, Fout)))
         inputs.append(skip)
@@ -352,17 +394,22 @@ def fused_mp_layer(
 
 def mp_layer_reference(v, nbr_nodes, in_degree, conv,
                        w0=None, b0=None, w1=None, b1=None, eps=0.0,
-                       skip=None, act=None):
+                       skip=None, act=None, quant=False):
     from gnnbuilder_tpu.ops import ell
+
+    if quant:
+        from gnnbuilder_tpu.ops.quant import int8_matmul as _mm8
+    else:
+        _mm8 = lambda a, b: a @ b
 
     s = ell.ell_sum(v, nbr_nodes, in_degree)
     degf = in_degree.astype(v.dtype)[:, None]
     if conv == "gin":
         h = (1.0 + eps) * v + s
-        o = jax.nn.relu(h @ w0 + b0) @ w1 + b1
+        o = _mm8(jax.nn.relu(_mm8(h, w0) + b0), w1) + b1
     elif conv == "sage":
         mean = s / jnp.maximum(degf, 1.0)
-        o = mean @ w0 + b0 + v @ w1
+        o = _mm8(mean, w0) + b0 + _mm8(v, w1)
     elif conv == "gcn":
         dis = jax.lax.rsqrt(degf + 1.0)
         o = dis * (s + v) + b0
@@ -422,7 +469,11 @@ def _epilogue_and_grads(conv, eps, act, has_skip, v, s, deg, skip, p, ct):
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
                  mm, act, has_skip, has_rev, sub_rows=None,
-                 window_mode="sub"):
+                 window_mode="sub", quant=False):
+    # quant=True (int8 serving epilogues): the backward is a straight-
+    # through estimator — gradients flow through the f32 epilogue (both
+    # hand-written and reference backwards below recompute f32), since
+    # round() has zero gradient and int8 training is not a target
     # sub_rows/window_mode shape the forward gather only; the backward
     # count-SpMM keeps its own default schedule
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
@@ -433,7 +484,7 @@ def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
     def f(v, nbr, deg, rev_nbr, out_deg, skip, w0, b0, w1, b1):
         return fused_mp_layer(
             v, nbr, deg, conv, w0=w0, b0=b0, w1=w1, b1=b1, eps=eps,
-            skip=skip if has_skip else None,
+            skip=skip if has_skip else None, quant=quant,
             gather_mode=gather_mode, mm=mm, act=act, **fcfg,
         )
 
@@ -444,7 +495,7 @@ def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
             out, s = fused_mp_layer(
                 v, nbr, deg, conv,
                 w0=p[0], b0=p[1], w1=p[2], b1=p[3], eps=eps,
-                skip=skip if has_skip else None,
+                skip=skip if has_skip else None, quant=quant,
                 gather_mode=gather_mode, mm=mm, act=act, save_s=True,
                 **fcfg,
             )
@@ -495,7 +546,7 @@ def fused_mp_layer_vjp(
     eps=0.0, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
-    window_mode="sub",
+    window_mode="sub", quant=False,
 ):
     """Differentiable fused layer.  Pallas forward always; hand-written
     Pallas backward (reverse-table count-SpMM, ops/pallas/ell_bwd.py) when
@@ -504,7 +555,7 @@ def fused_mp_layer_vjp(
     has_rev = rev_nbr_nodes is not None and out_degree is not None
     fn = _make_vjp_fn(
         conv, float(eps), tile_rows, window_slack, interpret, gather_mode,
-        mm, act, has_skip, has_rev, sub_rows, window_mode,
+        mm, act, has_skip, has_rev, sub_rows, window_mode, quant,
     )
     F = v.shape[1]
     z = jnp.zeros((1, 1), jnp.float32)
@@ -535,7 +586,7 @@ def fused_mp_layer_auto(
     eps=0.0, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
-    window_mode="sub",
+    window_mode="sub", quant=False,
 ):
     """fused_mp_layer_vjp with automatic zero-padding of unaligned feature
     dims to MXU lanes (pad lanes are inert: zero x lanes -> zero aggregate
@@ -554,6 +605,7 @@ def fused_mp_layer_auto(
                 skip=sk, tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
                 act=act, sub_rows=sub_rows, window_mode=window_mode,
+                quant=quant,
             ),
             v, nbr_nodes, in_degree, skip=skip,
         )
@@ -575,6 +627,7 @@ def fused_mp_layer_auto(
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
                 act=act, sub_rows=sub_rows, window_mode=window_mode,
+                quant=quant,
             )
             return out[:, :Fout]
     elif conv == "sage":
@@ -592,6 +645,7 @@ def fused_mp_layer_auto(
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
                 act=act, sub_rows=sub_rows, window_mode=window_mode,
+                quant=quant,
             )
             return out[:, :Fout]
     else:  # gcn/lg/simple: v already has the OUTPUT width
@@ -605,6 +659,7 @@ def fused_mp_layer_auto(
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
                 act=act, sub_rows=sub_rows, window_mode=window_mode,
+                quant=quant,
             )
             return out[:, :F]
     return fused_mp_layer_vjp(
@@ -612,5 +667,5 @@ def fused_mp_layer_auto(
         skip=skip, rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
         tile_rows=tile_rows, window_slack=window_slack,
         interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
-        sub_rows=sub_rows, window_mode=window_mode,
+        sub_rows=sub_rows, window_mode=window_mode, quant=quant,
     )

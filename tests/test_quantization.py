@@ -87,3 +87,42 @@ def test_int8_fused_aggregation_parity():
     finally:
         dispatch.set_fused_mode("auto")
     np.testing.assert_allclose(o_fused, o_never, atol=1e-6)
+
+
+def test_int8_whole_layer_fusion_parity():
+    """Under the int8 policy, GIN/SAGE layer kernels run a quant epilogue
+    (in-kernel mirror of ops/quant.int8_matmul) and GCN's matmul-free
+    kernel runs as-is.  Cross-path outputs differ by quantization steps
+    (round() amplifies 1-ulp aggregation-order deltas), so the contract is
+    ERROR parity: the fused path's int8-vs-f32 error must match the XLA
+    int8 path's."""
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.data.datasets import load_dataset
+    from gnnbuilder_tpu.ops import dispatch
+
+    graphs = load_dataset("esol", n=48)
+    for conv in ("gin", "sage", "gcn"):
+        model = gnnb.GNNModel(
+            graph_input_feature_dim=9, gnn_hidden_dim=128,
+            gnn_num_layers=3, gnn_output_dim=128, gnn_conv=conv,
+            pooling_aggrs=("mean",), mlp_out_dim=1,
+        )
+        kw = dict(max_nodes=2048, max_edges=4096, max_graphs=49)
+        prog_f = gnnb.Program(model, **kw, precision="f32")
+        b = prog_f.batch(graphs)
+        try:
+            dispatch.set_fused_mode("never")
+            gold = np.asarray(prog_f.forward(b))
+            prog_q = gnnb.Program(model, **kw, precision="int8")
+            prog_q.params = prog_f.params
+            ref = np.asarray(prog_q.forward(b))
+            dispatch.set_fused_mode("always")
+            prog_q2 = gnnb.Program(model, **kw, precision="int8")
+            prog_q2.params = prog_f.params
+            got = np.asarray(prog_q2.forward(b))
+        finally:
+            dispatch.set_fused_mode("auto")
+        sc = np.abs(gold).max() + 1e-9
+        e_xla = np.abs(ref - gold).max() / sc
+        e_fus = np.abs(got - gold).max() / sc
+        assert e_fus < max(2.0 * e_xla, 0.02), (conv, e_xla, e_fus)
