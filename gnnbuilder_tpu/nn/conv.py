@@ -268,7 +268,9 @@ class GINEConv(nn.Module):
         # GINE has no halo formulation (edge-indexed gathers are whole-batch
         # layouts) — the dispatcher gate plus the edge-table check keep it on
         # the (GSPMD-only) paths under sharding
-        cfg = None if _halo_on() else _layer_cfg(self, g, x)
+        cfg = None if _halo_on() else _layer_cfg(
+            self, g, x, int8_ok=_quant_ok()
+        )
         if cfg is not None and g.nbr_edges is not None:
             from gnnbuilder_tpu.ops.pallas.gine_layer import (
                 fused_gine_layer_auto,
@@ -286,7 +288,8 @@ class GINEConv(nn.Module):
                     g.in_degree,
                     p["lin0"]["kernel"], p["lin0"]["bias"],
                     p["lin1"]["kernel"], p["lin1"]["bias"],
-                    eps=self.eps, skip=skip, act=act, **cfg,
+                    eps=self.eps, skip=skip, act=act,
+                    quant=cfg.pop("int8", False), **cfg,
                 )
         if _use_ell(g):
             # message table: x_j from the node table, W e_ij from the edge

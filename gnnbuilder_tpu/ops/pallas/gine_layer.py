@@ -108,7 +108,8 @@ def _kernel(
     b0_ref,      # [1, H]
     w1_ref,      # [H, Fout]
     b1_ref,      # [1, Fout]
-    *rest,       # ([skip_ref], out_ref, x_win, e_win, s_ref, nsem, esem)
+    *rest,       # ([sw0, sw1] if quant, [skip_ref], out_ref, x_win,
+                 #  e_win, s_ref, nsem, esem)
     W: int,
     TNS: int,
     TWS: int,
@@ -120,7 +121,12 @@ def _kernel(
     mm: str,
     act: Optional[str],
     has_skip: bool,
+    quant: bool = False,
 ):
+    if quant:
+        sw0_ref, sw1_ref, *rest = rest
+    else:
+        sw0_ref = sw1_ref = None
     if has_skip:
         skip_ref, *rest = rest
     else:
@@ -224,8 +230,14 @@ def _kernel(
 
     # GIN epilogue (reference gine_conv apply, gnn_builder_lib.h:1640-1742)
     h = (1.0 + eps) * x_ref[:] + s_ref[:]
-    o = dot(jax.nn.relu(dot(h, w0_ref[:]) + b0_ref[:]), w1_ref[:]) \
-        + b1_ref[:]
+    if quant:
+        from gnnbuilder_tpu.ops.pallas.mp_layer import _qdot
+
+        a0 = jax.nn.relu(_qdot(h, w0_ref, sw0_ref) + b0_ref[:])
+        o = _qdot(a0, w1_ref, sw1_ref) + b1_ref[:]
+    else:
+        o = dot(jax.nn.relu(dot(h, w0_ref[:]) + b0_ref[:]), w1_ref[:]) \
+            + b1_ref[:]
     if has_skip:
         o = o + skip_ref[:]
     out_ref[:] = _ACTS[act](o)
@@ -235,7 +247,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "eps", "tile_rows", "window_slack", "interpret", "gather_mode",
-        "mm", "act", "sub_rows", "window_mode",
+        "mm", "act", "sub_rows", "window_mode", "quant",
     ),
 )
 def fused_gine_layer(
@@ -256,6 +268,7 @@ def fused_gine_layer(
     act: Optional[str] = None,
     sub_rows: Optional[int] = None,
     window_mode: str = "sub",
+    quant: bool = False,
 ):
     N, F = x.shape
     E = pe.shape[0]
@@ -292,12 +305,19 @@ def fused_gine_layer(
     idn_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     ide_stack = _stack_edge_ids(nbr_edges, in_degree, esws, TNS)
     Fout = w1.shape[1]
+    scales = []
+    if quant:
+        from gnnbuilder_tpu.ops.quant import quantize_weight
+
+        w0, sw0 = quantize_weight(w0)
+        w1, sw1 = quantize_weight(w1)
+        scales = [sw0.reshape(1, -1), sw1.reshape(1, -1)]
 
     has_skip = skip is not None
     kern = functools.partial(
         _kernel, W=W, TNS=TNS, TWS=TWS, TWL=TWL, EWS=EWS,
         window_mode=window_mode, eps=float(eps), gather_mode=gather_mode,
-        mm=mm, act=act, has_skip=has_skip,
+        mm=mm, act=act, has_skip=has_skip, quant=quant,
     )
 
     def blk(shape):
@@ -319,7 +339,8 @@ def fused_gine_layer(
         jnp.asarray(sws), jnp.asarray(tsws), esws,
         x, pe, x, idn_stack, ide_stack,
         w0, b0.reshape(1, -1), w1, b1.reshape(1, -1),
-    ]
+    ] + scales
+    in_specs = in_specs + [vmem()] * len(scales)
     if has_skip:
         in_specs.append(blk((TN, Fout)))
         inputs.append(skip)
@@ -354,7 +375,8 @@ def fused_gine_layer(
 
 
 def gine_layer_reference(x, pe, nbr_nodes, nbr_edges, in_degree,
-                         w0, b0, w1, b1, eps=0.0, skip=None, act=None):
+                         w0, b0, w1, b1, eps=0.0, skip=None, act=None,
+                         quant=False):
     """XLA mirror (same math as nn/conv.GINEConv's ELL path)."""
     from gnnbuilder_tpu.ops import ell
 
@@ -365,7 +387,11 @@ def gine_layer_reference(x, pe, nbr_nodes, nbr_edges, in_degree,
     mask = ell.ell_mask(nbr_nodes, in_degree)
     s = jnp.sum(jnp.where(mask[..., None], table, 0.0), axis=1)
     h = (1.0 + eps) * x + s
-    o = jax.nn.relu(h @ w0 + b0) @ w1 + b1
+    if quant:
+        from gnnbuilder_tpu.ops.quant import int8_matmul as _mm8
+        o = _mm8(jax.nn.relu(_mm8(h, w0) + b0), w1) + b1
+    else:
+        o = jax.nn.relu(h @ w0 + b0) @ w1 + b1
     if skip is not None:
         o = o + skip
     return _ACTS[act](o)
@@ -373,10 +399,13 @@ def gine_layer_reference(x, pe, nbr_nodes, nbr_edges, in_degree,
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(eps, tile_rows, window_slack, interpret, gather_mode,
-                 mm, act, has_skip, sub_rows=None, window_mode="sub"):
+                 mm, act, has_skip, sub_rows=None, window_mode="sub",
+                 quant=False):
+    # quant backward = straight-through estimator: the reference bwd below
+    # is the f32 epilogue (int8 is a serving precision)
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret, sub_rows=sub_rows,
-               window_mode=window_mode)
+               window_mode=window_mode, quant=quant)
 
     @jax.custom_vjp
     def f(x, pe, nbr, nbre, ro, deg, skip, w0, b0, w1, b1):
@@ -416,11 +445,12 @@ def fused_gine_layer_vjp(
     x, pe, nbr_nodes, nbr_edges, row_offsets, in_degree, w0, b0, w1, b1,
     eps=0.0, skip=None, tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
-    window_mode="sub",
+    window_mode="sub", quant=False,
 ):
     has_skip = skip is not None
     fn = _make_vjp_fn(float(eps), tile_rows, window_slack, interpret,
-                      gather_mode, mm, act, has_skip, sub_rows, window_mode)
+                      gather_mode, mm, act, has_skip, sub_rows, window_mode,
+                      quant)
     Fout = w1.shape[1]
     skip_in = skip if has_skip else jnp.zeros((x.shape[0], Fout), x.dtype)
     return fn(x, pe, nbr_nodes, nbr_edges,
@@ -432,7 +462,7 @@ def fused_gine_layer_auto(
     x, pe, nbr_nodes, nbr_edges, row_offsets, in_degree, w0, b0, w1, b1,
     eps=0.0, skip=None, tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
-    window_mode="sub",
+    window_mode="sub", quant=False,
 ):
     """fused_gine_layer_vjp with zero-padding of unaligned feature dims to
     MXU lanes (inert: zero lanes gather zero, relu(0)=0, zero weight rows;
@@ -451,7 +481,7 @@ def fused_gine_layer_auto(
             skip=_pad_cols(skip, Fout_p) if skip is not None else None,
             tile_rows=tile_rows, window_slack=window_slack,
             interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
-            sub_rows=sub_rows, window_mode=window_mode,
+            sub_rows=sub_rows, window_mode=window_mode, quant=quant,
         )
         return out[:, :Fout]
     return fused_gine_layer_vjp(
@@ -459,5 +489,5 @@ def fused_gine_layer_auto(
         w0, b0, w1, b1, eps=eps, skip=skip,
         tile_rows=tile_rows, window_slack=window_slack,
         interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
-        sub_rows=sub_rows, window_mode=window_mode,
+        sub_rows=sub_rows, window_mode=window_mode, quant=quant,
     )

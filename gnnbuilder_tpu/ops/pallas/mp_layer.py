@@ -64,6 +64,19 @@ __all__ = [
 MP_CONVS = ("gin", "sage", "gcn", "lg", "simple_sum", "simple_mean")
 
 
+def _qdot(h, wq_ref, sw_ref):
+    """In-kernel mirror of ops/quant.int8_matmul: symmetric per-row dynamic
+    activation scales x per-channel weight scales, int8 MXU matmul with
+    int32 accumulation — identical formulas, so the fused int8 epilogues
+    reproduce the XLA int8 policy's numerics (shared with gine_layer)."""
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-12
+    )
+    hq = jnp.clip(jnp.round(h / sx), -127, 127).astype(jnp.int8)
+    y = jnp.dot(hq, wq_ref[:], preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * sx * sw_ref[:]
+
+
 def _kernel(
     sws_ref,     # scalar prefetch: [N/TNS] window start per sub-tile
     tsw_ref,     # scalar prefetch: [N/TN] tile window start (tile mode)
@@ -195,17 +208,7 @@ def _kernel(
     deg = deg_ref[:]
     degf = deg.astype(jnp.float32)
 
-    def qdot(h, wq_ref, sw_ref):
-        # in-kernel mirror of ops/quant.int8_matmul: symmetric per-row
-        # dynamic activation scales x per-channel weight scales, int32 MXU
-        # accumulation — identical formulas, so the fused path reproduces
-        # the XLA int8 policy's numerics
-        sx = jnp.maximum(
-            jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-12
-        )
-        hq = jnp.clip(jnp.round(h / sx), -127, 127).astype(jnp.int8)
-        y = jnp.dot(hq, wq_ref[:], preferred_element_type=jnp.int32)
-        return y.astype(jnp.float32) * sx * sw_ref[:]
+    qdot = _qdot
 
     if conv == "gin":
         h = (1.0 + eps) * xt + s_all

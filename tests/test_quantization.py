@@ -101,11 +101,12 @@ def test_int8_whole_layer_fusion_parity():
     from gnnbuilder_tpu.ops import dispatch
 
     graphs = load_dataset("esol", n=48)
-    for conv in ("gin", "sage", "gcn"):
+    for conv in ("gin", "sage", "gcn", "gine"):
         model = gnnb.GNNModel(
             graph_input_feature_dim=9, gnn_hidden_dim=128,
             gnn_num_layers=3, gnn_output_dim=128, gnn_conv=conv,
             pooling_aggrs=("mean",), mlp_out_dim=1,
+            conv_kwargs={"edge_dim": 3} if conv == "gine" else {},
         )
         kw = dict(max_nodes=2048, max_edges=4096, max_graphs=49)
         prog_f = gnnb.Program(model, **kw, precision="f32")
