@@ -396,7 +396,7 @@ class PNAConv(nn.Module):
 
             # shared gate (_layer_cfg): alignment/size heuristic + halo-
             # aware geometry; auto-padding covers unaligned dims at scale
-            cfg = _layer_cfg(self, g, x)
+            cfg = _layer_cfg(self, g, x, int8_ok=_quant_ok())
             if cfg is not None:
                 p = self.variables["params"]
                 return fused_pna_layer_auto(
@@ -406,7 +406,7 @@ class PNAConv(nn.Module):
                     p["lin"]["kernel"], p["lin"]["bias"],
                     self.delta, skip=skip, act=act,
                     rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
-                    **cfg,
+                    quant=cfg.pop("int8", False), **cfg,
                 )
 
         u, v = self.pre_nn(x, x)  # u = x@W_i + b, v = x@W_j
@@ -494,7 +494,8 @@ class GATConv(nn.Module):
                 fused_gat_layer_vjp,
             )
 
-            cfg = _layer_cfg(self, g, x, out_dim=H * C)
+            cfg = _layer_cfg(self, g, x, out_dim=H * C,
+                             int8_ok=_quant_ok())
             if cfg is not None:
                 cfg.pop("mm", None)
                 p = self.variables["params"]
@@ -506,7 +507,7 @@ class GATConv(nn.Module):
                     self_loops=self.add_self_loops,
                     skip=skip, act=act,
                     mm="bf16" if not cfg.get("interpret") else "f32",
-                    **cfg,
+                    quant=cfg.pop("int8", False), **cfg,
                 )
 
         h = self.lin(x).reshape(n, H, C)

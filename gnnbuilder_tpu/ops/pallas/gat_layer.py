@@ -96,7 +96,8 @@ def _kernel(
     ad_ref,      # [H*C, H] block-diag att_dst
     ex_ref,      # [H, H*C] head -> lanes expansion
     b_ref,       # [1, H*C] bias
-    *rest,       # ([skip_ref], out_ref, x_win[2,TWS,Fin], dma_sem[2])
+    *rest,       # ([sw] if quant, [skip_ref], out_ref,
+                 #  x_win[2,TWS,Fin], dma_sem[2])
     W: int,
     TNS: int,
     TWS: int,
@@ -110,10 +111,15 @@ def _kernel(
     act: Optional[str],
     has_skip: bool,
     save_res: bool,
+    quant: bool = False,
 ):
     # save_res promotes the softmax statistics (per-head max m and
     # denominator den) to kernel outputs — the residuals the hand-written
     # backward (ops/pallas/gat_bwd.py) re-derives alpha from
+    if quant:
+        sw_ref, *rest = rest
+    else:
+        sw_ref = None
     if has_skip:
         skip_ref, *rest = rest
     else:
@@ -140,6 +146,14 @@ def _kernel(
     KT = TN // TNS
     dot = _dot_mm(mm)
     H = heads
+    if quant:
+        # int8 policy: the projection Linear quantizes (per-row dynamic
+        # scales — identical rows get identical scales on both paths)
+        from gnnbuilder_tpu.ops.pallas.mp_layer import _qdot
+
+        proj = lambda rows: _qdot(rows, w_ref, sw_ref)
+    else:
+        proj = lambda rows: dot(rows, w_ref[:])
 
     def win_copy(j, buf, rows_n, starts_ref):
         start = pl.multiple_of(starts_ref[j], 8)
@@ -162,7 +176,7 @@ def _kernel(
         def _():
             win_copy(i + 1, jax.lax.rem(i + 1, 2), TWL, tsw_ref).start()
 
-        hwin_all = dot(x_win[buf_t], w_ref[:])           # [TWL, HC]
+        hwin_all = proj(x_win[buf_t])                    # [TWL, HC]
         aswin_all = jnp.dot(hwin_all, as_ref[:],
                             preferred_element_type=jnp.float32)  # [TWL, H]
         pay_scr[:, :HC] = hwin_all
@@ -191,7 +205,7 @@ def _kernel(
             def _():
                 win_copy(j + 1, jax.lax.rem(j + 1, 2), TWS, sws_ref).start()
 
-            hwin = dot(x_win[buf], w_ref[:])             # [TWS, HC]
+            hwin = proj(x_win[buf])                      # [TWS, HC]
             # per-head source-logit halves: exact HIGHEST (the att
             # reduction is the numerically touchy part of GAT)
             aswin = jnp.dot(hwin, as_ref[:],
@@ -199,7 +213,7 @@ def _kernel(
             # one stacked gather for values + logit halves
             payload = jnp.concatenate([hwin, aswin], axis=-1)  # [TWS,HC+H]
         x_sub = x_ref[pl.ds(rows, TNS), :]
-        h_sub = dot(x_sub, w_ref[:])                     # [TNS, HC]
+        h_sub = proj(x_sub)                              # [TNS, HC]
         ad_sub = jnp.dot(h_sub, ad_ref[:],
                          preferred_element_type=jnp.float32)  # [TNS, H]
         ids = ids_ref[pl.ds(pl.multiple_of(k * W * TNS, 8), W * TNS), :]
@@ -277,7 +291,7 @@ def _kernel(
     static_argnames=(
         "heads", "neg_slope", "self_loops", "tile_rows", "window_slack",
         "interpret", "gather_mode", "mm", "act", "save_res", "sub_rows",
-        "window_mode",
+        "window_mode", "quant",
     ),
 )
 def fused_gat_layer(
@@ -301,6 +315,7 @@ def fused_gat_layer(
     save_res: bool = False,  # also return (m, den) softmax residuals
     sub_rows: Optional[int] = None,  # gather sub-tile height (None = 128)
     window_mode: str = "sub",  # "sub" = DMA per sub-tile, "tile" = per tile
+    quant: bool = False,       # int8 projection (serving precision)
 ):
     N, Fin = x.shape
     HC = w.shape[1]
@@ -321,6 +336,12 @@ def fused_gat_layer(
         TWL, tsws = TWS, np.zeros(1, np.int32)
     ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
+    scales = []
+    if quant:
+        from gnnbuilder_tpu.ops.quant import quantize_weight
+
+        w, sw = quantize_weight(w)
+        scales = [sw.reshape(1, -1)]
     a_s, a_d, expand = _head_matrices(att_src, att_dst, heads, C)
 
     has_skip = skip is not None
@@ -329,7 +350,7 @@ def fused_gat_layer(
         heads=heads,
         neg_slope=float(neg_slope), self_loops=self_loops,
         gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
-        save_res=save_res,
+        save_res=save_res, quant=quant,
     )
 
     def blk(shape):
@@ -349,7 +370,8 @@ def fused_gat_layer(
     inputs = [
         jnp.asarray(sws), jnp.asarray(tsws), x, x, ids_stack, deg2d,
         w, a_s, a_d, expand, bias.reshape(1, -1),
-    ]
+    ] + scales
+    in_specs = in_specs + [vmem()] * len(scales)
     if has_skip:
         in_specs.append(blk((TN, HC)))
         inputs.append(skip)
@@ -423,12 +445,14 @@ def gat_layer_reference(x, nbr_nodes, in_degree, w, att_src, att_dst, bias,
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
                  interpret, gather_mode, mm, act, has_skip, sub_rows=None,
-                 window_mode="sub"):
+                 window_mode="sub", quant=False):
     # sub_rows/window_mode shape the forward gather only; the scatter
-    # backward keeps its own default schedule
+    # backward keeps its own default schedule.  quant backward = straight-
+    # through estimator (f32 projection gradients).
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret)
-    fcfg = dict(cfg, sub_rows=sub_rows, window_mode=window_mode)
+    fcfg = dict(cfg, sub_rows=sub_rows, window_mode=window_mode,
+                quant=quant)
 
     def _scatter_ok(n, hc, w):
         # hand-written backward (ops/pallas/gat_bwd.py): self-loop mode
@@ -455,7 +479,11 @@ def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
         )
 
     def fwd(x, nbr, deg, skip, *p):
-        if _scatter_ok(x.shape[0], p[0].shape[1], nbr.shape[1]):
+        # quant: the scatter backward re-derives alpha from f32-recomputed
+        # projections, which would mismatch int8-forward residuals — use
+        # the XLA STE fallback instead
+        if not quant and _scatter_ok(x.shape[0], p[0].shape[1],
+                                     nbr.shape[1]):
             out, m, den = fused_gat_layer(
                 x, nbr, deg, *p, heads,
                 neg_slope=neg_slope, self_loops=self_loops,
@@ -550,7 +578,7 @@ def fused_gat_layer_vjp(
     neg_slope=0.2, self_loops=True, skip=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
-    window_mode="sub",
+    window_mode="sub", quant=False,
 ):
     """Differentiable fused GAT layer (Pallas fwd, XLA-reference bwd).
 
@@ -568,6 +596,7 @@ def fused_gat_layer_vjp(
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
                 act=act, sub_rows=sub_rows, window_mode=window_mode,
+                quant=quant,
             ),
             x, nbr_nodes, in_degree, skip=skip,
         )
@@ -608,7 +637,7 @@ def fused_gat_layer_vjp(
             neg_slope=neg_slope, self_loops=self_loops, skip=skip_p,
             tile_rows=tile_rows, window_slack=window_slack,
             interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
-            sub_rows=sub_rows, window_mode=window_mode,
+            sub_rows=sub_rows, window_mode=window_mode, quant=quant,
         )
         return out.reshape(N, heads, C_p)[:, :, :C].reshape(N, HC)
 
@@ -616,6 +645,7 @@ def fused_gat_layer_vjp(
     fn = _make_vjp_fn(
         heads, float(neg_slope), self_loops, tile_rows, window_slack,
         interpret, gather_mode, mm, act, has_skip, sub_rows, window_mode,
+        quant,
     )
     skip_in = skip if has_skip else jnp.zeros((N, w.shape[1]), x.dtype)
     return fn(x, nbr_nodes, in_degree.astype(jnp.int32), skip_in,

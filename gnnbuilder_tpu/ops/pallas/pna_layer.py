@@ -220,8 +220,8 @@ def _kernel(
     b_post_ref,  # [1, Fout]
     w_lin_ref,   # [Fout, Fout]
     b_lin_ref,   # [1, Fout]
-    *rest,       # ([skip_ref], out_ref, [v_out, agg, aux], x_win[2,TWS,Fin],
-                 #  [agg], dma_sem[2])
+    *rest,       # ([sw_lin] if quant, [skip_ref], out_ref,
+                 #  [v_out, agg, aux], x_win[2,TWS,Fin], [agg], dma_sem[2])
     W: int,
     TNS: int,
     TWS: int,
@@ -233,12 +233,17 @@ def _kernel(
     act: Optional[str],
     has_skip: bool,
     save_res: bool,
+    quant: bool = False,
 ):
     # save_res promotes the backward residuals to kernel outputs: the
     # neighbor-half pre_nn rows v (so the backward never re-derives the
     # gather operand — bit-identical compares), the aggregator concat
     # (epilogue recompute), and aux = [mx_raw, mn_raw, mean_raw, ties_mx,
     # ties_mn] (extrema routing with XLA's even tie-splitting).
+    if quant:
+        sw_lin_ref, *rest = rest
+    else:
+        sw_lin_ref = None
     if has_skip:
         skip_ref, *rest = rest
     else:
@@ -430,7 +435,14 @@ def _kernel(
         # point: saving it kills the epilogue y-recompute (agg_cat @ ks,
         # the widest matmul of the backward) entirely
         mid_ref[:] = mid
-    o = dot(mid, w_lin_ref[:]) + b_lin_ref[:]
+    if quant:
+        # int8 policy: only the final Linear quantizes (PairLinear /
+        # BlockScaledLinear are f32 by design, nn/linear.py)
+        from gnnbuilder_tpu.ops.pallas.mp_layer import _qdot
+
+        o = _qdot(mid, w_lin_ref, sw_lin_ref) + b_lin_ref[:]
+    else:
+        o = dot(mid, w_lin_ref[:]) + b_lin_ref[:]
     if has_skip:
         o = o + skip_ref[:]
     out_ref[:] = _ACTS[act](o)
@@ -440,7 +452,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "delta", "tile_rows", "window_slack", "interpret", "gather_mode",
-        "mm", "act", "save_res", "sub_rows", "window_mode",
+        "mm", "act", "save_res", "sub_rows", "window_mode", "quant",
     ),
 )
 def fused_pna_layer(
@@ -464,6 +476,7 @@ def fused_pna_layer(
     save_res: bool = False,  # also return (v, agg_cat, aux) bwd residuals
     sub_rows: Optional[int] = None,  # gather sub-tile height (None = 128)
     window_mode: str = "sub",  # "sub" = DMA per sub-tile, "tile" = per tile
+    quant: bool = False,       # int8 final Linear (serving precision)
 ):
     N, Fin = x.shape
     F = w_pre.shape[1]
@@ -487,6 +500,12 @@ def fused_pna_layer(
         TWL, tsws = TWS, np.zeros(1, np.int32)
     ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
+    scales = []
+    if quant:
+        from gnnbuilder_tpu.ops.quant import quantize_weight
+
+        w_lin, sw_lin = quantize_weight(w_lin)
+        scales = [sw_lin.reshape(1, -1)]
     w_i, w_j = w_pre[:Fin], w_pre[Fin:]
     k0 = k_post[:Fin]
     ks = jnp.concatenate(
@@ -499,7 +518,7 @@ def fused_pna_layer(
         _kernel, W=W, TNS=TNS, TWS=TWS, TWL=TWL, window_mode=window_mode,
         delta=float(delta),
         gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
-        save_res=save_res,
+        save_res=save_res, quant=quant,
     )
 
     def blk(shape):
@@ -524,7 +543,8 @@ def fused_pna_layer(
         w_i, w_j, b_pre.reshape(1, -1),
         k0, ks, b_post.reshape(1, -1),
         w_lin, b_lin.reshape(1, -1),
-    ]
+    ] + scales
+    in_specs = in_specs + [vmem()] * len(scales)
     if has_skip:
         in_specs.append(blk((TN, Fout)))
         inputs.append(skip)
@@ -649,13 +669,15 @@ def _pna_epilogue(x, agg_cat, deg, k_post, b_post, w_lin, b_lin, skip,
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
                  mm, act, has_skip, has_rev, sub_rows=None,
-                 window_mode="sub"):
+                 window_mode="sub", quant=False):
     # the backward kernels keep their own (default) sub-tile schedule; the
     # sub_rows/window_mode knobs only shape the forward gather's
-    # DMA/compute trade
+    # DMA/compute trade.  quant (int8 final Linear) backward is a
+    # straight-through estimator: grads flow through the f32 w_lin.
     cfg = dict(tile_rows=tile_rows, window_slack=window_slack,
                interpret=interpret)
-    fcfg = dict(cfg, sub_rows=sub_rows, window_mode=window_mode)
+    fcfg = dict(cfg, sub_rows=sub_rows, window_mode=window_mode,
+                quant=quant)
 
     def _scatter_ok(n, f, w):
         from gnnbuilder_tpu.ops.pallas.scatter_bwd import supports_scatter
@@ -832,7 +854,7 @@ def fused_pna_layer_vjp(
     delta, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
-    window_mode="sub",
+    window_mode="sub", quant=False,
 ):
     """Differentiable fused layer.  Pallas forward always; hand-written
     Pallas backward (reverse-table kernel, ops/pallas/ell_bwd.py) when the
@@ -841,7 +863,7 @@ def fused_pna_layer_vjp(
     has_rev = rev_nbr_nodes is not None and out_degree is not None
     fn = _make_vjp_fn(
         float(delta), tile_rows, window_slack, interpret, gather_mode,
-        mm, act, has_skip, has_rev, sub_rows, window_mode,
+        mm, act, has_skip, has_rev, sub_rows, window_mode, quant,
     )
     skip_in = skip if has_skip else jnp.zeros((x.shape[0], w_lin.shape[1]),
                                               x.dtype)
@@ -881,7 +903,7 @@ def fused_pna_layer_auto(
     delta, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
-    window_mode="sub",
+    window_mode="sub", quant=False,
 ):
     """fused_pna_layer_vjp with automatic zero-padding of unaligned feature
     dims to MXU lanes (128).
@@ -910,7 +932,7 @@ def fused_pna_layer_auto(
                 delta, skip=sk, tile_rows=tile_rows,
                 window_slack=window_slack, interpret=interpret,
                 gather_mode=gather_mode, mm=mm, act=act,
-                sub_rows=sub_rows, window_mode=window_mode,
+                sub_rows=sub_rows, window_mode=window_mode, quant=quant,
             ),
             x, nbr_nodes, in_degree, skip=skip,
         )
@@ -944,7 +966,7 @@ def fused_pna_layer_auto(
             tile_rows=tile_rows,
             window_slack=window_slack, interpret=interpret,
             gather_mode=gather_mode, mm=mm, act=act, sub_rows=sub_rows,
-            window_mode=window_mode,
+            window_mode=window_mode, quant=quant,
         )
         return out[:, :Fout]
 
@@ -954,5 +976,5 @@ def fused_pna_layer_auto(
         rev_nbr_nodes=rev_nbr_nodes, out_degree=out_degree,
         tile_rows=tile_rows, window_slack=window_slack,
         interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
-        sub_rows=sub_rows, window_mode=window_mode,
+        sub_rows=sub_rows, window_mode=window_mode, quant=quant,
     )

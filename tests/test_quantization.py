@@ -101,12 +101,14 @@ def test_int8_whole_layer_fusion_parity():
     from gnnbuilder_tpu.ops import dispatch
 
     graphs = load_dataset("esol", n=48)
-    for conv in ("gin", "sage", "gcn", "gine"):
+    for conv in ("gin", "sage", "gcn", "gine", "pna", "gat"):
         model = gnnb.GNNModel(
             graph_input_feature_dim=9, gnn_hidden_dim=128,
             gnn_num_layers=3, gnn_output_dim=128, gnn_conv=conv,
             pooling_aggrs=("mean",), mlp_out_dim=1,
-            conv_kwargs={"edge_dim": 3} if conv == "gine" else {},
+            conv_kwargs={"edge_dim": 3} if conv == "gine" else (
+                {"delta": 2.0} if conv == "pna" else (
+                    {"heads": 4} if conv == "gat" else {})),
         )
         kw = dict(max_nodes=2048, max_edges=4096, max_graphs=49)
         prog_f = gnnb.Program(model, **kw, precision="f32")
