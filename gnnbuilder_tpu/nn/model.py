@@ -199,11 +199,48 @@ class GNNModel(nn.Module):
             # positional act/skip so nn.remat's static_argnums can mark the
             # activation string static (kwargs cannot be)
             h = conv(g, h, self.gnn_activation, skip)
+        fused = self._fused_readout(g, h)
+        if fused is not None:
+            return fused
         pooled = self.global_pooling(g, h)
         out = self.mlp_head(pooled)
         if self.output_activation is not None:
             out = OUTPUT_ACTIVATIONS[self.output_activation](out)
         return out
+
+    def _fused_readout(self, g: GraphBatch, h):
+        """Whole-readout Pallas kernel (pooling + MLP + output activation,
+        ops/pallas/readout.py) when the dispatch policy allows; exact max
+        pooling stays in XLA and streams into the kernel.  Returns None to
+        fall back to the XLA tail above (identical math)."""
+        if self.is_initializing():
+            return None
+        from gnnbuilder_tpu.ops import dispatch
+
+        cfg = dispatch.readout_config(g)
+        if cfg is None:
+            return None
+        from gnnbuilder_tpu.ops import segment
+        from gnnbuilder_tpu.ops.pallas.readout import fused_readout_auto
+
+        aggrs = tuple(self.pooling_aggrs)
+        mx = None
+        if "max" in aggrs:
+            count = g.n_node.astype(h.dtype)[:, None]
+            mx = segment.segment_max(
+                h, g.node_graph, g.num_graphs, count=count
+            )
+        p = self.variables["params"]["mlp_head"]
+        n_lin = self.mlp_hidden_layers + 1 if self.mlp_hidden_layers else 1
+        weights = tuple(
+            (p[f"linear_{i}"]["kernel"], p[f"linear_{i}"]["bias"])
+            for i in range(n_lin)
+        )
+        return fused_readout_auto(
+            h, g.n_node, weights, aggrs=aggrs, mx=mx,
+            act=self.mlp_activation, out_act=self.output_activation,
+            maxg=g.max_graph_nodes_static, **cfg,
+        )
 
     # --- introspection mirroring the reference (models.py:577-634) ---
     @property

@@ -27,6 +27,7 @@ __all__ = [
     "set_kernel_overrides",
     "get_fused_mode",
     "fused_config",
+    "readout_config",
     "no_fused",
 ]
 
@@ -232,6 +233,40 @@ def fused_config(
         if (supports(N, tn, slack) and tn >= 2 * slack
                 and _agg_vmem_ok(tn, tn + 2 * slack, feature_dim)):
             return cfg(tn, slack)
+    return None
+
+
+def readout_config(g) -> Optional[dict]:
+    """Kernel kwargs for the fused readout (pooling + MLP head,
+    ops/pallas/readout.py) if it applies to this batch, else None.
+
+    Falls back under: halo scope (pooling psums across shards), int8
+    (MLP Linears quantize), no graph-contiguity metadata, or batches too
+    small for the graph-tile window (N < TG*maxg+8 at every tile size)."""
+    if _MODE == "never" or _SUPPRESSED.get():
+        return None
+    from gnnbuilder_tpu.compile.precision import active_precision
+    from gnnbuilder_tpu.parallel.halo import active_halo
+
+    if active_halo() is not None:
+        return None
+    prec = active_precision()
+    if prec is not None and prec.name == "int8":
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if _MODE == "auto" and not on_tpu:
+        return None
+    maxg = getattr(g, "max_graph_nodes_static", 0)
+    if maxg <= 0 or g.n_node is None:
+        return None
+    from gnnbuilder_tpu.ops.pallas.readout import readout_supported
+
+    for tg in (32, 16, 8):
+        if readout_supported(g.num_nodes, g.num_graphs, maxg, tg):
+            return dict(
+                tile_graphs=tg, interpret=not on_tpu,
+                mm="bf16" if on_tpu else "f32",
+            )
     return None
 
 
