@@ -32,6 +32,7 @@ __all__ = [
 ]
 
 _MODE = "auto"
+_READOUT_AUTO = False  # flip after on-hardware verification (readout_config)
 _TILE_ROWS: Optional[int] = None   # explicit node-tile height (DSE-tunable)
 _GATHER_MODE: Optional[str] = None  # explicit gather precision (DSE-tunable)
 _SUB_ROWS: Optional[int] = None    # gather sub-tile height (DSE-tunable)
@@ -254,7 +255,11 @@ def readout_config(g) -> Optional[dict]:
     if prec is not None and prec.name == "int8":
         return None
     on_tpu = jax.default_backend() == "tpu"
-    if _MODE == "auto" and not on_tpu:
+    if _MODE == "auto" and (not on_tpu or not _READOUT_AUTO):
+        # _READOUT_AUTO gates the kernel's participation in the default
+        # policy until it has an on-hardware verification artifact (the
+        # same staged rollout every fresh Mosaic kernel gets); "always"
+        # mode (tests, experiments) exercises it regardless
         return None
     maxg = getattr(g, "max_graph_nodes_static", 0)
     if maxg <= 0 or g.n_node is None:
