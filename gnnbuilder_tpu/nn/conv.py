@@ -267,9 +267,13 @@ class GINEConv(nn.Module):
         e = self.lin_edge(g.edge_feat)
         # GINE has no halo formulation (edge-indexed gathers are whole-batch
         # layouts) — the dispatcher gate plus the edge-table check keep it on
-        # the (GSPMD-only) paths under sharding
-        cfg = None if _halo_on() else _layer_cfg(
-            self, g, x, int8_ok=_quant_ok()
+        # the (GSPMD-only) paths under sharding.  The kernel is STAGED
+        # (dispatch.staged_ok) until its on-hardware verification artifact
+        # lands (experiments/tpu_verify_r2.py).
+        from gnnbuilder_tpu.ops import dispatch as _dispatch
+
+        cfg = None if (_halo_on() or not _dispatch.staged_ok()) else (
+            _layer_cfg(self, g, x, int8_ok=_quant_ok())
         )
         if cfg is not None and g.nbr_edges is not None:
             from gnnbuilder_tpu.ops.pallas.gine_layer import (

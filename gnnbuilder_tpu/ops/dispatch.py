@@ -32,7 +32,12 @@ __all__ = [
 ]
 
 _MODE = "auto"
-_READOUT_AUTO = False  # flip after on-hardware verification (readout_config)
+# Staged rollout for kernels that do not yet have an on-hardware
+# verification artifact (experiments/tpu_verify_r2.py): the fused readout,
+# the fused GINE layer, and the int8 quant epilogues participate in the
+# default "auto" policy only after this flips; "always" mode (tests,
+# experiments, the verification run itself) exercises them regardless.
+_STAGED_OK = False
 _TILE_ROWS: Optional[int] = None   # explicit node-tile height (DSE-tunable)
 _GATHER_MODE: Optional[str] = None  # explicit gather precision (DSE-tunable)
 _SUB_ROWS: Optional[int] = None    # gather sub-tile height (DSE-tunable)
@@ -105,6 +110,12 @@ def get_fused_mode() -> str:
     return _MODE
 
 
+def staged_ok() -> bool:
+    """Whether staged (not-yet-hardware-verified) kernels may join the
+    default policy; "always" mode bypasses (see _STAGED_OK)."""
+    return _STAGED_OK or _MODE == "always"
+
+
 from gnnbuilder_tpu.core.graph import _round_up
 
 
@@ -144,6 +155,8 @@ def fused_config(
 
     prec = active_precision()
     int8_layer = prec is not None and prec.name == "int8" and kind == "layer"
+    if int8_layer and not staged_ok():
+        int8_ok = False  # quant epilogues are staged kernels
     if int8_layer and not int8_ok:
         # layer kernels embed dense matmuls that the int8 policy must
         # quantize (ops/quant.py); a conv opts in with int8_ok when its
@@ -255,11 +268,7 @@ def readout_config(g) -> Optional[dict]:
     if prec is not None and prec.name == "int8":
         return None
     on_tpu = jax.default_backend() == "tpu"
-    if _MODE == "auto" and (not on_tpu or not _READOUT_AUTO):
-        # _READOUT_AUTO gates the kernel's participation in the default
-        # policy until it has an on-hardware verification artifact (the
-        # same staged rollout every fresh Mosaic kernel gets); "always"
-        # mode (tests, experiments) exercises it regardless
+    if _MODE == "auto" and (not on_tpu or not staged_ok()):
         return None
     maxg = getattr(g, "max_graph_nodes_static", 0)
     if maxg <= 0 or g.n_node is None:
