@@ -239,7 +239,8 @@ class GNNModel(nn.Module):
         return fused_readout_auto(
             h, g.n_node, weights, aggrs=aggrs, mx=mx,
             act=self.mlp_activation, out_act=self.output_activation,
-            maxg=g.max_graph_nodes_static, **cfg,
+            maxg=g.max_graph_nodes_static,
+            quant=cfg.pop("int8", False), **cfg,
         )
 
     # --- introspection mirroring the reference (models.py:577-634) ---

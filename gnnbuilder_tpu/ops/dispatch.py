@@ -265,8 +265,12 @@ def readout_config(g) -> Optional[dict]:
     if active_halo() is not None:
         return None
     prec = active_precision()
-    if prec is not None and prec.name == "int8":
-        return None
+    int8 = prec is not None and prec.name == "int8"
+    if int8:
+        from gnnbuilder_tpu.ops.quant import active_calibration
+
+        if active_calibration() is not None:
+            return None  # static-calib / recording: XLA owns site state
     on_tpu = jax.default_backend() == "tpu"
     if _MODE == "auto" and (not on_tpu or not staged_ok()):
         return None
@@ -277,10 +281,13 @@ def readout_config(g) -> Optional[dict]:
 
     for tg in (32, 16, 8):
         if readout_supported(g.num_nodes, g.num_graphs, maxg, tg):
-            return dict(
+            out = dict(
                 tile_graphs=tg, interpret=not on_tpu,
                 mm="bf16" if on_tpu else "f32",
             )
+            if int8:
+                out["int8"] = True
+            return out
     return None
 
 

@@ -82,20 +82,23 @@ def _kernel(
     lo_ref,      # [TG, 1] int32 — graph node-row span start (global)
     hi_ref,      # [TG, 1] int32 — span end (global)
     cnt_ref,     # [TG, 1] f32 — node count (mean denominator)
-    *rest,       # ([mx_ref], w_0, b_0, ..., w_L, b_L, out_ref,
-                 #  x_win[2, NWS, F], dma_sem[2])
+    *rest,       # ([mx_ref], w_0, b_0, ..., w_L, b_L, [sw_0..sw_L if
+                 #  quant], out_ref, x_win[2, NWS, F], dma_sem[2])
     NWS: int,
     aggrs: tuple,
     n_lin: int,
     act: Optional[str],
     out_act: Optional[str],
     mm: str,
+    quant: bool = False,
 ):
     if "max" in aggrs:
         mx_ref, *rest = rest
     else:
         mx_ref = None
     wbs, rest = rest[: 2 * n_lin], rest[2 * n_lin :]
+    if quant:
+        sws, rest = rest[:n_lin], rest[n_lin:]
     out_ref, x_win, dma_sem = rest
 
     t = pl.program_id(0)
@@ -144,8 +147,14 @@ def _kernel(
             blocks.append(mx_ref[:])
     h = jnp.concatenate(blocks, axis=-1) if len(blocks) > 1 else blocks[0]
 
+    if quant:
+        from gnnbuilder_tpu.ops.pallas.mp_layer import _qdot
+
     for i in range(n_lin):
-        h = dot(h, wbs[2 * i][:]) + wbs[2 * i + 1][:]
+        if quant:
+            h = _qdot(h, wbs[2 * i], sws[i]) + wbs[2 * i + 1][:]
+        else:
+            h = dot(h, wbs[2 * i][:]) + wbs[2 * i + 1][:]
         if i < n_lin - 1:
             h = _ACTS[act](h)
     out_ref[:] = _OUT_ACTS[out_act](h)
@@ -155,7 +164,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "aggrs", "act", "out_act", "tile_graphs", "maxg", "interpret",
-        "mm",
+        "mm", "quant",
     ),
 )
 def fused_readout(
@@ -170,6 +179,7 @@ def fused_readout(
     maxg: int = 32,
     interpret: bool = False,
     mm: str = "f32",
+    quant: bool = False,
 ):
     N, F = x.shape
     G = n_node.shape[0]
@@ -205,9 +215,19 @@ def fused_readout(
 
     n_lin = len(weights)
     Fout = weights[-1][0].shape[1]
+    scales = []
+    if quant:
+        from gnnbuilder_tpu.ops.quant import quantize_weight
+
+        qw = []
+        for w, bb in weights:
+            w, sw = quantize_weight(w)
+            qw.append((w, bb))
+            scales.append(sw.reshape(1, -1))
+        weights = tuple(qw)
     kern = functools.partial(
         _kernel, NWS=NWS, aggrs=tuple(aggrs), n_lin=n_lin, act=act,
-        out_act=out_act, mm=mm,
+        out_act=out_act, mm=mm, quant=quant,
     )
 
     def blk(shape):
@@ -231,6 +251,9 @@ def fused_readout(
     for w, b in weights:
         in_specs += [vmem(), vmem()]
         inputs += [w, b.reshape(1, -1)]
+    for sw in scales:
+        in_specs.append(vmem())
+        inputs.append(sw)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -258,7 +281,7 @@ def fused_readout(
 
 
 def readout_reference(x, n_node, weights, aggrs=("add",), mx=None,
-                      act="relu", out_act=None):
+                      act="relu", out_act=None, quant=False):
     """XLA mirror (the exact math of GlobalPooling + MLP + output act)."""
     G = n_node.shape[0]
     goff = jnp.concatenate(
@@ -279,8 +302,12 @@ def readout_reference(x, n_node, weights, aggrs=("add",), mx=None,
         else:
             blocks.append(mx)
     h = jnp.concatenate(blocks, axis=-1)
+    if quant:
+        from gnnbuilder_tpu.ops.quant import int8_matmul as _mm8
+    else:
+        _mm8 = lambda a, w: a @ w
     for i, (w, b) in enumerate(weights):
-        h = h @ w + b
+        h = _mm8(h, w) + b
         if i < len(weights) - 1:
             h = _ACTS[act](h)
     return _OUT_ACTS[out_act](h)
@@ -288,7 +315,9 @@ def readout_reference(x, n_node, weights, aggrs=("add",), mx=None,
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(aggrs, act, out_act, tile_graphs, maxg, interpret, mm,
-                 n_lin, has_mx):
+                 n_lin, has_mx, quant=False):
+    # quant backward = straight-through estimator (the f32 reference bwd
+    # below); int8 is a serving precision
     @jax.custom_vjp
     def f(x, n_node, mx, flat_w):
         weights = tuple(
@@ -297,7 +326,7 @@ def _make_vjp_fn(aggrs, act, out_act, tile_graphs, maxg, interpret, mm,
         return fused_readout(
             x, n_node, weights, aggrs=aggrs, mx=mx if has_mx else None,
             act=act, out_act=out_act, tile_graphs=tile_graphs, maxg=maxg,
-            interpret=interpret, mm=mm,
+            interpret=interpret, mm=mm, quant=quant,
         )
 
     def fwd(x, n_node, mx, flat_w):
@@ -331,10 +360,11 @@ def _make_vjp_fn(aggrs, act, out_act, tile_graphs, maxg, interpret, mm,
 def fused_readout_vjp(
     x, n_node, weights, aggrs=("add",), mx=None, act="relu",
     out_act=None, tile_graphs=32, maxg=32, interpret=False, mm="f32",
+    quant=False,
 ):
     has_mx = mx is not None
     fn = _make_vjp_fn(tuple(aggrs), act, out_act, tile_graphs, maxg,
-                      interpret, mm, len(weights), has_mx)
+                      interpret, mm, len(weights), has_mx, quant)
     flat_w = tuple(a for wb in weights for a in wb)
     mx_in = mx if has_mx else jnp.zeros((n_node.shape[0], x.shape[1]),
                                         jnp.float32)
@@ -344,6 +374,7 @@ def fused_readout_vjp(
 def fused_readout_auto(
     x, n_node, weights, aggrs=("add",), mx=None, act="relu",
     out_act=None, tile_graphs=32, maxg=32, interpret=False, mm="f32",
+    quant=False,
 ):
     """fused_readout_vjp with zero-padding of an unaligned node-feature dim
     to MXU lanes: zero x lanes pool to zero, so padding each pooled block's
@@ -365,4 +396,5 @@ def fused_readout_auto(
     return fused_readout_vjp(
         x, n_node, weights, aggrs=aggrs, mx=mx, act=act, out_act=out_act,
         tile_graphs=tile_graphs, maxg=maxg, interpret=interpret, mm=mm,
+        quant=quant,
     )
