@@ -16,6 +16,7 @@ Modes (set_fused_mode):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -37,11 +38,20 @@ _MODE = "auto"
 # the fused GINE layer, and the int8 quant epilogues participate in the
 # default "auto" policy only after this flips; "always" mode (tests,
 # experiments, the verification run itself) exercises them regardless.
-_STAGED_OK = False
+_STAGED_OK = os.environ.get("GNNB_STAGED_OK", "") == "1"
 _TILE_ROWS: Optional[int] = None   # explicit node-tile height (DSE-tunable)
 _GATHER_MODE: Optional[str] = None  # explicit gather precision (DSE-tunable)
 _SUB_ROWS: Optional[int] = None    # gather sub-tile height (DSE-tunable)
-_WINDOW_MODE: Optional[str] = None  # "sub" | "tile" DMA granularity
+# "sub" | "tile" DMA granularity; GNNB_WINDOW_MODE lets the on-hardware
+# runbook (scripts/runbook.sh) apply the A/B winner to later steps in the
+# same pipeline without a source edit mid-run
+_WINDOW_MODE: Optional[str] = (
+    os.environ.get("GNNB_WINDOW_MODE") or None
+)
+if _WINDOW_MODE not in (None, "sub", "tile"):
+    raise ValueError(
+        f"GNNB_WINDOW_MODE must be 'sub' or 'tile', got {_WINDOW_MODE!r}"
+    )
 _SINGLE_TILE_MAX = 1024   # below this, one tile covers the whole batch
 
 import contextlib as _contextlib
