@@ -12,6 +12,7 @@ Public surface mirrors the reference's ``gnnbuilder/__init__.py:24-46``.
 
 from gnnbuilder_tpu.core.graph import GraphBatch, build_graph_batch
 from gnnbuilder_tpu.nn.conv import (
+    EdgeConv,
     GATConv,
     GCNConv,
     GINConv,
@@ -50,6 +51,7 @@ __all__ = [
     "SAGEConv",
     "LGConv",
     "SimpleConv",
+    "EdgeConv",
     "SUPPORTED_GNN_CONVS",
     "MLP",
     "GNNModel",

@@ -42,6 +42,7 @@ __all__ = [
     "GATConv",
     "LGConv",
     "SimpleConv",
+    "EdgeConv",
     "SUPPORTED_GNN_CONVS",
 ]
 
@@ -679,8 +680,65 @@ class SimpleConv(nn.Module):
         return _finish(out, act, skip)
 
 
+class EdgeConv(nn.Module):
+    """EdgeConv (Dynamic Graph CNN): x'_i = aggr_j h([x_i || x_j - x_i]).
+
+    The reference ships only a commented-out skeleton
+    (gnn_builder_lib.h:2636-2703) whose docstring specifies PyG's EdgeConv
+    with h = MLP([2*in, out, out]) and default "max" aggregation —
+    implemented for real here (h = Linear -> ReLU -> Linear, mirrored by
+    verify/torch_ref.TorchEdgeConv).
+
+    TPU-first formulation: the first linear splits over the virtual concat
+    (PairLinear), so [x_i || x_j - x_i] @ W = (u - v)_i + v_j with u/v
+    NODE-level MXU matmuls; only the ReLU'd hidden table and the second
+    matmul run at edge cost, and the reduce is a masked ELL width-reduce
+    (no TPU scatters).
+    """
+
+    in_channels: int
+    out_channels: int
+    aggregation: str = "max"
+    p_in: int = 1
+    p_out: int = 1
+
+    def setup(self):
+        self.lin0 = PairLinear(self.out_channels, name="lin0")
+        self.lin1 = Linear(self.out_channels, name="lin1")
+
+    def __call__(self, g: GraphBatch, x, act=None, skip=None):
+        name = "sum" if self.aggregation == "add" else self.aggregation
+        if name not in ("sum", "mean", "max"):
+            raise ValueError(f"unknown aggregation {self.aggregation}")
+        n = g.num_nodes
+        u, v = self.lin0(x, x)  # u = x@W_self + b, v = x@W_diff
+        w = u - v  # receiver-side term: (x_i@W_self + b) - x_i@W_diff
+        if _use_ell(g):
+            table = jax.nn.relu(
+                w[:, None, :] + ell.ell_gather(v, g.nbr_nodes)
+            )  # [N, W, F_out]
+            W_ell = table.shape[1]
+            y = self.lin1(table.reshape(n * W_ell, -1)).reshape(
+                n, W_ell, self.out_channels
+            )
+            mask = ell.ell_mask(g.nbr_nodes, g.in_degree)
+            out = ell.ell_multi_table(y, g.in_degree, (name,), mask)[name]
+        else:
+            h = jax.nn.relu(w[g.receivers] + v[g.senders])
+            y = self.lin1(h)
+            count = g.in_degree.astype(x.dtype)[:, None]
+            if name == "sum":
+                out = segment.segment_sum(y, g.receivers, n)
+            elif name == "mean":
+                out = segment.segment_mean(y, g.receivers, n, count=count)
+            else:
+                out = segment.segment_max(y, g.receivers, n, count=count)
+        return _finish(out, act, skip)
+
+
 # the reference's SUPPORTED_GNN_CONVS (models.py:453-459) plus the extra
-# layers its kernel library ships (GINE/LG/Simple) and the GAT it TODO'd
+# layers its kernel library ships (GINE/LG/Simple), the GAT it TODO'd and
+# the EdgeConv it only left as a commented-out skeleton
 SUPPORTED_GNN_CONVS = {
     "gcn": GCNConv,
     "gin": GINConv,
@@ -690,4 +748,5 @@ SUPPORTED_GNN_CONVS = {
     "sage": SAGEConv,
     "lg": LGConv,
     "simple": SimpleConv,
+    "edge": EdgeConv,
 }

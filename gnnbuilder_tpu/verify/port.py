@@ -53,6 +53,9 @@ def port_conv(conv_type: str, tconv) -> dict:
             "att_dst": _t(tconv.att_dst),
             "bias": _t(tconv.bias),
         }
+    if conv_type == "edge":
+        # lin0 is torch Linear [out, 2*in] -> PairLinear kernel [2*in, out]
+        return {"lin0": _linear(tconv.lin0), "lin1": _linear(tconv.lin1)}
     if conv_type in ("lg", "simple"):
         return {}
     raise ValueError(f"unknown conv type {conv_type}")

@@ -38,6 +38,7 @@ __all__ = [
     "TorchGATConv",
     "TorchLGConv",
     "TorchSimpleConv",
+    "TorchEdgeConv",
     "TorchGlobalPooling",
     "TorchMLP",
     "TorchGNNModel",
@@ -304,6 +305,31 @@ class TorchMLP(nn.Module):
         return x
 
 
+class TorchEdgeConv(nn.Module):
+    """PyG EdgeConv semantics: aggr_j MLP([x_i || x_j - x_i]), default
+    "max"; MLP = Linear(2F -> F_out) -> ReLU -> Linear(F_out -> F_out) per
+    the reference skeleton's docstring (gnn_builder_lib.h:2663-2669)."""
+
+    def __init__(self, in_channels, out_channels, aggregation="max"):
+        super().__init__()
+        self.lin0 = nn.Linear(2 * in_channels, out_channels)
+        self.lin1 = nn.Linear(out_channels, out_channels)
+        self.aggregation = aggregation
+
+    def forward(self, x, edge_index, edge_attr=None):
+        n = x.shape[0]
+        src, dst = edge_index[0], edge_index[1]
+        h = torch.cat([x[dst], x[src] - x[dst]], dim=-1)
+        y = self.lin1(torch.relu(self.lin0(h)))
+        if self.aggregation in ("sum", "add"):
+            return _scatter_sum(y, dst, n)
+        if self.aggregation == "mean":
+            return _scatter_mean(y, dst, n)
+        if self.aggregation == "max":
+            return _scatter_max(y, dst, n)
+        raise ValueError(self.aggregation)
+
+
 TORCH_CONVS = {
     "gcn": TorchGCNConv,
     "gin": TorchGINConv,
@@ -313,6 +339,7 @@ TORCH_CONVS = {
     "sage": TorchSAGEConv,
     "lg": TorchLGConv,
     "simple": TorchSimpleConv,
+    "edge": TorchEdgeConv,
 }
 
 

@@ -55,6 +55,9 @@ def _run_jax(conv, batch, params):
         ("simple", {"f_out": F_IN, "aggregation": "sum"}),
         ("simple", {"f_out": F_IN, "aggregation": "mean"}),
         ("simple", {"f_out": F_IN, "aggregation": "max"}),
+        ("edge", {"aggregation": "max"}),
+        ("edge", {"aggregation": "mean"}),
+        ("edge", {"aggregation": "sum"}),
     ],
 )
 def test_conv_parity(conv_type, kw, ell):
