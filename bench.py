@@ -93,12 +93,15 @@ def main():
     # XLA path is numerically identical, just slower).
     from gnnbuilder_tpu.ops import dispatch as _dispatch
 
+    fused_fallbacks: list[str] = []  # marks the output JSON when non-empty
+
     def measure_guarded(*a, **k):
         try:
             return measure(*a, **k)
         except Exception as e:  # noqa: BLE001
             log(f"fused path failed ({type(e).__name__}: {e}); "
                 f"falling back to mode=never")
+            fused_fallbacks.append(f"{type(e).__name__}: {e}")
             _dispatch.set_fused_mode("never")
             return measure(*a, **k)
 
@@ -179,8 +182,21 @@ def main():
         "fraction_of_roofline": round(roof["fraction_of_roofline"], 3),
         "baseline": "fpga_par pna/qm9 1.707 ms/graph (BASELINE.md)",
     }
+    # energy accounting (RAPL/nvidia-smi analog, bench/energy.py): the relay
+    # exposes no power telemetry, so report the honest TDP-derived BOUND
+    from gnnbuilder_tpu.bench.energy import TPU_TDP_W, energy_bound_j_per_graph
+
+    out["energy_bound_j_per_graph"] = round(
+        energy_bound_j_per_graph(1.0 / best_tput, TPU_TDP_W), 6
+    )
     if platform != "tpu":
         out["platform"] = platform  # emergency fallback ran off-chip
+    if fused_fallbacks:
+        # the XLA (mode=never) ladder ran: these numbers are NOT the fused
+        # path, and measurements taken before the failure may mix paths
+        out["fused_fallback"] = True
+        out["fused_fallback_errors"] = fused_fallbacks[:3]
+        out["dispatch_mode"] = _dispatch.get_fused_mode()
     if train_ms is not None:
         out["train_step_b1024_ms"] = round(train_ms, 2)
         out["train_graphs_per_s"] = round(1024e3 / train_ms, 1)

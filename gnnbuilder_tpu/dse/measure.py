@@ -96,7 +96,9 @@ def measure_config(
     # pin the fused-kernel knobs this design point selects (the p-factor
     # analog); restored afterwards so policy state never leaks
     dispatch.set_kernel_overrides(
-        tile_rows=cfg.tile_rows, gather_mode=cfg.gather_mode
+        tile_rows=cfg.tile_rows, gather_mode=cfg.gather_mode,
+        window_mode=getattr(cfg, "window_mode", None),
+        sub_rows=getattr(cfg, "sub_rows", None),
     )
     try:
         t0 = time.perf_counter()
@@ -108,7 +110,8 @@ def measure_config(
         bench_s = time.perf_counter() - t0
         cost = prog.cost_analysis(batch)
     finally:
-        dispatch.set_kernel_overrides(None, None)
+        dispatch.set_kernel_overrides(None, None, sub_rows=None,
+                                      window_mode=None)
 
     row = dict(cfg.to_dict())
     row.update(

@@ -42,6 +42,8 @@ FEATURE_NAMES = (
         "is_ell",
         "tile_rows",
         "gather_bf16",
+        "window_tile",
+        "sub_rows",
         "avg_nodes",
         "avg_edges",
         # physics-informed analytic estimates (log-space): a tree with a
@@ -112,6 +114,8 @@ def transform_x(cfgs: Sequence[DSEConfig]) -> np.ndarray:
                 0.0 if c.ell_width == 0 else 1.0,
                 float(c.tile_rows or 0),
                 1.0 if c.gather_mode == "bf16" else 0.0,
+                1.0 if getattr(c, "window_mode", None) == "tile" else 0.0,
+                float(getattr(c, "sub_rows", None) or 0),
                 float(c.avg_nodes),
                 float(c.avg_edges),
             ]
@@ -224,20 +228,22 @@ def cv_mape(
 def rows_to_configs(rows: Sequence[dict]) -> list[DSEConfig]:
     """Rebuild DSEConfigs from result rows (CSV round trips stringify)."""
     cfg_fields = set(DSEConfig.__dataclass_fields__)
+    str_fields = ("conv", "precision", "gather_mode", "window_mode")
     cfgs = []
     for r in rows:
         kw = {}
         for k in cfg_fields:
-            v = r[k]
-            if isinstance(v, str) and k not in (
-                "conv", "precision", "gather_mode"
-            ):
+            # .get: older corpora predate knobs added later (window_mode/
+            # sub_rows) — absent columns mean the default policy ran
+            v = r.get(k, None)
+            if isinstance(v, str):
                 if v in ("", "None"):
                     v = None
-                elif v in ("True", "False"):
-                    v = v == "True"
-                else:
-                    v = float(v) if "." in v else int(v)
+                elif k not in str_fields:
+                    if v in ("True", "False"):
+                        v = v == "True"
+                    else:
+                        v = float(v) if "." in v else int(v)
             kw[k] = v
         cfgs.append(DSEConfig(**kw))
     return cfgs

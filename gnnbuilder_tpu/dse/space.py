@@ -43,6 +43,10 @@ class DSEConfig:
     # TPU analog of the reference's p-factors (round-1 verdict Weak #6)
     tile_rows: Optional[int] = None   # None = auto policy
     gather_mode: Optional[str] = None  # None = policy default (split2)
+    # round-2 session knobs: window DMA granularity and gather sub-tile
+    # height (ops/dispatch.set_kernel_overrides; CLAUDE.md staged rollout)
+    window_mode: Optional[str] = None  # None = policy | "sub" | "tile"
+    sub_rows: Optional[int] = None     # None = 128 default
     # dataset statistics the latency depends on
     avg_nodes: float = 16.0
     avg_edges: float = 34.0
@@ -66,6 +70,8 @@ DEFAULT_AXES = {
     "ell_width": [None, 0],
     "tile_rows": [None, 256, 512, 1024],
     "gather_mode": [None, "bf16"],
+    "window_mode": [None, "tile"],
+    "sub_rows": [None, 256],
 }
 
 

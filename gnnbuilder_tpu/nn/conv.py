@@ -77,7 +77,8 @@ def _use_ell(g: GraphBatch) -> bool:
     return g.nbr_nodes is not None
 
 
-def _layer_cfg(mod, g: GraphBatch, x, out_dim=None, int8_ok=False):
+def _layer_cfg(mod, g: GraphBatch, x, out_dim=None, int8_ok=False,
+               staged=False):
     """Whole-layer fused-kernel config for this batch, or None.  Mirrors the
     PNAConv gate: auto-padding covers unaligned dims, but tiny unaligned
     batches stay on the XLA path where padding costs more than it saves.
@@ -104,7 +105,7 @@ def _layer_cfg(mod, g: GraphBatch, x, out_dim=None, int8_ok=False):
     if not aligned and n_gate < 512:
         return None
     return dispatch.fused_config(
-        g, kind="layer", halo_local_rows=hl, int8_ok=int8_ok
+        g, kind="layer", halo_local_rows=hl, int8_ok=int8_ok, staged=staged
     )
 
 
@@ -269,12 +270,10 @@ class GINEConv(nn.Module):
         # GINE has no halo formulation (edge-indexed gathers are whole-batch
         # layouts) — the dispatcher gate plus the edge-table check keep it on
         # the (GSPMD-only) paths under sharding.  The kernel is STAGED
-        # (dispatch.staged_ok) until its on-hardware verification artifact
+        # (dispatch gate) until its on-hardware verification artifact
         # lands (experiments/tpu_verify_r2.py).
-        from gnnbuilder_tpu.ops import dispatch as _dispatch
-
-        cfg = None if (_halo_on() or not _dispatch.staged_ok()) else (
-            _layer_cfg(self, g, x, int8_ok=_quant_ok())
+        cfg = None if _halo_on() else (
+            _layer_cfg(self, g, x, int8_ok=_quant_ok(), staged=True)
         )
         if cfg is not None and g.nbr_edges is not None:
             from gnnbuilder_tpu.ops.pallas.gine_layer import (

@@ -217,13 +217,16 @@ class GNNModel(nn.Module):
             return None
         from gnnbuilder_tpu.ops import dispatch
 
-        cfg = dispatch.readout_config(g)
+        aggrs = tuple(self.pooling_aggrs)
+        cfg = dispatch.readout_config(
+            g, aggrs=aggrs, act=self.mlp_activation,
+            out_act=self.output_activation,
+        )
         if cfg is None:
             return None
         from gnnbuilder_tpu.ops import segment
         from gnnbuilder_tpu.ops.pallas.readout import fused_readout_auto
 
-        aggrs = tuple(self.pooling_aggrs)
         mx = None
         if "max" in aggrs:
             count = g.n_node.astype(h.dtype)[:, None]
@@ -231,7 +234,7 @@ class GNNModel(nn.Module):
                 h, g.node_graph, g.num_graphs, count=count
             )
         p = self.variables["params"]["mlp_head"]
-        n_lin = self.mlp_hidden_layers + 1 if self.mlp_hidden_layers else 1
+        n_lin = self.mlp_head.num_of_layers
         weights = tuple(
             (p[f"linear_{i}"]["kernel"], p[f"linear_{i}"]["bias"])
             for i in range(n_lin)

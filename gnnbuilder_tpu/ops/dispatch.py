@@ -135,6 +135,7 @@ def fused_config(
     kind: str = "agg",
     halo_local_rows: Optional[int] = None,
     int8_ok: bool = False,
+    staged: bool = False,
 ) -> Optional[dict]:
     """Return kernel kwargs {tile_rows, window_slack, interpret, ...} if the
     fused path applies to this batch, else None (callers fall back to XLA).
@@ -155,6 +156,11 @@ def fused_config(
     gets None (the agg kernels have no per-shard adaptation).
     """
     if _MODE == "never" or g.nbr_nodes is None or _SUPPRESSED.get():
+        return None
+    # staged rollout: a call site whose kernel is not yet hardware-verified
+    # declares staged=True and this single gate keeps it out of "auto"
+    # until the verification artifact lands (see staged_ok / CLAUDE.md)
+    if staged and not staged_ok():
         return None
     from gnnbuilder_tpu.parallel.halo import active_halo, halo_pad_rows
 
@@ -260,14 +266,23 @@ def fused_config(
     return None
 
 
-def readout_config(g) -> Optional[dict]:
+def readout_config(g, aggrs=None, act=None, out_act=None) -> Optional[dict]:
     """Kernel kwargs for the fused readout (pooling + MLP head,
     ops/pallas/readout.py) if it applies to this batch, else None.
 
     Falls back under: halo scope (pooling psums across shards), int8
-    (MLP Linears quantize), no graph-contiguity metadata, or batches too
-    small for the graph-tile window (N < TG*maxg+8 at every tile size)."""
+    (MLP Linears quantize), no graph-contiguity metadata, batches too
+    small for the graph-tile window (N < TG*maxg+8 at every tile size),
+    an activation outside the kernel's fused set, or a pooling mix with
+    no add/mean aggregator (the banded SpMM would be dead work — max
+    pooling is computed in XLA and streamed in)."""
     if _MODE == "never" or _SUPPRESSED.get():
+        return None
+    if aggrs is not None and not ({"add", "mean"} & set(aggrs)):
+        return None
+    from gnnbuilder_tpu.ops.pallas.readout import _ACTS, _OUT_ACTS
+
+    if act not in _ACTS or out_act not in _OUT_ACTS:
         return None
     from gnnbuilder_tpu.compile.precision import active_precision
     from gnnbuilder_tpu.parallel.halo import active_halo

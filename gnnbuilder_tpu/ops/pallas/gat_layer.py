@@ -40,6 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gnnbuilder_tpu.core.graph import _round_up
 from gnnbuilder_tpu.ops.pallas.pna_layer import (
     _ACTS,
     _BIG,
@@ -55,10 +56,6 @@ from gnnbuilder_tpu.ops.pallas.pna_layer import (
 )
 
 __all__ = ["fused_gat_layer", "fused_gat_layer_vjp", "gat_layer_reference"]
-
-
-def _rup_mult(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m
 
 
 def _expand_np(heads: int, C: int) -> np.ndarray:
@@ -616,7 +613,7 @@ def fused_gat_layer_vjp(
 
     HC = w.shape[1]
     C = HC // heads
-    C_p = _rup_mult(C, 128 // math.gcd(heads, 128))
+    C_p = _round_up(C, 128 // math.gcd(heads, 128))
     if C_p != C:
         def pad_heads(a, row_like=False):
             # [*, H*C] -> [*, H*C_p], zero-filling each head block

@@ -144,3 +144,36 @@ def test_model_dispatches_fused_readout():
         rel = float(np.abs(np.asarray(a) - np.asarray(c)).max()
                     / (np.abs(np.asarray(c)).max() + 1e-9))
         assert rel < 1e-3
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"mlp_activation": "elu"},           # act outside the fused set
+        {"pooling_aggrs": ("max",)},          # no add/mean: band is dead work
+    ],
+    ids=["unsupported-act", "pure-max"],
+)
+def test_model_readout_falls_back(kw):
+    """Configs the readout kernel does not cover must fall back to the XLA
+    tail (not crash) even under 'always' — regression for the elu crash."""
+    graphs = FakeDataset(num_graphs=40, avg_num_nodes=12, node_dim=16,
+                         seed=5)
+    b = gnnb.build_graph_batch(graphs, node_budget=1024)
+    margs = dict(
+        graph_input_feature_dim=16, gnn_hidden_dim=16, gnn_num_layers=1,
+        gnn_output_dim=16, gnn_conv="gcn",
+        pooling_aggrs=("add", "mean"), mlp_out_dim=2, mlp_hidden_layers=1,
+    )
+    margs.update(kw)
+    model = gnnb.GNNModel(**margs)
+    params = model.init(jax.random.PRNGKey(0), b)
+    try:
+        dispatch.set_fused_mode("never")
+        ref = np.asarray(model.apply(params, b))
+        dispatch.set_fused_mode("always")
+        got = np.asarray(model.apply(params, b))
+    finally:
+        dispatch.set_fused_mode("auto")
+    m = np.asarray(b.graph_mask)
+    np.testing.assert_allclose(got[m], ref[m], atol=1e-4, rtol=1e-4)
