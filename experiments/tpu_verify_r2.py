@@ -2,7 +2,9 @@
 
 Covers what experiments/tpu_verify.py (the original cosim-analog) does
 not: window_mode='tile' DMA schedules, the fused GINE layer, the fused
-readout (pooling + MLP), and the int8 quant epilogues.  Each check is
+readout (pooling + MLP), the int8 quant epilogues, GAT per-head width
+auto-padding, and the fused-kernels-under-halo shard_map path (1-device
+mesh — degenerate distribution, real Mosaic compile).  Each check is
 fused-vs-XLA on the SAME params/batch on the real chip; structural
 breakage (window bugs, miscompiles) shows up as O(1) relative error.
 
@@ -170,6 +172,68 @@ def main():
         return worst
 
     check(report, "window_tile_backward_gin", run_bwd_tile, tol=1e-6)
+
+    # 6. GAT per-head width auto-padding: unaligned per-head channels
+    #    (H*C % 128 != 0) engage the pad path (gat_layer.py C_p round-up);
+    #    fused vs XLA on the same params
+    def run_gat_pad():
+        model = gnnb.GNNModel(
+            graph_input_feature_dim=11, gnn_hidden_dim=192,
+            gnn_num_layers=3, gnn_output_dim=192, gnn_conv="gat",
+            pooling_aggrs=("mean",), mlp_out_dim=1,
+            conv_kwargs={"heads": 4},  # per-head C=48 -> padded to 64
+        )
+        params = model.init(jax.random.PRNGKey(0), b)
+        dispatch.set_fused_mode("never")
+        ref = np.asarray(jax.jit(model.apply)(params, b))
+        dispatch.set_fused_mode("always")
+        try:
+            got = np.asarray(jax.jit(model.apply)(params, b))
+        finally:
+            dispatch.set_fused_mode("auto")
+        return _masked_rel(got, ref, mask)
+
+    check(report, "gat_head_padding", run_gat_pad)
+
+    # 7. fused kernels INSIDE shard_map on real Mosaic: a 1-device mesh is
+    #    degenerate as a distribution but compiles/executes the per-shard
+    #    halo-wrapped layer kernels (parallel/halo.halo_wrap_layer) on chip
+    def run_fused_halo():
+        import optax
+
+        from gnnbuilder_tpu.parallel.mesh import make_mesh
+        from gnnbuilder_tpu.parallel.sharding import shard_batch
+        from gnnbuilder_tpu.parallel.train import make_sharded_train_step
+        from gnnbuilder_tpu.train import stack_targets
+
+        mesh = make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+        model = canonical_model("pna", "qm9", graphs=graphs)
+        sb = shard_batch(mesh, b)
+        # b holds the first (num_graphs - 1) graphs + the ghost slot
+        target = stack_targets(graphs[: sb.num_graphs - 1], sb.num_graphs)
+        params = model.init(jax.random.PRNGKey(0), sb)
+        opt = optax.adam(1e-3)
+        dispatch.set_fused_mode("always")
+        try:
+            step, init = make_sharded_train_step(
+                model, opt, mesh, sb, halo=True, donate=False
+            )
+            p0, s0 = init(params)
+            _, _, floss = step(p0, s0, sb, target)
+            floss = float(floss)
+            # reference loss: same step on the plain (GSPMD) path
+            dispatch.set_fused_mode("never")
+            step2, init2 = make_sharded_train_step(
+                model, opt, mesh, sb, halo=True, donate=False
+            )
+            p1, s1 = init2(params)
+            _, _, rloss = step2(p1, s1, sb, target)
+            rloss = float(rloss)
+        finally:
+            dispatch.set_fused_mode("auto")
+        return abs(floss - rloss) / max(abs(rloss), 1e-9)
+
+    check(report, "fused_halo_1dev", run_fused_halo)
 
     report["all_pass"] = all(
         v.get("pass", False) for v in report.values() if isinstance(v, dict)
