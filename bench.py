@@ -191,6 +191,24 @@ def main():
     )
     if platform != "tpu":
         out["platform"] = platform  # emergency fallback ran off-chip
+        # attach the last committed on-TPU measurement for context (clearly
+        # labeled — the headline "value" above is still this run's number)
+        try:
+            import os
+
+            ref_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "results_tpu", "bench_r2.json",
+            )
+            with open(ref_path) as f:
+                out["last_committed_tpu_result"] = json.load(f)
+            out["note"] = (
+                "TPU relay unavailable during this run; value above was "
+                "measured on CPU. last_committed_tpu_result is the most "
+                "recent on-chip measurement (results_tpu/bench_r2.json)."
+            )
+        except Exception:  # noqa: BLE001
+            pass
     if fused_fallbacks:
         # the XLA (mode=never) ladder ran: these numbers are NOT the fused
         # path, and measurements taken before the failure may mix paths
