@@ -38,6 +38,7 @@ def _golden_forward(tmodel, graphs):
         ("pna", True, ("add", "mean", "max"), None),
         ("gat", False, ("mean",), None),
         ("gine", False, ("add",), None),
+        ("edge", True, ("add", "max"), None),
         ("gcn", False, ("mean",), "softmax"),
     ],
 )
