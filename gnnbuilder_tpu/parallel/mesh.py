@@ -22,7 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh"]
+__all__ = ["make_mesh", "make_multihost_mesh"]
 
 
 def make_mesh(
@@ -39,4 +39,22 @@ def make_mesh(
     # submeshes (dp*tp < n) are legal: scaling sweeps measure width k on the
     # first k devices (parallel/scaling.py)
     arr = np.array(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def make_multihost_mesh(tp: int = 1) -> Mesh:
+    """Global ("dp","tp") mesh over every process's devices.
+
+    Call ``jax.distributed.initialize()`` on each host first.  Device
+    order from ``jax.devices()`` groups by process, so consecutive dp
+    shards stay host-local: the halo ring's ppermute neighbors are
+    intra-host (ICI) except the one seam pair per host boundary, and only
+    the optimizer's gradient all-reduce crosses DCN — the layout
+    docs/distribution.md §3 prescribes.  Single-process this equals
+    ``make_mesh(tp=tp)``.
+    """
+    devices = jax.devices()
+    n = len(devices)
+    assert n % tp == 0, (n, tp)
+    arr = np.array(devices).reshape(n // tp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))

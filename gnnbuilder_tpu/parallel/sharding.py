@@ -17,7 +17,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gnnbuilder_tpu.core.graph import GraphBatch
 
-__all__ = ["batch_shardings", "param_shardings", "shard_batch", "shard_params"]
+__all__ = [
+    "batch_shardings",
+    "param_shardings",
+    "shard_batch",
+    "shard_batch_global",
+    "shard_params",
+]
 
 
 def batch_shardings(mesh: Mesh, batch: GraphBatch) -> GraphBatch:
@@ -79,6 +85,36 @@ def shard_batch(mesh: Mesh, batch: GraphBatch) -> GraphBatch:
     return jax.tree.map(
         put, batch, sh, is_leaf=lambda x: x is None
     )
+
+
+def shard_batch_global(mesh: Mesh, batch: GraphBatch) -> GraphBatch:
+    """Multi-host batch placement (docs/distribution.md §3).
+
+    Every process packs the SAME global GraphBatch — the packer is
+    deterministic (native/packing.cpp counting sort; numpy fallback
+    likewise), so given the same graph list all hosts hold identical
+    arrays, including the global-id ELL tables and graph indexing that a
+    naive per-host concat could not produce.  Each host then materializes
+    only its addressable shard via ``jax.make_array_from_callback`` — no
+    cross-host transfer, no full-batch HBM copy per device.
+
+    Single-process this places exactly what ``shard_batch`` places (pinned
+    by tests/test_train_parallel.py); under ``jax.distributed`` the same
+    call builds the global sharded batch across hosts.
+    """
+    import numpy as np
+
+    sh = batch_shardings(mesh, batch)
+
+    def put(x, s):
+        if x is None or isinstance(x, int):
+            return x
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, s, lambda idx, a=arr: a[idx]
+        )
+
+    return jax.tree.map(put, batch, sh, is_leaf=lambda x: x is None)
 
 
 def halo_batch_specs(batch: GraphBatch) -> GraphBatch:

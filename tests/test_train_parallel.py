@@ -394,3 +394,28 @@ def test_fused_halo_train_step_grad_parity():
                     jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=5e-5, rtol=1e-3)
+
+
+def test_shard_batch_global_matches_shard_batch():
+    """Multi-host placement helper (sharding.shard_batch_global): single
+    process it must place exactly what shard_batch places, leaf for leaf,
+    and the sharded train step must run on it unchanged."""
+    from gnnbuilder_tpu.parallel.mesh import make_multihost_mesh
+    from gnnbuilder_tpu.parallel.sharding import shard_batch_global
+
+    mesh = make_multihost_mesh(tp=2)
+    model, graphs, batch, target = _model_and_batch(mult=8 * mesh.shape["dp"])
+    target = stack_targets(graphs, batch.num_graphs)
+    a = shard_batch(mesh, batch)
+    b = shard_batch_global(mesh, batch)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        if hasattr(la, "sharding"):
+            assert la.sharding == lb.sharding, (la.sharding, lb.sharding)
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    params = model.init(jax.random.PRNGKey(0), b)
+    opt = optax.adam(1e-2)
+    step, init = make_sharded_train_step(model, opt, mesh, b, donate=False)
+    p0, s0 = init(params)
+    _, _, loss = step(p0, s0, b, target)
+    assert np.isfinite(float(loss))
