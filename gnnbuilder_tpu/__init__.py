@@ -26,7 +26,7 @@ from gnnbuilder_tpu.nn.conv import (
 from gnnbuilder_tpu.nn.mlp import MLP
 from gnnbuilder_tpu.nn.model import GNNModel
 from gnnbuilder_tpu.nn.pool import GlobalPooling, SUPPORTED_GLOBAL_POOLING_AGGRS
-from gnnbuilder_tpu.compile.program import Program
+from gnnbuilder_tpu.compile.program import Program, enable_persistent_cache
 from gnnbuilder_tpu.compile.precision import Precision
 from gnnbuilder_tpu.dse import DSEEngine, DSEConfig, CostModel
 from gnnbuilder_tpu.utils.stats import (
@@ -58,6 +58,7 @@ __all__ = [
     "GlobalPooling",
     "SUPPORTED_GLOBAL_POOLING_AGGRS",
     "Program",
+    "enable_persistent_cache",
     "Precision",
     "DSEEngine",
     "DSEConfig",

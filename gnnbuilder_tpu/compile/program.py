@@ -30,7 +30,28 @@ from gnnbuilder_tpu.compile.precision import Precision
 from gnnbuilder_tpu.core.graph import GraphBatch, build_graph_batch
 from gnnbuilder_tpu.nn.model import GNNModel
 
-__all__ = ["Program", "BucketSpec"]
+__all__ = ["Program", "BucketSpec", "enable_persistent_cache"]
+
+
+def enable_persistent_cache(path: str = "~/.cache/gnnbuilder_tpu_xla") -> str:
+    """Persist compiled executables across processes (serving cold-start).
+
+    The reference's deployable artifact is the .xclbin the host loads
+    instantly (code_gen.py:457-489); the jit analog is JAX's persistent
+    compilation cache — first process pays the XLA/Mosaic compile, every
+    later process (a restarted server, a new worker) loads the executable
+    from disk.  Program.export (StableHLO) remains the portable artifact;
+    this cache is the machine-local fast path.  Returns the cache dir.
+    """
+    import os
+
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every compilation, not only the slow ones
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
 
 
 @dataclasses.dataclass(frozen=True)
