@@ -55,6 +55,7 @@ def _run_jax(conv, batch, params):
         ("simple", {"f_out": F_IN, "aggregation": "sum"}),
         ("simple", {"f_out": F_IN, "aggregation": "mean"}),
         ("simple", {"f_out": F_IN, "aggregation": "max"}),
+        ("simple", {"f_out": F_IN, "aggregation": "min"}),
         ("edge", {"aggregation": "max"}),
         ("edge", {"aggregation": "mean"}),
         ("edge", {"aggregation": "sum"}),
