@@ -221,10 +221,11 @@ def main():
             p0, s0 = init(params)
             _, _, floss = step(p0, s0, sb, target)
             floss = float(floss)
-            # reference loss: same step on the plain (GSPMD) path
+            # reference loss: plain (GSPMD, halo=False) path with XLA ops —
+            # fully independent of the halo wrapper under test
             dispatch.set_fused_mode("never")
             step2, init2 = make_sharded_train_step(
-                model, opt, mesh, sb, halo=True, donate=False
+                model, opt, mesh, sb, halo=False, donate=False
             )
             p1, s1 = init2(params)
             _, _, rloss = step2(p1, s1, sb, target)

@@ -45,15 +45,16 @@ def make_mesh(
 def make_multihost_mesh(tp: int = 1) -> Mesh:
     """Global ("dp","tp") mesh over every process's devices.
 
-    Call ``jax.distributed.initialize()`` on each host first.  Device
-    order from ``jax.devices()`` groups by process, so consecutive dp
-    shards stay host-local: the halo ring's ppermute neighbors are
-    intra-host (ICI) except the one seam pair per host boundary, and only
-    the optimizer's gradient all-reduce crosses DCN — the layout
-    docs/distribution.md §3 prescribes.  Single-process this equals
-    ``make_mesh(tp=tp)``.
+    Call ``jax.distributed.initialize()`` on each host first.  Devices are
+    explicitly grouped by owning process (``jax.devices()`` global order
+    follows physical topology and may interleave hosts on torus slices), so
+    consecutive dp shards stay host-local: the halo ring's ppermute
+    neighbors are intra-host (ICI) except the one seam pair per host
+    boundary, and only the optimizer's gradient all-reduce crosses DCN —
+    the layout docs/distribution.md §3 prescribes.  Single-process this
+    equals ``make_mesh(tp=tp)``.
     """
-    devices = jax.devices()
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     n = len(devices)
     assert n % tp == 0, (n, tp)
     arr = np.array(devices).reshape(n // tp, tp)

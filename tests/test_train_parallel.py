@@ -405,7 +405,6 @@ def test_shard_batch_global_matches_shard_batch():
 
     mesh = make_multihost_mesh(tp=2)
     model, graphs, batch, target = _model_and_batch(mult=8 * mesh.shape["dp"])
-    target = stack_targets(graphs, batch.num_graphs)
     a = shard_batch(mesh, batch)
     b = shard_batch_global(mesh, batch)
     for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
