@@ -17,6 +17,11 @@ Run on the chip (nohup, serialized with other TPU jobs).
 """
 
 import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 import numpy as np
 
@@ -135,14 +140,16 @@ def part_bc():
         den = jnp.where(valid, jnp.exp(lr - m[:, None, :]), 0.0).sum(1) \
             + jnp.exp(lr_s - m)
 
-        args = (dz, np.asarray(h), np.asarray(a_src), np.asarray(a_dst),
-                np.asarray(m), np.asarray(den), nbr, deg)
+        ref_args = (dz, np.asarray(h), np.asarray(a_src), np.asarray(a_dst),
+                    np.asarray(m), np.asarray(den), nbr, deg)
         ref = [np.asarray(o) for o in scatter_reference(
-            *[jnp.asarray(a) for a in args], heads)]
+            *[jnp.asarray(a) for a in ref_args], heads)]
+        ref += [np.asarray(m), np.asarray(den)]
         got = [np.asarray(o) for o in fused_gat_scatter_backward(
-            *[jnp.asarray(a) for a in args], heads,
+            jnp.asarray(dz), h, a_src, a_dst,
+            jnp.asarray(nbr), jnp.asarray(deg), heads,
             tile_rows=TN, window_slack=SL)]
-        names = ("dh_val", "da_src_nbr", "dsum", "s")
+        names = ("dh_val", "da_src_nbr", "dsum", "s", "m", "den")
         ent = {}
         for name, g, r in zip(names, got, ref):
             rel = float(np.abs(g - r).max() / (np.abs(r).max() + 1e-9))

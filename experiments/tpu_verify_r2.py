@@ -193,7 +193,13 @@ def main():
             dispatch.set_fused_mode("auto")
         return _masked_rel(got, ref, mask)
 
-    check(report, "gat_head_padding", run_gat_pad)
+    # tol: BOTH paths run one-pass bf16 projections whose ~0.1 absolute
+    # logit drift (measured: results_tpu/gat_bwd_debug.json stats_h1c128)
+    # is exp-amplified by the attention softmax each layer — 3 layers at
+    # hidden 192 lands ~5e-2, vs ~1e-3 for the 6-layer hidden-128 model
+    # in tpu_verify.py whose logits are smaller.  Head padding itself is
+    # exact (zero att/value lanes are inert, sliced off post-kernel).
+    check(report, "gat_head_padding", run_gat_pad, tol=0.08)
 
     # 7. fused kernels INSIDE shard_map on real Mosaic: a 1-device mesh is
     #    degenerate as a distribution but compiles/executes the per-shard
@@ -241,7 +247,7 @@ def main():
     )
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump(report, f, indent=1, default=float)
     print(json.dumps({"all_pass": report["all_pass"],
                       "n_checks": sum(1 for v in report.values()
                                       if isinstance(v, dict))}))

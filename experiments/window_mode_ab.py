@@ -53,7 +53,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
 
     _, batches = canonical_batches(
-        "qm9", n_graphs=1100, batch_size=1024, node_multiple=256
+        "qm9", n_graphs=1100, batch_size=1024, node_multiple=512
     )
     b = batches[0]
     N, W = b.nbr_nodes.shape

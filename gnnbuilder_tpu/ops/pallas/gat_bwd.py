@@ -18,10 +18,17 @@ Math per head h, receiver i with neighbors j (self loop = extra slot):
     da_dst_i += sum_j dpre_ij           (receiver-local)
 
 Unlike PNA's extrema routing, everything here is SMOOTH: alpha is
-re-derived in-kernel from the forward-saved per-head max ``m`` and
-denominator ``den`` (fused_gat_layer(save_res=True)), so no bit-exact
-re-gather contract is needed — float-level agreement with the XLA
-reference backward suffices and is what the tests pin (rtol ~1e-4).
+re-derived IN-KERNEL from the backward's own recomputed logits — m and
+den are recomputed per receiver row over the gathered slots (plus the
+self slot), NOT taken from the forward.  Mixing forward-saved stats with
+XLA-recomputed logits broke the softmax gradient identity on hardware:
+the forward kernel's bf16-pass projections drift from the XLA recompute
+by up to ~0.1 in logit units (results_tpu/gat_bwd_debug.json), and
+exp() of that mismatch showed up as O(1) relative error on att_dst
+gradients (tpu_verify.py round-2 FAIL).  Self-consistent recomputation
+makes the backward exact for the recomputed function; the remaining
+fused-vs-XLA gradient gap is bf16-chain scale.  The recomputed (m, den)
+are returned so the caller's self-slot terms use the SAME statistics.
 
 Kernel shape (geometry identical to scatter_bwd.py): forward-table walk,
 receiver rows blocked, one tall split2 gather of the payload
@@ -45,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gnnbuilder_tpu.ops.pallas.pna_layer import (
+    _BIG,
     _schedule,
     _stack_ids,
     _sub_rows,
@@ -102,8 +110,6 @@ def _kernel(
     h_ref,       # [TN, HC] projected features (receiver rows)
     asrc_ref,    # [TN, H]
     adst_ref,    # [TN, H]
-    m_ref,       # [TN, H] forward-saved softmax max
-    den_ref,     # [TN, H] forward-saved softmax denominator
     deg_ref,     # [TN, 1] int32
     et_ref,      # [HC, H] constant E^T (lane -> head reduction)
     idc_ref,     # [W*TN, 1] int32 sub-window-localized ids (-1 = pad)
@@ -113,6 +119,8 @@ def _kernel(
     marga_ref,   # [1, 4*slack, H] out — logit-scatter margins
     dsum_ref,    # [TN, H] out — sum_w dpre (receiver rows, excl. self)
     s_ref,       # [TN, H] out — s_i incl. the self slot
+    m_ref,       # [TN, H] out — recomputed softmax max (post-clamp)
+    den_ref,     # [TN, H] out — recomputed denominator (pre-clamp)
     p_win,       # scratch [2*TWB, HCP]
     accv,        # scratch [TWB, HC]
     acca,        # scratch [TWB, H]
@@ -191,13 +199,35 @@ def _kernel(
         dz = dz_ref[pl.ds(rows, TNS), :]                     # [TNS, HC]
         deg = deg_ref[pl.ds(rows, TNS), :]                   # [TNS, 1]
         adst = adst_ref[pl.ds(rows, TNS), :]                 # [TNS, H]
-        m = m_ref[pl.ds(rows, TNS), :]
-        den = jnp.maximum(den_ref[pl.ds(rows, TNS), :], 1e-16)
 
         pre = g_as + rep(adst)                               # [W*TNS, H]
+        lr = lrelu(pre)
         valid = slot_iota < rep(deg)                         # [W*TNS, 1]
-        e = jnp.where(valid, jnp.exp(lrelu(pre) - rep(m)), 0.0)
-        alpha = e / rep(den)                                 # [W*TNS, H]
+
+        # softmax stats recomputed HERE, from these logits (see module
+        # docstring: forward-saved stats mix with recomputed logits and
+        # break the gradient identity at exp(logit-drift) scale)
+        lr_m = jnp.where(valid, lr, -_BIG)
+        m = jnp.full((TNS, H), -_BIG, jnp.float32)
+        for w in range(W):
+            m = jnp.maximum(m, lr_m[w * TNS : (w + 1) * TNS, :])
+        if self_loops:
+            asrc = asrc_ref[pl.ds(rows, TNS), :]
+            lr_s = lrelu(asrc + adst)
+            m = jnp.maximum(m, lr_s)
+        m = jnp.maximum(m, -_BIG * 0.5)  # empty rows: keep exp finite
+
+        e = jnp.where(valid, jnp.exp(lr - rep(m)), 0.0)
+        den = jnp.zeros((TNS, H), jnp.float32)
+        for w in range(W):
+            den = den + e[w * TNS : (w + 1) * TNS, :]
+        if self_loops:
+            e_s = jnp.exp(lr_s - m)
+            den = den + e_s
+        m_ref[pl.ds(rows, TNS), :] = m
+        den_ref[pl.ds(rows, TNS), :] = den
+        den_c = jnp.maximum(den, 1e-16)
+        alpha = e / rep(den_c)                               # [W*TNS, H]
 
         dz_r = rep(dz)                                       # [W*TNS, HC]
         dalpha = bdot(g_h * dz_r, et_ref[:])                 # [W*TNS, H]
@@ -209,10 +239,7 @@ def _kernel(
             s = s + ad_prod[w * TNS : (w + 1) * TNS, :]
         if self_loops:
             h_sub = h_ref[pl.ds(rows, TNS), :]
-            asrc = asrc_ref[pl.ds(rows, TNS), :]
-            pre_s = asrc + adst
-            e_s = jnp.exp(lrelu(pre_s) - m)
-            alpha_s = e_s / den
+            alpha_s = e_s / den_c
             dalpha_s = bdot(h_sub * dz, et_ref[:])           # [TNS, H]
             s = s + alpha_s * dalpha_s
         s_ref[pl.ds(rows, TNS), :] = s
@@ -272,8 +299,6 @@ def fused_gat_scatter_backward(
     h: jax.Array,           # [N, HC] projected features
     a_src: jax.Array,       # [N, H]
     a_dst: jax.Array,       # [N, H]
-    m: jax.Array,           # [N, H] forward-saved softmax max
-    den: jax.Array,         # [N, H] forward-saved softmax denominator
     nbr_nodes: jax.Array,   # [N, W] FORWARD neighbor table
     in_degree: jax.Array,   # [N]
     heads: int,
@@ -283,12 +308,16 @@ def fused_gat_scatter_backward(
     window_slack: int = 64,
     interpret: bool = False,
 ):
-    """Returns (dh_val [N, HC], da_src_nbr [N, H], dsum [N, H], s [N, H]).
+    """Returns (dh_val [N, HC], da_src_nbr [N, H], dsum [N, H], s [N, H],
+    m [N, H], den [N, H]).
 
     dh_val   — the alpha-weighted value scatter (sum_i alpha_ij dz_i)
     da_src_nbr — the dpre logit scatter (sum_i dpre_ij), neighbor slots only
     dsum     — per-receiver sum_w dpre (self slot excluded)
     s        — per-receiver sum of alpha*dalpha INCLUDING the self slot
+    m, den   — the softmax stats the kernel recomputed from the given
+               h/a_src/a_dst; the caller's self-slot terms MUST use these
+               (not forward-saved stats) to stay self-consistent.
 
     The caller adds the receiver-local self-slot terms and the dense
     chains (see gat_layer.py's backward)."""
@@ -341,8 +370,6 @@ def fused_gat_scatter_backward(
             blk((TN, HC)),                                   # h
             blk((TN, H)),                                    # a_src
             blk((TN, H)),                                    # a_dst
-            blk((TN, H)),                                    # m
-            blk((TN, H)),                                    # den
             blk((TN, 1)),                                    # deg
             pl.BlockSpec(memory_space=pltpu.VMEM),           # et (whole)
             pl.BlockSpec((W * TN, 1), lambda i, *_: (i, 0),
@@ -357,6 +384,8 @@ def fused_gat_scatter_backward(
                          memory_space=pltpu.VMEM),
             blk((TN, H)),
             blk((TN, H)),
+            blk((TN, H)),                                    # m (recomputed)
+            blk((TN, H)),                                    # den (recomputed)
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * TWB, HCP), jnp.float32),
@@ -365,7 +394,7 @@ def fused_gat_scatter_backward(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    ownv, margv, owna, marga, dsum, s = pl.pallas_call(
+    ownv, margv, owna, marga, dsum, s, m, den = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(
@@ -375,6 +404,8 @@ def fused_gat_scatter_backward(
             jax.ShapeDtypeStruct((nt, 2 * S2, H), jnp.float32),
             jax.ShapeDtypeStruct((N, H), jnp.float32),
             jax.ShapeDtypeStruct((N, H), jnp.float32),
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * W * TWS * (HCP + HC + H) * 2,
@@ -382,7 +413,7 @@ def fused_gat_scatter_backward(
             transcendentals=N * W * H,
         ),
         interpret=interpret,
-    )(jnp.asarray(offs), p_pad, dz, h, a_src, a_dst, m, den, deg2d,
+    )(jnp.asarray(offs), p_pad, dz, h, a_src, a_dst, deg2d,
       et, ids_col)
 
     def overlap_add(own, marg, width):
@@ -401,4 +432,6 @@ def fused_gat_scatter_backward(
         overlap_add(owna, marga, H),
         dsum,
         s,
+        m,
+        den,
     )

@@ -481,14 +481,13 @@ def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
         # the XLA STE fallback instead
         if not quant and _scatter_ok(x.shape[0], p[0].shape[1],
                                      nbr.shape[1]):
-            out, m, den = fused_gat_layer(
-                x, nbr, deg, *p, heads,
-                neg_slope=neg_slope, self_loops=self_loops,
-                skip=skip if has_skip else None,
-                gather_mode=gather_mode, mm=mm, act=act, save_res=True,
-                **fcfg,
-            )
-            return out, (x, nbr, deg, skip, p, (out, m, den))
+            # the scatter backward recomputes its own softmax stats (m,
+            # den) — forward-saved stats would mix with the backward's
+            # XLA-recomputed logits and break the gradient identity at
+            # exp(bf16-logit-drift) scale (gat_bwd.py module docstring);
+            # only the post-activation output is saved (for act')
+            out = f(x, nbr, deg, skip, *p)
+            return out, (x, nbr, deg, skip, p, (out,))
         return f(x, nbr, deg, skip, *p), (x, nbr, deg, skip, p, None)
 
     def bwd(res, ct):
@@ -500,7 +499,7 @@ def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
             )
 
             w, att_src, att_dst, bias = p
-            out, m, den = saved
+            (out,) = saved
             HC = w.shape[1]
             C = HC // heads
 
@@ -522,8 +521,8 @@ def _make_vjp_fn(heads, neg_slope, self_loops, tile_rows, window_slack,
             a_src = jnp.dot(h, a_s, preferred_element_type=jnp.float32)
             a_dst = jnp.dot(h, a_d, preferred_element_type=jnp.float32)
 
-            dv_val, da_src_nbr, dsum, s = fused_gat_scatter_backward(
-                dz, h, a_src, a_dst, m, den, nbr, deg, heads,
+            dv_val, da_src_nbr, dsum, s, m, den = fused_gat_scatter_backward(
+                dz, h, a_src, a_dst, nbr, deg, heads,
                 neg_slope=neg_slope, self_loops=True, **cfg,
             )
 
