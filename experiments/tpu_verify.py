@@ -136,12 +136,25 @@ def backward_parity(report):
         t0 = time.time()
         g_fused = jax.jit(jax.grad(loss))(params)
         dt = time.time() - t0
+        # per-leaf relative error, with the denominator floored at 1e-3 of
+        # the model's global gradient scale: leaves whose true gradient is
+        # analytically near-zero cannot be resolved by EITHER bf16 path.
+        # Concretely, GAT's att_dst grad is exactly zero up to leaky-relu
+        # kinks (softmax is invariant to the uniform per-receiver a_dst
+        # logit shift); layer-4's true max is 1.4e-6 vs bias grads at 0.5
+        # (CPU f32, results_tpu/gat_bwd_debug.json), so an absolute error
+        # of 2e-6 — far below every other leaf's bf16 noise — showed up as
+        # rel=1.7 under the unfloored metric.
+        leaves_f = jax.tree.leaves(g_fused)
+        leaves_r = [np.asarray(r) for r in jax.tree.leaves(g_ref)]
+        gmax = max(np.abs(r).max() for r in leaves_r)
         worst = 0.0
-        for a, r in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
-            a, r = np.asarray(a), np.asarray(r)
+        for a, r in zip(leaves_f, leaves_r):
+            a = np.asarray(a)
             worst = max(
                 worst,
-                float(np.abs(a - r).max() / (np.abs(r).max() + 1e-9)),
+                float(np.abs(a - r).max()
+                      / max(np.abs(r).max(), 1e-3 * gmax)),
             )
         tol_rel = 0.05
         report["backward"][conv] = {
