@@ -147,19 +147,26 @@ def backward_parity(report):
         # rel=1.7 under the unfloored metric.
         leaves_f = jax.tree.leaves(g_fused)
         leaves_r = [np.asarray(r) for r in jax.tree.leaves(g_ref)]
-        gmax = max(np.abs(r).max() for r in leaves_r)
+        # 1e-9 absolute epsilon keeps the all-zero-gradient degenerate
+        # case (gmax == 0) a clean pass instead of a nan
+        gmax = float(max(np.abs(r).max() for r in leaves_r))
         worst = 0.0
-        for a, r in zip(leaves_f, leaves_r):
+        floored = []  # keep small-leaf errors visible despite the floor
+        for i, (a, r) in enumerate(zip(leaves_f, leaves_r)):
             a = np.asarray(a)
-            worst = max(
-                worst,
-                float(np.abs(a - r).max()
-                      / max(np.abs(r).max(), 1e-3 * gmax)),
-            )
+            ref_scale = float(np.abs(r).max())
+            abs_err = float(np.abs(a - r).max())
+            denom = max(ref_scale, 1e-3 * gmax, 1e-9)
+            if ref_scale < denom:
+                floored.append({
+                    "leaf": i, "abs_err": abs_err, "ref_scale": ref_scale,
+                })
+            worst = max(worst, abs_err / denom)
         tol_rel = 0.05
         report["backward"][conv] = {
             "worst_param_rel": worst, "tol_rel": tol_rel,
             "pass": bool(worst <= tol_rel), "compile_s": round(dt, 1),
+            "floored_leaves": floored,
         }
         print(f"backward {conv}: worst rel={worst:.3e} "
               f"{'PASS' if worst <= tol_rel else 'FAIL'}", flush=True)
@@ -183,7 +190,7 @@ def main():
     )
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump(report, f, indent=1, default=float)
     print("wrote", OUT, "all_pass =", report["all_pass"])
 
 

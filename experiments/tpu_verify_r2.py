@@ -118,8 +118,14 @@ def main():
 
     check(report, "readout", run_readout)
 
-    # 4. int8 quant epilogues: fused int8 error vs f32 golden must match
-    #    the XLA int8 path's error (cross-path diffs are quant steps)
+    # 4. int8 quant epilogues: fused-int8 vs XLA-int8 DIRECTLY, same
+    #    quantization policy (symmetric per-channel weights, per-row
+    #    dynamic activations, ops/quant.py) on both sides.  The paths
+    #    share every quant decision up to bf16-scale activation drift
+    #    (~1e-3 measured, fused_parity_tpu.json layer rels), so they must
+    #    agree to a few quant steps (1/127 ~ 8e-3) — NOT the near-vacuous
+    #    tol-2.0 error-ratio-vs-f32 check this replaces.  The f32-golden
+    #    errors are still recorded for context (not gated).
     for conv in ("gin", "pna"):
         def run_int8(conv=conv):
             model = canonical_model(conv, "qm9", graphs=graphs)
@@ -140,12 +146,13 @@ def main():
             finally:
                 dispatch.set_fused_mode("auto")
             sc = np.abs(gold[mask]).max() + 1e-9
-            e_xla = np.abs((ref - gold)[mask]).max() / sc
-            e_fus = np.abs((got - gold)[mask]).max() / sc
-            # "rel" here = fused error normalized by the XLA path's error
-            return e_fus / max(e_xla, 1e-6)
+            report[f"int8_{conv}_vs_f32"] = {
+                "xla_int8_rel": float(np.abs((ref - gold)[mask]).max() / sc),
+                "fused_int8_rel": float(np.abs((got - gold)[mask]).max() / sc),
+            }
+            return _masked_rel(got, ref, mask)
 
-        check(report, f"int8_{conv}", run_int8, tol=2.0)
+        check(report, f"int8_{conv}", run_int8, tol=0.02)
 
     # 5. tile-mode backward gather (training path under the override)
     def run_bwd_tile():
@@ -196,10 +203,51 @@ def main():
     # tol: BOTH paths run one-pass bf16 projections whose ~0.1 absolute
     # logit drift (measured: results_tpu/gat_bwd_debug.json stats_h1c128)
     # is exp-amplified by the attention softmax each layer — 3 layers at
-    # hidden 192 lands ~5e-2, vs ~1e-3 for the 6-layer hidden-128 model
-    # in tpu_verify.py whose logits are smaller.  Head padding itself is
-    # exact (zero att/value lanes are inert, sliced off post-kernel).
-    check(report, "gat_head_padding", run_gat_pad, tol=0.08)
+    # hidden 192 lands ~5e-2 (measured 0.0518), vs ~1e-3 for the 6-layer
+    # hidden-128 model in tpu_verify.py whose logits are smaller.  This
+    # whole-model check is a seed-dependent bf16-drift CANARY, not the
+    # padding-exactness proof (that is gat_pad_exact below), so it gets
+    # 2x headroom over the measured point.
+    check(report, "gat_head_padding", run_gat_pad, tol=0.1)
+
+    # 6b. padding exactness, isolated: the auto-pad path (C=48 -> C_p=64,
+    #     gat_layer.py pad_heads) vs the SAME kernel invoked on manually
+    #     zero-extended parameters.  Zero att/value lanes are inert, so
+    #     the overlapping lanes must agree bit-exactly — this pins the
+    #     pad/slice bookkeeping without any bf16-drift confound.
+    def run_gat_pad_exact():
+        import jax.numpy as jnp
+
+        from gnnbuilder_tpu.ops.pallas.gat_layer import fused_gat_layer_vjp
+
+        H, C, C_p, Fin = 4, 48, 64, 128
+        N = b.num_nodes
+        k = jax.random.split(jax.random.PRNGKey(7), 5)
+        x = jax.random.normal(k[0], (N, Fin), jnp.float32)
+        w = jax.random.normal(k[1], (Fin, H * C), jnp.float32) * 0.1
+        a_s = jax.random.normal(k[2], (1, H, C), jnp.float32) * 0.1
+        a_d = jax.random.normal(k[3], (1, H, C), jnp.float32) * 0.1
+        bias = jax.random.normal(k[4], (H * C,), jnp.float32) * 0.1
+
+        def pad_heads(a):
+            lead = a.shape[:-1]
+            a3 = a.reshape(*lead, H, C)
+            a3 = jnp.pad(a3, [(0, 0)] * (a3.ndim - 1) + [(0, C_p - C)])
+            return a3.reshape(*lead, H * C_p)
+
+        kw = dict(neg_slope=0.2, self_loops=True, mm="bf16")
+        auto = fused_gat_layer_vjp(
+            x, b.nbr_nodes, b.in_degree, w, a_s, a_d, bias, H, **kw)
+        manual = fused_gat_layer_vjp(
+            x, b.nbr_nodes, b.in_degree, pad_heads(w),
+            jnp.pad(a_s, ((0, 0), (0, 0), (0, C_p - C))),
+            jnp.pad(a_d, ((0, 0), (0, 0), (0, C_p - C))),
+            pad_heads(bias), H, **kw)
+        manual = np.asarray(manual).reshape(N, H, C_p)[:, :, :C]
+        return float(np.abs(np.asarray(auto).reshape(N, H, C)
+                            - manual).max())
+
+    check(report, "gat_pad_exact", run_gat_pad_exact, tol=0.0)
 
     # 7. fused kernels INSIDE shard_map on real Mosaic: a 1-device mesh is
     #    degenerate as a distribution but compiles/executes the per-shard
