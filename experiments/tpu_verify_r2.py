@@ -235,7 +235,10 @@ def main():
             a3 = jnp.pad(a3, [(0, 0)] * (a3.ndim - 1) + [(0, C_p - C)])
             return a3.reshape(*lead, H * C_p)
 
-        kw = dict(neg_slope=0.2, self_loops=True, mm="bf16")
+        # N=4864 is not a 512 multiple: use the 256-row tile the
+        # dispatcher would fall back to (supports requires N % TN == 0)
+        kw = dict(neg_slope=0.2, self_loops=True, mm="bf16",
+                  tile_rows=256, window_slack=64)
         auto = fused_gat_layer_vjp(
             x, b.nbr_nodes, b.in_degree, w, a_s, a_d, bias, H, **kw)
         manual = fused_gat_layer_vjp(
@@ -290,8 +293,11 @@ def main():
 
     check(report, "fused_halo_1dev", run_fused_halo)
 
+    # informational entries (e.g. int8_*_vs_f32) carry no "pass" key and
+    # must not be counted as failures
     report["all_pass"] = all(
-        v.get("pass", False) for v in report.values() if isinstance(v, dict)
+        v["pass"] for v in report.values()
+        if isinstance(v, dict) and "pass" in v
     )
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
