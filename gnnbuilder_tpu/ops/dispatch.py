@@ -33,12 +33,14 @@ __all__ = [
 ]
 
 _MODE = "auto"
-# Staged rollout for kernels that do not yet have an on-hardware
-# verification artifact (experiments/tpu_verify_r2.py): the fused readout,
-# the fused GINE layer, and the int8 quant epilogues participate in the
-# default "auto" policy only after this flips; "always" mode (tests,
-# experiments, the verification run itself) exercises them regardless.
-_STAGED_OK = os.environ.get("GNNB_STAGED_OK", "") == "1"
+# Staged rollout for kernels without an on-hardware verification artifact.
+# The round-3 artifact results_tpu/fused_parity_tpu_r2.json (all_pass:
+# true, 12 checks incl. fused readout, fused GINE, int8-vs-XLA-int8 at
+# tol 0.02, window-tile, GAT head padding, fused-halo) verified the
+# previously-staged kernels, so they now default INTO "auto";
+# GNNB_STAGED_OK=0 force-stages them back out, and newly-written kernels
+# declare staged=True at their call site until their artifact lands.
+_STAGED_OK = os.environ.get("GNNB_STAGED_OK", "1") == "1"
 _TILE_ROWS: Optional[int] = None   # explicit node-tile height (DSE-tunable)
 _GATHER_MODE: Optional[str] = None  # explicit gather precision (DSE-tunable)
 _SUB_ROWS: Optional[int] = None    # gather sub-tile height (DSE-tunable)
