@@ -77,6 +77,18 @@ class GraphBatch:
     # forward.  Built by core/packing.build_reverse_ell.
     rev_nbr_nodes: Optional[jax.Array] = None  # [N, Wr] int32
     out_degree: Optional[jax.Array] = None     # [N] int32
+    # --- optional block-diagonal dense layout (build_graph_batch
+    # block_size=B): graphs are bin-packed so no graph crosses a B-row
+    # boundary, making the batch adjacency a block-diagonal dense tensor
+    # A[t, i, j] = #edges (t*B+j) -> (t*B+i).  The aggregation SpMM then
+    # becomes one MXU-native batched matmul (ops/block.py) with no gather,
+    # no window DMA, and XLA-native autodiff (the transpose is the same
+    # matmul on A^T).  Counts are small integers, exact in bf16.
+    block_adj: Optional[jax.Array] = None      # [T, B, B] bf16 edge counts
+    # row of each graph's first node.  Standard packing: exclusive cumsum
+    # of n_node (ghost entry = first pad row).  Block packing: the
+    # bin-packed starts (ghost entry = N-1; its pad rows are scattered).
+    graph_starts: Optional[jax.Array] = None   # [G] int32
 
     # static metadata (not traced)
     num_graphs_static: int = dataclasses.field(
@@ -85,6 +97,12 @@ class GraphBatch:
     # largest real graph in the batch (nodes) — bounds the Pallas window
     # slack (ops/pallas/ell_agg.py); 0 = unknown, disables the fused path
     max_graph_nodes_static: int = dataclasses.field(
+        metadata=dict(static=True), default=0
+    )
+    # block-diagonal packing block size B (0 = standard contiguous packing).
+    # When nonzero: N % B == 0, no graph crosses a B-row boundary, and
+    # block_adj holds the [N/B, B, B] dense block adjacency.
+    block_size_static: int = dataclasses.field(
         metadata=dict(static=True), default=0
     )
 
@@ -183,6 +201,7 @@ def build_graph_batch(
     ell_width: Optional[int] = None,
     rev_ell_width: Optional[int] = None,
     dtype=np.float32,
+    block_size: Optional[int] = None,
 ) -> GraphBatch:
     """Pack a list of host graphs into one padded ``GraphBatch``.
 
@@ -192,6 +211,14 @@ def build_graph_batch(
     gnnbuilder_tpu/native).  Mirrors the semantics of the reference's
     testbench data packing (code_gen.py:227-305) + on-chip table build
     (gnn_builder_lib.h:1051-1166), done once ahead of time instead of per call.
+
+    ``block_size=B`` selects the block-diagonal dense layout: graphs are
+    bin-packed (order-preserving, greedy) so no graph crosses a B-row
+    boundary, pad rows appear BETWEEN graphs, and ``block_adj`` carries the
+    [N/B, B, B] dense block adjacency for the matmul aggregation path
+    (ops/block.py).  Requires every graph to have <= B nodes; B should be
+    a multiple of 128 (the MXU tile).  Node-count overhead is the pack
+    waste (~mean_graph_nodes/2 rows per block; ~8% on QM9 at B=128).
     """
     from gnnbuilder_tpu.core import packing
 
@@ -213,8 +240,32 @@ def build_graph_batch(
     n_pad, e_pad, g_pad = pad_sizes(
         num_nodes, num_edges, num_graphs, node_multiple, edge_multiple
     )
+
+    # graph row starts: contiguous cumsum, or greedy block bin-pack
+    if block_size:
+        big = [n for n in n_node if n > block_size]
+        assert not big, (
+            f"block_size={block_size} < largest graph ({max(big)} nodes); "
+            "use a larger block or standard packing"
+        )
+        starts, cur = [], 0
+        for n in n_node:
+            if (cur % block_size) + n > block_size:
+                cur = _round_up(cur, block_size)
+            starts.append(cur)
+            cur += n
+        starts = np.asarray(starts, dtype=np.int64)
+        # +1 keeps the ghost row (n_pad - 1) a pad row even when the last
+        # block packed full
+        n_pad = _round_up(cur + 1, max(block_size, node_multiple))
+    else:
+        starts = np.zeros((num_graphs,), dtype=np.int64)
+        np.cumsum(np.asarray(n_node[:-1], dtype=np.int64), out=starts[1:])
+
     if node_budget is not None:
         assert node_budget >= n_pad, (node_budget, n_pad)
+        if block_size:
+            assert node_budget % block_size == 0, (node_budget, block_size)
         n_pad = node_budget
     if edge_budget is not None:
         assert edge_budget >= e_pad, (edge_budget, e_pad)
@@ -223,27 +274,54 @@ def build_graph_batch(
         assert graph_budget >= g_pad, (graph_budget, g_pad)
         g_pad = graph_budget
 
+    # row index of every real node, graph-major (non-contiguous iff blocked)
+    n_node_a = np.asarray(n_node, dtype=np.int64)
+    row_index = (
+        np.repeat(starts, n_node_a)
+        + (
+            np.arange(num_nodes, dtype=np.int64)
+            - np.repeat(np.cumsum(n_node_a) - n_node_a, n_node_a)
+        )
+        if num_nodes
+        else np.zeros((0,), dtype=np.int64)
+    )
+
     feat_dim = xs[0].shape[1]
     x = np.zeros((n_pad, feat_dim), dtype=dtype)
     if num_nodes:
-        x[:num_nodes] = np.concatenate(xs, axis=0)
+        x[row_index] = np.concatenate(xs, axis=0)
 
     edge_index = (
         np.concatenate(eidx, axis=1)
         if num_edges
         else np.zeros((2, 0), dtype=np.int64)
     )
-    senders_raw, receivers_raw, node_graph = packing.concat_graphs(
-        np.asarray(n_edge, dtype=np.int64),
-        np.asarray(n_node, dtype=np.int64),
-        edge_index,
-        num_nodes,
-    )
+    if block_size:
+        # explicit bin-packed offsets (the native fast path assumes the
+        # contiguous cumsum layout; molecular edge counts are small enough
+        # that the vectorized numpy offset path is not hot)
+        per_edge_off = np.repeat(starts, np.asarray(n_edge, dtype=np.int64))
+        senders_raw = edge_index[0].astype(np.int64) + per_edge_off
+        receivers_raw = edge_index[1].astype(np.int64) + per_edge_off
+        node_graph = np.repeat(
+            np.arange(num_graphs, dtype=np.int32), n_node_a
+        )
+    else:
+        senders_raw, receivers_raw, node_graph = packing.concat_graphs(
+            np.asarray(n_edge, dtype=np.int64),
+            n_node_a,
+            edge_index,
+            num_nodes,
+        )
 
     ghost = n_pad - 1  # pad nodes region holds the ghost node at the end
 
+    # edge-endpoint validity bound: real rows are a prefix under standard
+    # packing but interleave with pad rows under block packing (never the
+    # ghost row, which stays reserved for pad edges)
+    id_bound = (n_pad - 1) if block_size else num_nodes
     senders, receivers, perm, row_offsets, in_degree = packing.sort_and_csr(
-        senders_raw, receivers_raw, num_nodes, n_pad, e_pad, ghost
+        senders_raw, receivers_raw, id_bound, n_pad, e_pad, ghost
     )
 
     # ELL neighbor tables (scatter-free aggregation layout).  Width policy:
@@ -280,7 +358,7 @@ def build_graph_batch(
             )
         if rev_w:
             rev_nbr, out_deg = packing.build_reverse_ell(
-                senders_raw, receivers_raw, num_nodes, n_pad, e_pad, ghost,
+                senders_raw, receivers_raw, id_bound, n_pad, e_pad, ghost,
                 rev_w,
             )
 
@@ -292,9 +370,8 @@ def build_graph_batch(
             ef[:num_edges] = np.concatenate(eattr, axis=0)[perm]
         edge_feat = ef
 
-    ng = np.empty((n_pad,), dtype=np.int32)
-    ng[:num_nodes] = node_graph
-    ng[num_nodes:] = g_pad - 1  # pad nodes -> ghost graph id
+    ng = np.full((n_pad,), g_pad - 1, dtype=np.int32)  # pad -> ghost graph
+    ng[row_index] = node_graph
 
     nn_ = np.zeros((g_pad,), dtype=np.int32)
     ne_ = np.zeros((g_pad,), dtype=np.int32)
@@ -304,11 +381,31 @@ def build_graph_batch(
     ne_[g_pad - 1] = e_pad - num_edges
 
     node_mask = np.zeros((n_pad,), dtype=bool)
-    node_mask[:num_nodes] = True
+    node_mask[row_index] = True
     edge_mask = np.zeros((e_pad,), dtype=bool)
     edge_mask[:num_edges] = True
     graph_mask = np.zeros((g_pad,), dtype=bool)
     graph_mask[:num_graphs] = True
+
+    # dense block adjacency (bf16-exact small-integer counts); row sums
+    # reproduce in_degree by construction
+    block_adj = None
+    if block_size:
+        T = n_pad // block_size
+        A = np.zeros((T, block_size, block_size), dtype=np.float32)
+        if num_edges:
+            tb, li = np.divmod(receivers_raw, block_size)
+            lj = senders_raw % block_size
+            assert (senders_raw // block_size == tb).all(), "cross-block edge"
+            np.add.at(A, (tb, li, lj), 1.0)
+        block_adj = A
+
+    graph_starts = np.zeros((g_pad,), dtype=np.int32)
+    graph_starts[:num_graphs] = starts.astype(np.int32)
+    # ghost entry: first pad row under standard packing (its rows are the
+    # contiguous tail); the reserved ghost row under block packing (its pad
+    # rows are scattered between graphs)
+    graph_starts[num_graphs:] = (n_pad - 1) if block_size else num_nodes
 
     return GraphBatch(
         node_feat=jnp.asarray(x),
@@ -327,6 +424,12 @@ def build_graph_batch(
         nbr_edges=jnp.asarray(nbr_edges) if nbr_edges is not None else None,
         rev_nbr_nodes=jnp.asarray(rev_nbr) if rev_nbr is not None else None,
         out_degree=jnp.asarray(out_deg) if out_deg is not None else None,
+        block_adj=(
+            jnp.asarray(block_adj, jnp.bfloat16)
+            if block_adj is not None
+            else None
+        ),
+        graph_starts=jnp.asarray(graph_starts),
         num_graphs_static=g_pad,
         # bucketed (multiple of 8): this is STATIC metadata — distinct
         # values mean distinct jit cache entries, so exact per-batch maxima
@@ -335,4 +438,5 @@ def build_graph_batch(
         max_graph_nodes_static=(
             _round_up(int(max(n_node)), 8) if n_node else 0
         ),
+        block_size_static=int(block_size or 0),
     )

@@ -37,19 +37,27 @@ def validate_batch(b, strict_ell: bool = True) -> None:
     assert ro.shape == (N + 1,), "row_offsets shape"
     assert deg.shape == ng.shape == nmask.shape == (N,), "node array shapes"
 
-    # masks are prefixes (real data first, padding after)
-    for name, m in [("node", nmask), ("edge", emask), ("graph", gmask)]:
+    blk = getattr(b, "block_size_static", 0)
+
+    # masks: prefixes under standard packing (real data first); under
+    # block packing node padding interleaves, so only edge/graph masks
+    # stay prefixes
+    prefix_masks = [("edge", emask), ("graph", gmask)]
+    if not blk:
+        prefix_masks.append(("node", nmask))
+    for name, m in prefix_masks:
         k = int(m.sum())
         assert m[:k].all() and not m[k:].any(), f"{name}_mask not a prefix"
     n_real = int(nmask.sum())
     e_real = int(emask.sum())
     g_real = int(gmask.sum())
+    real_rows = np.flatnonzero(nmask)
 
     # edges sorted by receiver; pad edges are ghost self-loops
     assert (np.diff(rcv) >= 0).all(), "receivers not sorted"
     assert (snd[e_real:] == ghost).all() and (rcv[e_real:] == ghost).all(), \
         "pad edges must be ghost->ghost"
-    assert (snd[:e_real] < n_real).all() and (rcv[:e_real] < n_real).all(), \
+    assert nmask[snd[:e_real]].all() and nmask[rcv[:e_real]].all(), \
         "real edges reference pad nodes"
 
     # in-degree counts real edges only and row offsets are its prefix sums
@@ -61,17 +69,49 @@ def validate_batch(b, strict_ell: bool = True) -> None:
     csr_counts[ghost] += E - e_real
     assert (ro[1:] == np.cumsum(csr_counts)).all(), "row_offsets mismatch"
     # CSR rows point at their own receivers
-    for v in (0, n_real // 2, max(n_real - 1, 0)):
+    probe_rows = (
+        (0, n_real // 2, max(n_real - 1, 0))
+        if not blk
+        else tuple(real_rows[[0, len(real_rows) // 2, -1]])
+        if len(real_rows)
+        else ()
+    )
+    for v in probe_rows:
         seg = rcv[ro[v] : ro[v + 1]]
         assert (seg == v).all(), f"CSR row {v} inconsistent"
 
-    # graph contiguity + per-graph node counts (the window-locality basis)
-    assert (np.diff(ng[:n_real]) >= 0).all(), "graphs not contiguous"
+    # graph contiguity + per-graph node counts (the window-locality basis:
+    # each graph occupies consecutive rows — block packing only moves the
+    # padding between graphs, never inside one)
+    ng_real = ng[real_rows]
+    assert (np.diff(ng_real) >= 0).all(), "graphs not contiguous"
     for gi in range(g_real):
-        assert (ng[:n_real] == gi).sum() == n_node[gi], f"n_node[{gi}]"
-    assert (ng[n_real:] == G - 1).all(), "pad nodes not in ghost graph"
+        assert (ng_real == gi).sum() == n_node[gi], f"n_node[{gi}]"
+    assert (ng[~nmask] == G - 1).all(), "pad nodes not in ghost graph"
     # edges never cross graphs
     assert (ng[snd[:e_real]] == ng[rcv[:e_real]]).all(), "cross-graph edge"
+
+    # block-diagonal layout invariants
+    if blk:
+        assert N % blk == 0, "padded nodes not a block multiple"
+        gs = np.asarray(b.graph_starts)
+        for gi in range(g_real):
+            s, n = int(gs[gi]), int(n_node[gi])
+            assert (ng[s : s + n] == gi).all(), f"graph_starts[{gi}]"
+            assert s // blk == (s + n - 1) // blk, \
+                f"graph {gi} crosses a block boundary"
+        if b.block_adj is not None:
+            A = np.asarray(b.block_adj, dtype=np.float64)
+            T = N // blk
+            assert A.shape == (T, blk, blk), "block_adj shape"
+            ref = np.zeros((T, blk, blk))
+            tb, li = np.divmod(rcv[:e_real].astype(np.int64), blk)
+            lj = snd[:e_real].astype(np.int64) % blk
+            assert (snd[:e_real] // blk == tb).all(), "cross-block edge"
+            np.add.at(ref, (tb, li, lj), 1.0)
+            assert (A == ref).all(), "block_adj counts mismatch"
+            assert (A.sum(2).reshape(-1) == deg).all(), \
+                "block_adj row sums != in_degree"
 
     # ELL tables agree with CSR
     if b.nbr_nodes is not None and strict_ell:

@@ -69,8 +69,17 @@ def batch_shardings(mesh: Mesh, batch: GraphBatch) -> GraphBatch:
         out_degree=(
             node(None) if batch.out_degree is not None else None
         ),
+        # block rows follow the node rows (T = N / B blocks, 128-aligned,
+        # so dp shard boundaries never split a block)
+        block_adj=(
+            NamedSharding(mesh, P("dp", None, None))
+            if batch.block_adj is not None
+            else None
+        ),
+        graph_starts=rep if batch.graph_starts is not None else None,
         num_graphs_static=batch.num_graphs_static,
         max_graph_nodes_static=batch.max_graph_nodes_static,
+        block_size_static=batch.block_size_static,
     )
 
 
@@ -142,8 +151,13 @@ def halo_batch_specs(batch: GraphBatch) -> GraphBatch:
         nbr_edges=node2 if batch.nbr_edges is not None else None,
         rev_nbr_nodes=node2 if batch.rev_nbr_nodes is not None else None,
         out_degree=node1 if batch.out_degree is not None else None,
+        block_adj=(
+            P("dp", None, None) if batch.block_adj is not None else None
+        ),
+        graph_starts=rep if batch.graph_starts is not None else None,
         num_graphs_static=batch.num_graphs_static,
         max_graph_nodes_static=batch.max_graph_nodes_static,
+        block_size_static=batch.block_size_static,
     )
 
 
