@@ -58,23 +58,41 @@ def canonical_batches(
     node_multiple: int = 8,
     edge_multiple: int = 8,
     seed: int = 0,
+    block_size: int = 0,
 ):
     """Greedily pack the first ``n_graphs`` graphs into uniform-bucket batches
     of ``batch_size`` graphs; all batches share one (max) bucket so a single
-    executable serves the whole sweep."""
+    executable serves the whole sweep.  ``block_size`` > 0 selects the
+    block-diagonal bin-packed layout (core/graph.py) — the bucket then
+    covers the worst-case pack waste across chunks."""
     graphs = load_dataset(dataset, n=n_graphs, seed=seed)
     chunks = [
         graphs[i : i + batch_size] for i in range(0, len(graphs), batch_size)
     ]
     chunks = [c for c in chunks if len(c) == batch_size]
     # one shared bucket: max nodes/edges over chunks
-    max_n = max(sum(g.num_nodes for g in c) for c in chunks)
     max_e = max(sum(g.num_edges for g in c) for c in chunks)
 
     def rup(x, m):
         return ((x + m - 1) // m) * m
 
-    node_budget = rup(max_n + 1, node_multiple)
+    if block_size:
+        import math
+
+        align = math.lcm(block_size, node_multiple)
+
+        def packed_rows(c):
+            cur = 0
+            for g in c:
+                if (cur % block_size) + g.num_nodes > block_size:
+                    cur = rup(cur, block_size)
+                cur += g.num_nodes
+            return rup(cur + 1, align)
+
+        node_budget = max(packed_rows(c) for c in chunks)
+    else:
+        max_n = max(sum(g.num_nodes for g in c) for c in chunks)
+        node_budget = rup(max_n + 1, node_multiple)
     edge_budget = rup(max_e, edge_multiple)
     batches = [
         build_graph_batch(
@@ -84,6 +102,7 @@ def canonical_batches(
             graph_budget=batch_size + 1,
             node_multiple=node_multiple,
             edge_multiple=edge_multiple,
+            block_size=block_size or None,
         )
         for c in chunks
     ]

@@ -256,8 +256,10 @@ def build_graph_batch(
             cur += n
         starts = np.asarray(starts, dtype=np.int64)
         # +1 keeps the ghost row (n_pad - 1) a pad row even when the last
-        # block packed full
-        n_pad = _round_up(cur + 1, max(block_size, node_multiple))
+        # block packed full; lcm honors both alignment contracts
+        import math
+
+        n_pad = _round_up(cur + 1, math.lcm(block_size, node_multiple))
     else:
         starts = np.zeros((num_graphs,), dtype=np.int64)
         np.cumsum(np.asarray(n_node[:-1], dtype=np.int64), out=starts[1:])

@@ -73,12 +73,26 @@ def _use_ell(g: GraphBatch) -> bool:
     a flat sorted-segment path (general; ops/segment.py) and an ELL
     gather+masked-reduce path (ops/ell.py) that avoids TPU scatters entirely
     — ~7x faster on molecular batches (max in-degree <= ELL_MAX_WIDTH).
+    Block-packed batches add a third: the block-diagonal matmul
+    (ops/block.py), dispatched by ``_block_cfg``.
     """
     return g.nbr_nodes is not None
 
 
+def _block_cfg(g: GraphBatch):
+    from gnnbuilder_tpu.ops import dispatch
+
+    return dispatch.block_cfg(g)
+
+
+def _block_sum(g: GraphBatch, v, mm: str):
+    from gnnbuilder_tpu.ops import block
+
+    return block.block_spmm(g.block_adj, v, mm=mm)
+
+
 def _layer_cfg(mod, g: GraphBatch, x, out_dim=None, int8_ok=False,
-               staged=False):
+               staged=False, block_kernel=False):
     """Whole-layer fused-kernel config for this batch, or None.  Mirrors the
     PNAConv gate: auto-padding covers unaligned dims, but tiny unaligned
     batches stay on the XLA path where padding costs more than it saves.
@@ -95,6 +109,26 @@ def _layer_cfg(mod, g: GraphBatch, x, out_dim=None, int8_ok=False,
     from gnnbuilder_tpu.ops import dispatch
     from gnnbuilder_tpu.parallel.halo import active_halo
 
+    if block_kernel and dispatch.block_preferred(g):
+        # block-packed batch + a conv with a block-mode kernel
+        # (fused_mp_layer._block_kernel): the matmul aggregation outranks
+        # the windowed gather (A/B: results_tpu/block_model_ab.json).
+        # Batches the kernel cannot tile fall back to the XLA block
+        # einsum branch (ops/block.py).  Convs WITHOUT a block kernel
+        # (PNA/GAT/GINE) keep their windowed fused kernels even on
+        # block-packed batches — the A/B measured the XLA block branch
+        # 2.8x slower than the fused PNA kernel (gathered max/min and the
+        # epilogue round-trip HBM un-fused).
+        aligned_b = x.shape[-1] % 128 == 0 and (
+            (out_dim if out_dim is not None else mod.out_channels) % 128
+            == 0
+        )
+        if not aligned_b and g.num_nodes < 512:
+            return None
+        cfg = dispatch.block_layer_cfg(g, int8_ok=int8_ok)
+        if cfg is not None:
+            cfg["block"] = True
+        return cfg
     hs = active_halo()
     hl = x.shape[0] if hs is not None else None
     # size gate works on the rows the kernel would actually process: the
@@ -131,6 +165,8 @@ def _fused_multi(g: GraphBatch, aggregators, v, u=None):
     from gnnbuilder_tpu.ops import dispatch
     from gnnbuilder_tpu.ops.pallas.ell_agg import fused_ell_aggregate_vjp
 
+    if dispatch.block_preferred(g):
+        return None
     cfg = dispatch.fused_config(g, feature_dim=v.shape[-1])
     if cfg is None:
         return None
@@ -167,9 +203,10 @@ class GCNConv(nn.Module):
         deg = g.in_degree.astype(x.dtype) + 1.0  # +1 self loop
         dis = jax.lax.rsqrt(deg)
 
-        cfg = _layer_cfg(self, g, x, int8_ok=True)
+        cfg = _layer_cfg(self, g, x, int8_ok=True, block_kernel=True)
         if cfg is not None:
             cfg.pop("int8", None)  # b0-only epilogue: numerics-neutral
+            blockm = cfg.pop("block", False)
             from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
 
             # PyG order: transform first, then propagate; p_j = h_j / sqrt(1+d_j)
@@ -178,13 +215,20 @@ class GCNConv(nn.Module):
                 p_arr, g.nbr_nodes, g.in_degree, "gcn",
                 b0=self.bias, skip=skip, act=act,
                 rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
+                block_adj=g.block_adj if blockm else None,
                 **cfg,
             )
 
         transform_first = self.out_channels <= self.in_channels
         h = self.lin(x) if transform_first else x
 
-        fused = _fused_multi(g, ("sum",), h * dis[:, None])
+        bcfg = _block_cfg(g)
+        fused = None
+        if bcfg is not None:
+            # separable norm rides the batched block matmul (ops/block.py)
+            fused = _block_sum(g, h * dis[:, None], bcfg["mm"])
+        else:
+            fused = _fused_multi(g, ("sum",), h * dis[:, None])
         if fused is not None:
             agg = dis[:, None] * fused
         elif _use_ell(g):
@@ -219,7 +263,7 @@ class GINConv(nn.Module):
         self.lin1 = Linear(self.out_channels, name="lin1")
 
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
-        cfg = _layer_cfg(self, g, x, int8_ok=_quant_ok())
+        cfg = _layer_cfg(self, g, x, int8_ok=_quant_ok(), block_kernel=True)
         if cfg is not None:
             from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
 
@@ -230,9 +274,14 @@ class GINConv(nn.Module):
                 w1=p["lin1"]["kernel"], b1=p["lin1"]["bias"],
                 eps=self.eps, skip=skip, act=act,
                 rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
+                block_adj=g.block_adj if cfg.pop("block", False) else None,
                 quant=cfg.pop("int8", False), **cfg,
             )
-        agg = _fused_multi(g, ("sum",), x)
+        bcfg = _block_cfg(g)
+        if bcfg is not None:
+            agg = _block_sum(g, x, bcfg["mm"])
+        else:
+            agg = _fused_multi(g, ("sum",), x)
         if agg is None:
             if _use_ell(g):
                 agg = ell.ell_sum(x, g.nbr_nodes, g.in_degree)
@@ -325,7 +374,7 @@ class SAGEConv(nn.Module):
         self.lin_r = Linear(self.out_channels, use_bias=False, name="lin_r")
 
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
-        cfg = _layer_cfg(self, g, x, int8_ok=_quant_ok())
+        cfg = _layer_cfg(self, g, x, int8_ok=_quant_ok(), block_kernel=True)
         if cfg is not None:
             from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
 
@@ -336,9 +385,18 @@ class SAGEConv(nn.Module):
                 w1=p["lin_r"]["kernel"],
                 skip=skip, act=act,
                 rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
+                block_adj=g.block_adj if cfg.pop("block", False) else None,
                 quant=cfg.pop("int8", False), **cfg,
             )
-        agg = _fused_multi(g, ("mean",), x)
+        bcfg = _block_cfg(g)
+        if bcfg is not None:
+            from gnnbuilder_tpu.ops import block
+
+            agg = block.block_mean(
+                x, g.block_adj, g.in_degree, mm=bcfg["mm"]
+            )
+        else:
+            agg = _fused_multi(g, ("mean",), x)
         if agg is None:
             if _use_ell(g):
                 agg = ell.ell_mean(x, g.nbr_nodes, g.in_degree)
@@ -415,7 +473,40 @@ class PNAConv(nn.Module):
 
         u, v = self.pre_nn(x, x)  # u = x@W_i + b, v = x@W_j
         count = g.in_degree.astype(x.dtype)[:, None]
-        agg_cat = _fused_multi(g, self.aggregators, v, u=u)
+        bcfg = _block_cfg(g)
+        if bcfg is not None and _use_ell(g):
+            # message h_ij = u_i + v_j: the receiver shift commutes with
+            # every aggregator — mean(h) = u + mean(v), std(h) = std(v),
+            # max/min(h) = u + max/min(v), sum(h) = deg*u + sum(v) — so
+            # mean/std/sum ride ONE block matmul over [v | v^2]
+            # (ops/block.py) and only max/min keep the per-slot gather
+            from gnnbuilder_tpu.ops import block
+
+            linear = [a for a in self.aggregators
+                      if a in ("sum", "mean", "std")]
+            lin_out = block.block_multi(
+                v, g.block_adj, g.in_degree, tuple(linear), mm=bcfg["mm"]
+            ) if linear else {}
+            nonempty = count > 0
+            parts = []
+            for a in self.aggregators:
+                if a == "mean":
+                    parts.append(jnp.where(nonempty, u + lin_out[a], 0.0))
+                elif a == "std":
+                    parts.append(lin_out[a])
+                elif a == "sum":
+                    parts.append(count * u + lin_out[a])
+                elif a == "max":
+                    mx = ell.ell_max(v, g.nbr_nodes, g.in_degree)
+                    parts.append(jnp.where(nonempty, u + mx, 0.0))
+                elif a == "min":
+                    mn = ell.ell_min(v, g.nbr_nodes, g.in_degree)
+                    parts.append(jnp.where(nonempty, u + mn, 0.0))
+                else:
+                    raise ValueError(f"unknown aggregator {a}")
+            agg_cat = jnp.concatenate(parts, axis=-1)
+        else:
+            agg_cat = _fused_multi(g, self.aggregators, v, u=u)
         if agg_cat is None:
             if _use_ell(g):
                 table = u[:, None, :] + ell.ell_gather(v, g.nbr_nodes)
@@ -587,7 +678,7 @@ class LGConv(nn.Module):
         deg = g.in_degree.astype(x.dtype)
         dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1.0)), 0.0)
 
-        cfg = _layer_cfg(self, g, x, int8_ok=True)
+        cfg = _layer_cfg(self, g, x, int8_ok=True, block_kernel=True)
         if cfg is not None:
             cfg.pop("int8", None)  # parameter-free: numerics-neutral
             # whole-layer count-SpMM kernel (W-independent gather) with the
@@ -598,10 +689,15 @@ class LGConv(nn.Module):
                 x * dis[:, None], g.nbr_nodes, g.in_degree, "lg",
                 skip=skip, act=act,
                 rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
+                block_adj=g.block_adj if cfg.pop("block", False) else None,
                 **cfg,
             )
 
-        fused = _fused_multi(g, ("sum",), x * dis[:, None])
+        bcfg = _block_cfg(g)
+        if bcfg is not None:
+            fused = _block_sum(g, x * dis[:, None], bcfg["mm"])
+        else:
+            fused = _fused_multi(g, ("sum",), x * dis[:, None])
         if fused is not None:
             return _finish(dis[:, None] * fused, act, skip)
         if _use_ell(g):
@@ -635,7 +731,7 @@ class SimpleConv(nn.Module):
         if name in ("sum", "mean"):
             # whole-layer count-SpMM kernel (W-independent gather); max/min
             # need per-slot compares and stay on the multi-aggregate path
-            cfg = _layer_cfg(self, g, x, int8_ok=True)
+            cfg = _layer_cfg(self, g, x, int8_ok=True, block_kernel=True)
             if cfg is not None:
                 cfg.pop("int8", None)  # parameter-free: numerics-neutral
                 from gnnbuilder_tpu.ops.pallas.mp_layer import (
@@ -646,8 +742,17 @@ class SimpleConv(nn.Module):
                     x, g.nbr_nodes, g.in_degree, f"simple_{name}",
                     skip=skip, act=act,
                     rev_nbr_nodes=g.rev_nbr_nodes, out_degree=g.out_degree,
+                    block_adj=g.block_adj if cfg.pop("block", False) else None,
                     **cfg,
                 )
+        bcfg = _block_cfg(g)
+        if bcfg is not None and name in ("sum", "mean"):
+            from gnnbuilder_tpu.ops import block
+
+            out = block.block_multi(
+                x, g.block_adj, g.in_degree, (name,), mm=bcfg["mm"]
+            )[name]
+            return _finish(out, act, skip)
         if name in ("sum", "mean", "max", "min"):
             fused = _fused_multi(g, (name,), x)
             if fused is not None:

@@ -243,6 +243,7 @@ class GNNModel(nn.Module):
             h, g.n_node, weights, aggrs=aggrs, mx=mx,
             act=self.mlp_activation, out_act=self.output_activation,
             maxg=g.max_graph_nodes_static,
+            starts=g.graph_starts if cfg.get("block_size") else None,
             quant=cfg.pop("int8", False), **cfg,
         )
 

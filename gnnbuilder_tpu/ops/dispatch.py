@@ -44,6 +44,15 @@ _STAGED_OK = os.environ.get("GNNB_STAGED_OK", "1") == "1"
 _TILE_ROWS: Optional[int] = None   # explicit node-tile height (DSE-tunable)
 _GATHER_MODE: Optional[str] = None  # explicit gather precision (DSE-tunable)
 _SUB_ROWS: Optional[int] = None    # gather sub-tile height (DSE-tunable)
+# block-diagonal matmul aggregation (ops/block.py) policy for block-packed
+# batches: None = auto (use it and prefer it over the windowed fused
+# kernels — the bin-packed adjacency turns the SpMM into batched MXU
+# matmuls, measured faster than the gather realization), "off" = never,
+# "fused" = windowed fused kernels keep precedence (A/B handle), or an
+# explicit mm string ("split2"/"bf16"/"highest") to pin the precision
+_BLOCK: Optional[str] = os.environ.get("GNNB_BLOCK_MODE") or None
+if _BLOCK not in (None, "off", "fused", "split2", "bf16", "highest"):
+    raise ValueError(f"bad GNNB_BLOCK_MODE {_BLOCK!r}")
 # "sub" | "tile" DMA granularity; GNNB_WINDOW_MODE lets the on-hardware
 # runbook (scripts/runbook.sh) apply the A/B winner to later steps in the
 # same pipeline without a source edit mid-run
@@ -90,7 +99,7 @@ _KEEP = object()  # sentinel: "leave this knob untouched"
 
 def set_kernel_overrides(
     tile_rows=_KEEP, gather_mode=_KEEP, ell_width=_KEEP, sub_rows=_KEEP,
-    window_mode=_KEEP,
+    window_mode=_KEEP, block_mode=_KEEP,
 ) -> None:
     """Pin the fused kernels' tuning knobs — the DSE autotuner's handle on
     the p_in/p_out analog (tile height), the gather precision, and the
@@ -101,7 +110,12 @@ def set_kernel_overrides(
     ``ell_width`` is a packing-time layout knob (core/graph.py): it sets
     the process-wide default used by ``build_graph_batch(ell_width=None)``
     and therefore only affects batches packed AFTER the call."""
-    global _TILE_ROWS, _GATHER_MODE, _SUB_ROWS, _WINDOW_MODE
+    global _TILE_ROWS, _GATHER_MODE, _SUB_ROWS, _WINDOW_MODE, _BLOCK
+    if block_mode is not _KEEP:
+        if block_mode not in (None, "off", "fused", "split2", "bf16",
+                              "highest"):
+            raise ValueError(f"unknown block_mode {block_mode!r}")
+        _BLOCK = block_mode
     if tile_rows is not _KEEP:
         _TILE_ROWS = tile_rows
     if gather_mode is not _KEEP:
@@ -126,6 +140,92 @@ def staged_ok() -> bool:
     """Whether staged (not-yet-hardware-verified) kernels may join the
     default policy; "always" mode bypasses (see _STAGED_OK)."""
     return _STAGED_OK or _MODE == "always"
+
+
+def block_cfg(g) -> Optional[dict]:
+    """{"mm": precision} when the block-diagonal matmul aggregation
+    (ops/block.py) should run for this batch, else None.
+
+    Applies only to block-packed batches (core/graph.py block_size=...).
+    Pure-XLA batched einsum: works on every backend, under GSPMD sharding
+    (block rows co-shard with node rows), and through jax.grad — so unlike
+    fused_config there is no backend / suppression / halo-local gating
+    except the explicit-halo path, whose per-shard windows do not reshape
+    to [T, B, F].  ``set_fused_mode("never")`` pins the reference (flat /
+    ELL) paths and disables this too."""
+    if _MODE == "never" or _BLOCK == "off":
+        return None
+    if getattr(g, "block_adj", None) is None:
+        return None
+    from gnnbuilder_tpu.parallel.halo import active_halo
+
+    if active_halo() is not None:
+        return None
+    if _BLOCK in ("split2", "bf16", "highest"):
+        return {"mm": _BLOCK}
+    from gnnbuilder_tpu.compile.precision import active_precision
+
+    prec = active_precision()
+    if prec is not None and prec.name == "bf16":
+        return {"mm": "bf16"}
+    # near-f32 two-pass split on the MXU; exact f32 einsum elsewhere
+    on_tpu = jax.default_backend() == "tpu"
+    return {"mm": "split2" if on_tpu else "highest"}
+
+
+def block_preferred(g) -> bool:
+    """Whether the block path outranks the windowed fused layer kernels
+    for this batch ("fused" reverses precedence for A/B measurement)."""
+    return block_cfg(g) is not None and _BLOCK != "fused"
+
+
+# round-3 staged gate: the block-matmul fused layer kernel
+# (ops/pallas/mp_layer._block_kernel).  Hardware-verified by
+# results_tpu/block_verify_r3.json (all_pass: kernel fwd gin/gcn/sage,
+# grad parity, train-step loss), so it defaults INTO "auto";
+# GNNB_STAGED_R3=0 stages it back out.
+_STAGED_R3 = os.environ.get("GNNB_STAGED_R3", "1") == "1"
+
+
+def staged_r3_ok() -> bool:
+    return _STAGED_R3 or _MODE == "always"
+
+
+def block_layer_cfg(g, int8_ok: bool = False) -> Optional[dict]:
+    """Kernel kwargs for the block-matmul fused layer
+    (fused_mp_layer block mode) when it applies, else None — callers then
+    fall back to the XLA block einsum path (ops/block.py), NOT to the
+    windowed kernels (block packing already outranks those)."""
+    bc = block_cfg(g)
+    if bc is None or _BLOCK == "fused" or _SUPPRESSED.get():
+        return None
+    if not staged_r3_ok():
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if _MODE == "auto" and not on_tpu:
+        return None
+    from gnnbuilder_tpu.compile.precision import active_precision
+
+    prec = active_precision()
+    int8_on = prec is not None and prec.name == "int8"
+    if int8_on and not (int8_ok and staged_ok()):
+        return None
+    from gnnbuilder_tpu.ops.pallas.mp_layer import block_tile_rows
+
+    BB = g.block_size_static
+    tn = block_tile_rows(g.num_nodes, BB, cap=_TILE_ROWS or 1024)
+    if tn is None:
+        return None
+    interpret = not on_tpu
+    out = dict(
+        tile_rows=tn,
+        gather_mode=bc["mm"],
+        mm="f32" if interpret else "bf16",
+        interpret=interpret,
+    )
+    if int8_on:
+        out["int8"] = True
+    return out
 
 
 from gnnbuilder_tpu.core.graph import _round_up
@@ -304,14 +404,19 @@ def readout_config(g, aggrs=None, act=None, out_act=None) -> Optional[dict]:
     maxg = getattr(g, "max_graph_nodes_static", 0)
     if maxg <= 0 or g.n_node is None:
         return None
+    blk = getattr(g, "block_size_static", 0)
+    if blk and getattr(g, "graph_starts", None) is None:
+        return None  # block spans need the per-graph row starts
     from gnnbuilder_tpu.ops.pallas.readout import readout_supported
 
     for tg in (32, 16, 8):
-        if readout_supported(g.num_nodes, g.num_graphs, maxg, tg):
+        if readout_supported(g.num_nodes, g.num_graphs, maxg, tg, blk):
             out = dict(
                 tile_graphs=tg, interpret=not on_tpu,
                 mm="bf16" if on_tpu else "f32",
             )
+            if blk:
+                out["block_size"] = blk
             if int8:
                 out["int8"] = True
             return out

@@ -202,8 +202,21 @@ def _kernel(
         return carry
 
     jax.lax.fori_loop(0, KT, sub_tile, 0)
-    s_all = s_ref[:]
 
+    _mp_epilogue(
+        conv, s_ref[:], x_ref, deg_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+        sw0_ref, sw1_ref, skip_ref, out_ref,
+        eps=eps, act=act, has_skip=has_skip, quant=quant, dot=dot,
+    )
+
+
+def _mp_epilogue(
+    conv, s_all, x_ref, deg_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+    sw0_ref, sw1_ref, skip_ref, out_ref, *, eps, act, has_skip, quant, dot,
+):
+    """Shared conv epilogue stage (per node tile) — used by both the
+    windowed-gather kernel above and the block-matmul kernel
+    (block aggregation, ``_block_kernel``)."""
     xt = x_ref[:]
     deg = deg_ref[:]
     degf = deg.astype(jnp.float32)
@@ -246,6 +259,77 @@ def _kernel(
     out_ref[:] = _ACTS[act](o)
 
 
+def _block_kernel(
+    x_ref,       # [TN, F] VMEM — node values (tile == aggregation source:
+                 # block packing guarantees neighbors live in-tile)
+    adj_ref,     # [KB, BB, BB] VMEM bf16 — dense block adjacency counts
+    deg_ref,     # [TN, 1] int32
+    w0_ref, b0_ref, w1_ref, b1_ref,
+    *rest,       # ([sw0, sw1] if quant), ([skip]), out_ref, s_ref
+    conv: str,
+    BB: int,
+    gather_mode: str,
+    mm: str,
+    eps: float,
+    act: Optional[str],
+    has_skip: bool,
+    save_s: bool,
+    quant: bool = False,
+):
+    """Block-diagonal fused layer: the aggregation is KB MXU matmuls
+    A[k] @ x[k] straight from the shipped adjacency — no ids, no one-hot
+    construction, no window DMA, no scalar prefetch.  The epilogue stage
+    is shared with the windowed kernel (``_mp_epilogue``)."""
+    if quant:
+        sw0_ref, sw1_ref, *rest = rest
+    else:
+        sw0_ref = sw1_ref = None
+    if has_skip:
+        skip_ref, *rest = rest
+    else:
+        skip_ref = None
+    out_ref, s_ref = rest
+
+    KB = adj_ref.shape[0]
+    dot = _dot_mm(mm)
+
+    for k in range(KB):  # static unroll: KB <= 8 by dispatch policy
+        a = adj_ref[k]                              # [BB, BB] bf16
+        vt = x_ref[pl.ds(pl.multiple_of(k * BB, 8), BB), :]
+        if gather_mode == "highest":
+            s = jnp.dot(a.astype(jnp.float32), vt,
+                        preferred_element_type=jnp.float32, precision=_HI)
+        else:
+            bdot = lambda m, v: jnp.dot(
+                m, v, preferred_element_type=jnp.float32
+            )
+            vh = vt.astype(jnp.bfloat16)
+            if gather_mode == "split2":
+                vl = (vt - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+                s = bdot(a, vh) + bdot(a, vl)
+            else:  # bf16
+                s = bdot(a, vh)
+        s_ref[pl.ds(pl.multiple_of(k * BB, 8), BB), :] = s
+
+    _mp_epilogue(
+        conv, s_ref[:], x_ref, deg_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+        sw0_ref, sw1_ref, skip_ref, out_ref,
+        eps=eps, act=act, has_skip=has_skip, quant=quant, dot=dot,
+    )
+
+
+def block_tile_rows(N: int, BB: int, cap: int = 1024) -> Optional[int]:
+    """Largest node-tile height TN = KB*BB with KB <= cap/BB dividing
+    N/BB; None when the batch is not block-divisible."""
+    if BB <= 0 or N % BB:
+        return None
+    T = N // BB
+    for kb in range(min(cap // BB, T), 0, -1):
+        if T % kb == 0:
+            return kb * BB
+    return None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -272,25 +356,35 @@ def fused_mp_layer(
     sub_rows: Optional[int] = None,  # gather sub-tile height (None = 128)
     window_mode: str = "sub",  # "sub" = DMA per sub-tile, "tile" = per tile
     quant: bool = False,    # int8 epilogue matmuls (serving precision)
+    block_adj=None,         # [N/BB, BB, BB] dense block adjacency: use the
+                            # block-matmul aggregation (no gather at all)
 ):
     N, F = v.shape
-    W = nbr_nodes.shape[1]
     TN = tile_rows
     SL = window_slack
     if conv not in MP_CONVS:
         raise ValueError(f"conv must be one of {MP_CONVS}")
-    if not supports(N, TN, SL, sub_rows) and not interpret:
-        raise ValueError(f"fused_mp_layer preconditions failed: N={N}")
     if act not in _ACTS:
         raise ValueError(f"unsupported fused activation {act!r}")
 
-    TNS, TWS, sws = _schedule(N, TN, SL, sub_rows)
-    window_mode = _norm_window_mode(window_mode, TN, TNS, SL)
-    if window_mode == "tile":
-        TWL, tsws = _tile_schedule(N, TN, SL)
+    if block_adj is not None:
+        BB = block_adj.shape[1]
+        if block_adj.shape[0] * BB != N or TN % BB or N % TN:
+            raise ValueError(
+                f"block preconditions failed: N={N} BB={BB} TN={TN}"
+            )
     else:
-        TWL, tsws = TWS, np.zeros(1, np.int32)
-    ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
+        W = nbr_nodes.shape[1]
+        if not supports(N, TN, SL, sub_rows) and not interpret:
+            raise ValueError(f"fused_mp_layer preconditions failed: N={N}")
+
+        TNS, TWS, sws = _schedule(N, TN, SL, sub_rows)
+        window_mode = _norm_window_mode(window_mode, TN, TNS, SL)
+        if window_mode == "tile":
+            TWL, tsws = _tile_schedule(N, TN, SL)
+        else:
+            TWL, tsws = TWS, np.zeros(1, np.int32)
+        ids_stack = _stack_ids(nbr_nodes, in_degree, sws, TNS)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
 
     if quant and conv not in ("gin", "sage"):
@@ -325,12 +419,6 @@ def fused_mp_layer(
         mats = [zero11, z1f, zero11, z1f]
 
     has_skip = skip is not None
-    kern = functools.partial(
-        _kernel, conv=conv, W=W, TNS=TNS, TWS=TWS, TWL=TWL,
-        window_mode=window_mode, eps=float(eps),
-        gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
-        save_s=save_s, quant=quant,
-    )
 
     def blk(shape):
         return pl.BlockSpec(shape, lambda i, *_: (i, 0),
@@ -338,6 +426,67 @@ def fused_mp_layer(
 
     def vmem():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if conv == "gin":
+        epi = F * w0.shape[1] + w0.shape[1] * Fout
+    elif conv == "sage":
+        epi = 2 * F * Fout
+    else:
+        epi = 0
+
+    if block_adj is not None:
+        kern = functools.partial(
+            _block_kernel, conv=conv, BB=BB, gather_mode=gather_mode,
+            mm=mm, eps=float(eps), act=act, has_skip=has_skip,
+            save_s=save_s, quant=quant,
+        )
+        in_specs = [
+            blk((TN, F)),
+            pl.BlockSpec((TN // BB, BB, BB), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            blk((TN, 1)),
+            vmem(), vmem(), vmem(), vmem(),
+        ]
+        inputs = [v, block_adj.astype(jnp.bfloat16), deg2d] + mats + scales
+        in_specs = in_specs + [vmem()] * len(scales)
+        if has_skip:
+            in_specs.append(blk((TN, Fout)))
+            inputs.append(skip)
+
+        out_specs = blk((TN, Fout))
+        out_shape = jax.ShapeDtypeStruct((N, Fout), jnp.float32)
+        scratch = []
+        if save_s:
+            out_specs = [out_specs, blk((TN, F))]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((N, F), jnp.float32)]
+        else:
+            scratch.append(pltpu.VMEM((TN, F), jnp.float32))
+        grid_spec = pl.GridSpec(
+            grid=(max(N // TN, 1),),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        )
+        npass = 2 if gather_mode == "split2" else 1
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            cost_estimate=pl.CostEstimate(
+                flops=N * (npass * BB * F + epi) * 2,
+                bytes_accessed=(N * (F + Fout)) * 4 + N * BB * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*inputs)
+
+    kern = functools.partial(
+        _kernel, conv=conv, W=W, TNS=TNS, TWS=TWS, TWL=TWL,
+        window_mode=window_mode, eps=float(eps),
+        gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
+        save_s=save_s, quant=quant,
+    )
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -370,12 +519,6 @@ def fused_mp_layer(
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
-    if conv == "gin":
-        epi = F * w0.shape[1] + w0.shape[1] * Fout
-    elif conv == "sage":
-        epi = 2 * F * Fout
-    else:
-        epi = 0
     flops = N * (2 * TWS * F + epi) * 2
     return pl.pallas_call(
         kern,
@@ -472,7 +615,7 @@ def _epilogue_and_grads(conv, eps, act, has_skip, v, s, deg, skip, p, ct):
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
                  mm, act, has_skip, has_rev, sub_rows=None,
-                 window_mode="sub", quant=False):
+                 window_mode="sub", quant=False, has_block=False):
     # quant=True (int8 serving epilogues): the backward is a straight-
     # through estimator — gradients flow through the f32 epilogue (both
     # hand-written and reference backwards below recompute f32), since
@@ -484,15 +627,16 @@ def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
     fcfg = dict(cfg, sub_rows=sub_rows, window_mode=window_mode)
 
     @jax.custom_vjp
-    def f(v, nbr, deg, rev_nbr, out_deg, skip, w0, b0, w1, b1):
+    def f(v, nbr, deg, rev_nbr, out_deg, badj, skip, w0, b0, w1, b1):
         return fused_mp_layer(
             v, nbr, deg, conv, w0=w0, b0=b0, w1=w1, b1=b1, eps=eps,
             skip=skip if has_skip else None, quant=quant,
-            gather_mode=gather_mode, mm=mm, act=act, **fcfg,
+            gather_mode=gather_mode, mm=mm, act=act,
+            block_adj=badj if has_block else None, **fcfg,
         )
 
-    def fwd(v, nbr, deg, rev_nbr, out_deg, skip, *p):
-        if has_rev:
+    def fwd(v, nbr, deg, rev_nbr, out_deg, badj, skip, *p):
+        if has_rev or has_block:
             # run the kernel with the aggregate as a second output — the
             # backward residual that makes the epilogue grads pure XLA
             out, s = fused_mp_layer(
@@ -500,17 +644,32 @@ def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
                 w0=p[0], b0=p[1], w1=p[2], b1=p[3], eps=eps,
                 skip=skip if has_skip else None, quant=quant,
                 gather_mode=gather_mode, mm=mm, act=act, save_s=True,
-                **fcfg,
+                block_adj=badj if has_block else None, **fcfg,
             )
-            return out, (v, nbr, deg, rev_nbr, out_deg, skip, p, s)
+            return out, (v, nbr, deg, rev_nbr, out_deg, badj, skip, p, s)
         return (
-            f(v, nbr, deg, rev_nbr, out_deg, skip, *p),
-            (v, nbr, deg, rev_nbr, out_deg, skip, p, None),
+            f(v, nbr, deg, rev_nbr, out_deg, badj, skip, *p),
+            (v, nbr, deg, rev_nbr, out_deg, badj, skip, p, None),
         )
 
     def bwd(res, ct):
-        v, nbr, deg, rev_nbr, out_deg, skip, p, s = res
+        v, nbr, deg, rev_nbr, out_deg, badj, skip, p, s = res
         zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        zeros_b = (zero_i(nbr), zero_i(deg), zero_i(rev_nbr),
+                   zero_i(out_deg))
+        if has_block:
+            from gnnbuilder_tpu.ops.block import block_spmm
+
+            ds, dv_self, dskip, dp = _epilogue_and_grads(
+                conv, eps, act, has_skip, v, s, deg, skip, p, ct
+            )
+            # transpose of the block aggregation == the same batched
+            # matmul on A^T (ops/block.py) — no reverse tables needed
+            bmm = "highest" if gather_mode == "highest" else gather_mode
+            dv = dv_self + block_spmm(badj, ds, mm=bmm, transpose=True)
+            if not has_skip:
+                dskip = jnp.zeros_like(skip)
+            return (dv,) + zeros_b + (jnp.zeros_like(badj), dskip) + dp
         if has_rev:
             from gnnbuilder_tpu.ops.pallas.ell_bwd import (
                 fused_gather_backward,
@@ -526,8 +685,7 @@ def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
             )
             if not has_skip:
                 dskip = jnp.zeros_like(skip)
-            return (dv, zero_i(nbr), zero_i(deg), zero_i(rev_nbr),
-                    zero_i(out_deg), dskip) + dp
+            return (dv,) + zeros_b + (jnp.zeros_like(badj), dskip) + dp
         _, vjp = jax.vjp(
             lambda vv, sk, *pp: mp_layer_reference(
                 vv, nbr, deg, conv,
@@ -537,8 +695,8 @@ def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
         )
         grads = vjp(ct)
         dskip = grads[1] if has_skip else jnp.zeros_like(skip)
-        return (grads[0], zero_i(nbr), zero_i(deg), zero_i(rev_nbr),
-                zero_i(out_deg), dskip) + grads[2:]
+        return (grads[0],) + zeros_b + (
+            jnp.zeros_like(badj), dskip) + grads[2:]
 
     f.defvjp(fwd, bwd)
     return f
@@ -549,16 +707,21 @@ def fused_mp_layer_vjp(
     eps=0.0, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
-    window_mode="sub", quant=False,
+    window_mode="sub", quant=False, block_adj=None,
 ):
-    """Differentiable fused layer.  Pallas forward always; hand-written
-    Pallas backward (reverse-table count-SpMM, ops/pallas/ell_bwd.py) when
-    the reverse tables are given, else the XLA-reference backward."""
+    """Differentiable fused layer.  Pallas forward always; backward is the
+    block-transpose matmul when ``block_adj`` is given (no reverse tables
+    needed), else the hand-written Pallas reverse-table count-SpMM
+    (ops/pallas/ell_bwd.py) when the reverse tables are given, else the
+    XLA-reference backward."""
     has_skip = skip is not None
-    has_rev = rev_nbr_nodes is not None and out_degree is not None
+    has_block = block_adj is not None
+    has_rev = (not has_block and rev_nbr_nodes is not None
+               and out_degree is not None)
     fn = _make_vjp_fn(
         conv, float(eps), tile_rows, window_slack, interpret, gather_mode,
         mm, act, has_skip, has_rev, sub_rows, window_mode, quant,
+        has_block,
     )
     F = v.shape[1]
     z = jnp.zeros((1, 1), jnp.float32)
@@ -579,9 +742,13 @@ def fused_mp_layer_vjp(
     if not has_rev:
         rev_nbr_nodes = jnp.zeros((1, 1), jnp.int32)
         out_degree = jnp.zeros((1,), jnp.int32)
+    if nbr_nodes is None:  # block mode needs no neighbor tables
+        nbr_nodes = jnp.zeros((1, 1), jnp.int32)
+    if not has_block:
+        block_adj = jnp.zeros((1, 1, 1), jnp.bfloat16)
     return fn(v, nbr_nodes, in_degree.astype(jnp.int32),
-              rev_nbr_nodes, out_degree.astype(jnp.int32), skip_in,
-              w0_, b0_, w1_, b1_)
+              rev_nbr_nodes, out_degree.astype(jnp.int32), block_adj,
+              skip_in, w0_, b0_, w1_, b1_)
 
 
 def fused_mp_layer_auto(
@@ -589,7 +756,7 @@ def fused_mp_layer_auto(
     eps=0.0, skip=None, rev_nbr_nodes=None, out_degree=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
-    window_mode="sub", quant=False,
+    window_mode="sub", quant=False, block_adj=None,
 ):
     """fused_mp_layer_vjp with automatic zero-padding of unaligned feature
     dims to MXU lanes (pad lanes are inert: zero x lanes -> zero aggregate
@@ -608,7 +775,7 @@ def fused_mp_layer_auto(
                 skip=sk, tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
                 act=act, sub_rows=sub_rows, window_mode=window_mode,
-                quant=quant,
+                quant=quant, block_adj=block_adj,
             ),
             v, nbr_nodes, in_degree, skip=skip,
         )
@@ -630,7 +797,7 @@ def fused_mp_layer_auto(
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
                 act=act, sub_rows=sub_rows, window_mode=window_mode,
-                quant=quant,
+                quant=quant, block_adj=block_adj,
             )
             return out[:, :Fout]
     elif conv == "sage":
@@ -648,7 +815,7 @@ def fused_mp_layer_auto(
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
                 act=act, sub_rows=sub_rows, window_mode=window_mode,
-                quant=quant,
+                quant=quant, block_adj=block_adj,
             )
             return out[:, :Fout]
     else:  # gcn/lg/simple: v already has the OUTPUT width
@@ -662,7 +829,7 @@ def fused_mp_layer_auto(
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
                 act=act, sub_rows=sub_rows, window_mode=window_mode,
-                quant=quant,
+                quant=quant, block_adj=block_adj,
             )
             return out[:, :F]
     return fused_mp_layer_vjp(
@@ -671,4 +838,5 @@ def fused_mp_layer_auto(
         tile_rows=tile_rows, window_slack=window_slack,
         interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
         sub_rows=sub_rows, window_mode=window_mode, quant=quant,
+        block_adj=block_adj,
     )

@@ -68,11 +68,27 @@ _OUT_ACTS = {
 }
 
 
+def _window_rows(tile_graphs: int, maxg: int, block_size: int = 0) -> int:
+    """Static bound on the node-row span of TG consecutive graphs.
+    Standard packing: rows are contiguous, span <= TG * maxg.  Block
+    packing (core/graph.py block_size=B): pad rows interleave, but each
+    block holds >= floor(B / maxg) graphs, so TG graphs span at most
+    (ceil(TG / that) + 1) blocks."""
+    maxg_p = (maxg + 7) // 8 * 8
+    if not block_size:
+        return tile_graphs * maxg_p + 8
+    gpb = max(block_size // maxg, 1)
+    nblocks = -(-tile_graphs // gpb) + 1
+    return nblocks * block_size + 8
+
+
 def readout_supported(num_nodes: int, num_graphs: int, maxg: int,
-                      tile_graphs: int) -> bool:
+                      tile_graphs: int, block_size: int = 0) -> bool:
     if maxg <= 0 or num_graphs < 1:
         return False
-    nws = tile_graphs * ((maxg + 7) // 8 * 8) + 8
+    if block_size and maxg > block_size:
+        return False
+    nws = _window_rows(tile_graphs, maxg, block_size)
     return num_nodes >= nws and nws % 8 == 0
 
 
@@ -164,7 +180,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "aggrs", "act", "out_act", "tile_graphs", "maxg", "interpret",
-        "mm", "quant",
+        "mm", "quant", "block_size",
     ),
 )
 def fused_readout(
@@ -180,13 +196,16 @@ def fused_readout(
     interpret: bool = False,
     mm: str = "f32",
     quant: bool = False,
+    starts=None,          # [G] int32 first row per graph (block packing)
+    block_size: int = 0,
 ):
     N, F = x.shape
     G = n_node.shape[0]
     TG = tile_graphs
-    MAXG_P = ((maxg + 7) // 8) * 8
-    NWS = TG * MAXG_P + 8
-    if not readout_supported(N, G, maxg, TG) and not interpret:
+    NWS = _window_rows(maxg=maxg, tile_graphs=TG, block_size=block_size)
+    if block_size and starts is None:
+        raise ValueError("block_size requires starts (graph_starts)")
+    if not readout_supported(N, G, maxg, TG, block_size) and not interpret:
         raise ValueError(f"fused_readout preconditions failed: N={N} G={G}")
     if ("max" in aggrs) != (mx is not None):
         raise ValueError("mx must be given exactly when 'max' in aggrs")
@@ -198,10 +217,15 @@ def fused_readout(
 
     G_pad = ((G + TG - 1) // TG) * TG
     cnt = n_node.astype(jnp.float32)
-    goff = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_node.astype(jnp.int32))]
-    )
-    lo, hi = goff[:-1], goff[1:]
+    if starts is not None:
+        lo = starts.astype(jnp.int32)
+        hi = lo + n_node.astype(jnp.int32)
+    else:
+        goff = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(n_node.astype(jnp.int32))]
+        )
+        lo, hi = goff[:-1], goff[1:]
     if G_pad != G:
         pad = G_pad - G
         lo = jnp.pad(lo, (0, pad))   # empty spans pool zeros
@@ -281,16 +305,27 @@ def fused_readout(
 
 
 def readout_reference(x, n_node, weights, aggrs=("add",), mx=None,
-                      act="relu", out_act=None, quant=False):
-    """XLA mirror (the exact math of GlobalPooling + MLP + output act)."""
+                      act="relu", out_act=None, quant=False, starts=None):
+    """XLA mirror (the exact math of GlobalPooling + MLP + output act).
+    ``starts`` (block packing) replaces the cumsum row spans; rows outside
+    every [start, start+n) span (inter-graph padding) fall to the ghost."""
     G = n_node.shape[0]
-    goff = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_node.astype(jnp.int32))]
-    )
-    seg = jnp.clip(
-        jnp.searchsorted(goff[1:], jnp.arange(x.shape[0]), side="right"),
-        0, G - 1,
-    )
+    rows = jnp.arange(x.shape[0])
+    if starts is not None:
+        st = starts.astype(jnp.int32)
+        idx = jnp.clip(
+            jnp.searchsorted(st, rows, side="right") - 1, 0, G - 1
+        )
+        inside = rows < st[idx] + n_node.astype(jnp.int32)[idx]
+        seg = jnp.where(inside, idx, G - 1)
+    else:
+        goff = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(n_node.astype(jnp.int32))]
+        )
+        seg = jnp.clip(
+            jnp.searchsorted(goff[1:], rows, side="right"), 0, G - 1
+        )
     s = jax.ops.segment_sum(x, seg, num_segments=G)
     cnt = n_node.astype(x.dtype)[:, None]
     blocks = []
@@ -315,11 +350,11 @@ def readout_reference(x, n_node, weights, aggrs=("add",), mx=None,
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(aggrs, act, out_act, tile_graphs, maxg, interpret, mm,
-                 n_lin, has_mx, quant=False):
+                 n_lin, has_mx, quant=False, block_size=0):
     # quant backward = straight-through estimator (the f32 reference bwd
     # below); int8 is a serving precision
     @jax.custom_vjp
-    def f(x, n_node, mx, flat_w):
+    def f(x, n_node, starts, mx, flat_w):
         weights = tuple(
             (flat_w[2 * i], flat_w[2 * i + 1]) for i in range(n_lin)
         )
@@ -327,15 +362,18 @@ def _make_vjp_fn(aggrs, act, out_act, tile_graphs, maxg, interpret, mm,
             x, n_node, weights, aggrs=aggrs, mx=mx if has_mx else None,
             act=act, out_act=out_act, tile_graphs=tile_graphs, maxg=maxg,
             interpret=interpret, mm=mm, quant=quant,
+            starts=starts if block_size else None, block_size=block_size,
         )
 
-    def fwd(x, n_node, mx, flat_w):
-        return f(x, n_node, mx, flat_w), (x, n_node, mx, flat_w)
+    def fwd(x, n_node, starts, mx, flat_w):
+        return f(x, n_node, starts, mx, flat_w), (
+            x, n_node, starts, mx, flat_w
+        )
 
     def bwd(res, ct):
         # XLA-reference backward: the readout tail is tiny relative to the
         # conv stack, so recompute costs nothing material
-        x, n_node, mx, flat_w = res
+        x, n_node, starts, mx, flat_w = res
         zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
 
         def ref(xx, mm_, fw):
@@ -345,13 +383,14 @@ def _make_vjp_fn(aggrs, act, out_act, tile_graphs, maxg, interpret, mm,
             return readout_reference(
                 xx, n_node, weights, aggrs=aggrs,
                 mx=mm_ if has_mx else None, act=act, out_act=out_act,
+                starts=starts if block_size else None,
             )
 
         _, vjp = jax.vjp(ref, x, mx, flat_w)
         dx, dmx, dw = vjp(ct)
         if not has_mx:
             dmx = jnp.zeros_like(mx)
-        return (dx, zero_i(n_node), dmx, dw)
+        return (dx, zero_i(n_node), zero_i(starts), dmx, dw)
 
     f.defvjp(fwd, bwd)
     return f
@@ -360,21 +399,25 @@ def _make_vjp_fn(aggrs, act, out_act, tile_graphs, maxg, interpret, mm,
 def fused_readout_vjp(
     x, n_node, weights, aggrs=("add",), mx=None, act="relu",
     out_act=None, tile_graphs=32, maxg=32, interpret=False, mm="f32",
-    quant=False,
+    quant=False, starts=None, block_size=0,
 ):
     has_mx = mx is not None
     fn = _make_vjp_fn(tuple(aggrs), act, out_act, tile_graphs, maxg,
-                      interpret, mm, len(weights), has_mx, quant)
+                      interpret, mm, len(weights), has_mx, quant,
+                      block_size)
     flat_w = tuple(a for wb in weights for a in wb)
     mx_in = mx if has_mx else jnp.zeros((n_node.shape[0], x.shape[1]),
                                         jnp.float32)
-    return fn(x, n_node.astype(jnp.int32), mx_in, flat_w)
+    starts_in = (starts if starts is not None
+                 else jnp.zeros((n_node.shape[0],), jnp.int32))
+    return fn(x, n_node.astype(jnp.int32), starts_in.astype(jnp.int32),
+              mx_in, flat_w)
 
 
 def fused_readout_auto(
     x, n_node, weights, aggrs=("add",), mx=None, act="relu",
     out_act=None, tile_graphs=32, maxg=32, interpret=False, mm="f32",
-    quant=False,
+    quant=False, starts=None, block_size=0,
 ):
     """fused_readout_vjp with zero-padding of an unaligned node-feature dim
     to MXU lanes: zero x lanes pool to zero, so padding each pooled block's
@@ -396,5 +439,5 @@ def fused_readout_auto(
     return fused_readout_vjp(
         x, n_node, weights, aggrs=aggrs, mx=mx, act=act, out_act=out_act,
         tile_graphs=tile_graphs, maxg=maxg, interpret=interpret, mm=mm,
-        quant=quant,
+        quant=quant, starts=starts, block_size=block_size,
     )
