@@ -105,8 +105,20 @@ def main():
             _dispatch.set_fused_mode("never")
             return measure(*a, **k)
 
-    lat_b1 = measure_guarded(1, n_lo=10, n_hi=60, repeats=4)
-    log(f"batch=1 marginal latency: {lat_b1*1e3:.3f} ms/graph")
+    # batch=1: THREE independent chained-marginal estimates, headline =
+    # median, spread recorded.  Round-2 committed runs spread 0.24-1.08 ms
+    # across protocols/runs (VERDICT item 4): the relay's per-window jitter
+    # at ~0.3 ms/call marginals needs both wide call-count gaps AND
+    # between-run replication to be trustworthy; every bench.py number now
+    # carries its own spread so a jittered run is visible in the artifact.
+    b1_runs = sorted(
+        measure_guarded(1, n_lo=10, n_hi=60, repeats=4) for _ in range(3)
+    )
+    lat_b1 = b1_runs[1]  # median of 3
+    b1_spread = (b1_runs[-1] - b1_runs[0]) / lat_b1
+    log(f"batch=1 marginal latency: {lat_b1*1e3:.3f} ms/graph "
+        f"(3-run spread {b1_spread*100:.0f}%: "
+        f"{b1_runs[0]*1e3:.3f}-{b1_runs[-1]*1e3:.3f})")
 
     best_tput, best_bs, best = 0.0, 1, None
     for bs in (256, 1024):
@@ -177,6 +189,8 @@ def main():
         "unit": "graphs/s",
         "vs_baseline": round(best_tput / REF_PNA_QM9_GRAPHS_PER_S, 2),
         "latency_b1_ms": round(lat_b1 * 1e3, 3),
+        "latency_b1_spread": round(b1_spread, 3),
+        "protocol": "chained-marginal, median-of-3 runs x 4 estimates",
         "best_batch_size": best_bs,
         "edges_per_s": round(roof["edges_per_s"], 1),
         "fraction_of_roofline": round(roof["fraction_of_roofline"], 3),
