@@ -72,6 +72,7 @@ def measure_config(
         # align to the fused Pallas node tiles (ops/dispatch.py) exactly as
         # deployment does — otherwise the corpus measures the XLA fallback
         node_multiple=256 if cfg.batch_size >= 64 else 8,
+        block_size=getattr(cfg, "block_size", 0),
     )
     batch = batches[0]
     # populate the dataset-statistics features the cost model learns from

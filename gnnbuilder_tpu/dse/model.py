@@ -55,6 +55,9 @@ FEATURE_NAMES = (
         "log_batch_nodes",
         "log_batch_edges",
         "log_hidden",
+        # appended in round 3 (block-diagonal packing); pickles fit before
+        # it predict on their own prefix (CostModel._features)
+        "block_packed",
     ]
 )
 
@@ -120,6 +123,7 @@ def transform_x(cfgs: Sequence[DSEConfig]) -> np.ndarray:
                 float(c.avg_edges),
             ]
             + _analytic_features(c)
+            + [1.0 if getattr(c, "block_size", 0) else 0.0]
         )
     return np.asarray(rows, dtype=np.float64)
 
@@ -175,15 +179,45 @@ class CostModel:
         self.target = target
         self.log_target = log_target
         self.pipeline = _make_regressor()
+        # feature schema captured at fit time: a pickle trained before a
+        # feature was added keeps predicting on ITS OWN columns (absent
+        # knobs mean the default policy ran — feature value 0/absent)
+        self.feature_names = list(FEATURE_NAMES)
+
+    def _features(self, cfgs: Sequence[DSEConfig]) -> np.ndarray:
+        X = transform_x(cfgs)
+        names = getattr(self, "feature_names", None)
+        if names is None:
+            # pre-schema pickle: features were only ever APPENDED, so its
+            # training columns are a prefix of the current vector
+            pipe = self.pipeline
+            n_in = getattr(pipe, "n_features_in_", None)
+            if n_in is None:
+                trees = getattr(pipe, "trees_", None)
+                n_in = getattr(trees, "n_features_in_", None)
+            if n_in is None:
+                n_in = X.shape[1]
+            return X[:, : int(n_in)]
+        if list(names) != list(FEATURE_NAMES):
+            idx = [FEATURE_NAMES.index(n) for n in names
+                   if n in FEATURE_NAMES]
+            if len(idx) != len(names):
+                raise ValueError(
+                    "pickled cost model uses features no longer computed: "
+                    f"{set(names) - set(FEATURE_NAMES)}"
+                )
+            X = X[:, idx]
+        return X
 
     def fit(self, cfgs: Sequence[DSEConfig], y: np.ndarray) -> "CostModel":
+        self.feature_names = list(FEATURE_NAMES)
         X = transform_x(cfgs)
         t = np.log(np.maximum(y, 1e-9)) if self.log_target else y
         self.pipeline.fit(X, t)
         return self
 
     def predict(self, cfgs: Sequence[DSEConfig]) -> np.ndarray:
-        X = transform_x(cfgs)
+        X = self._features(cfgs)
         t = self.pipeline.predict(X)
         return np.exp(t) if self.log_target else t
 
@@ -245,6 +279,8 @@ def rows_to_configs(rows: Sequence[dict]) -> list[DSEConfig]:
                     else:
                         v = float(v) if "." in v else int(v)
             kw[k] = v
+        if kw.get("block_size") is None:
+            kw["block_size"] = 0  # pre-round-3 corpora: standard packing
         cfgs.append(DSEConfig(**kw))
     return cfgs
 

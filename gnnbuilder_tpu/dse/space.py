@@ -47,6 +47,9 @@ class DSEConfig:
     # height (ops/dispatch.set_kernel_overrides; CLAUDE.md staged rollout)
     window_mode: Optional[str] = None  # None = policy | "sub" | "tile"
     sub_rows: Optional[int] = None     # None = 128 default
+    # round-3 layout knob: block-diagonal bin-packing (core/graph.py);
+    # 0 = standard contiguous packing, B = block size (matmul aggregation)
+    block_size: int = 0
     # dataset statistics the latency depends on
     avg_nodes: float = 16.0
     avg_edges: float = 34.0
@@ -58,7 +61,10 @@ class DSEConfig:
 # Axes mirror build_dse_models.py:42-80 where they are model axes, and add
 # the TPU execution-policy axes.
 DEFAULT_AXES = {
-    "conv": ["gcn", "gin", "sage", "pna"],
+    # every conv the model family supports (LG/Simple cannot head a
+    # GNNModel — they require in==out per layer, reference models.py:274 —
+    # their aggregation cost is covered by the gcn rows minus transform)
+    "conv": ["gcn", "gin", "sage", "pna", "gat", "gine"],
     "gnn_hidden_dim": [64, 128, 256],
     "gnn_output_dim": [32, 64],
     "gnn_num_layers": [2, 3, 4, 6],
@@ -72,6 +78,7 @@ DEFAULT_AXES = {
     "gather_mode": [None, "bf16"],
     "window_mode": [None, "tile"],
     "sub_rows": [None, 256],
+    "block_size": [0, 128],
 }
 
 

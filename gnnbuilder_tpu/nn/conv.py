@@ -92,7 +92,7 @@ def _block_sum(g: GraphBatch, v, mm: str):
 
 
 def _layer_cfg(mod, g: GraphBatch, x, out_dim=None, int8_ok=False,
-               staged=False, block_kernel=False):
+               staged=False, block_kernel=False, conv_kind=None):
     """Whole-layer fused-kernel config for this batch, or None.  Mirrors the
     PNAConv gate: auto-padding covers unaligned dims, but tiny unaligned
     batches stay on the XLA path where padding costs more than it saves.
@@ -125,7 +125,7 @@ def _layer_cfg(mod, g: GraphBatch, x, out_dim=None, int8_ok=False,
         )
         if not aligned_b and g.num_nodes < 512:
             return None
-        cfg = dispatch.block_layer_cfg(g, int8_ok=int8_ok)
+        cfg = dispatch.block_layer_cfg(g, int8_ok=int8_ok, conv=conv_kind)
         if cfg is not None:
             cfg["block"] = True
         return cfg
@@ -203,7 +203,8 @@ class GCNConv(nn.Module):
         deg = g.in_degree.astype(x.dtype) + 1.0  # +1 self loop
         dis = jax.lax.rsqrt(deg)
 
-        cfg = _layer_cfg(self, g, x, int8_ok=True, block_kernel=True)
+        cfg = _layer_cfg(self, g, x, int8_ok=True, block_kernel=True,
+                         conv_kind="gcn")
         if cfg is not None:
             cfg.pop("int8", None)  # b0-only epilogue: numerics-neutral
             blockm = cfg.pop("block", False)
@@ -263,7 +264,8 @@ class GINConv(nn.Module):
         self.lin1 = Linear(self.out_channels, name="lin1")
 
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
-        cfg = _layer_cfg(self, g, x, int8_ok=_quant_ok(), block_kernel=True)
+        cfg = _layer_cfg(self, g, x, int8_ok=_quant_ok(), block_kernel=True,
+                         conv_kind="gin")
         if cfg is not None:
             from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
 
@@ -374,7 +376,8 @@ class SAGEConv(nn.Module):
         self.lin_r = Linear(self.out_channels, use_bias=False, name="lin_r")
 
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
-        cfg = _layer_cfg(self, g, x, int8_ok=_quant_ok(), block_kernel=True)
+        cfg = _layer_cfg(self, g, x, int8_ok=_quant_ok(), block_kernel=True,
+                         conv_kind="sage")
         if cfg is not None:
             from gnnbuilder_tpu.ops.pallas.mp_layer import fused_mp_layer_auto
 
@@ -487,6 +490,31 @@ class PNAConv(nn.Module):
             lin_out = block.block_multi(
                 v, g.block_adj, g.in_degree, tuple(linear), mm=bcfg["mm"]
             ) if linear else {}
+            # max/min: the fused multi-aggregate kernel when the policy
+            # allows (per-slot compares fused in one pass; XLA ell gathers
+            # measured 2.8x slower end to end), else the XLA ELL reduce
+            cmp = tuple(a for a in self.aggregators if a in ("max", "min"))
+            cmp_out = {}
+            if cmp:
+                from gnnbuilder_tpu.ops import dispatch as _dispatch
+                from gnnbuilder_tpu.ops.pallas.ell_agg import (
+                    fused_ell_aggregate_vjp,
+                )
+
+                fcfg = _dispatch.fused_config(g, feature_dim=v.shape[-1])
+                if fcfg is not None:
+                    cat = fused_ell_aggregate_vjp(
+                        v, g.nbr_nodes, g.in_degree, cmp,
+                        rev_nbr_nodes=g.rev_nbr_nodes,
+                        out_degree=g.out_degree, **fcfg,
+                    )
+                    Fv = v.shape[-1]
+                    for ci, a in enumerate(cmp):
+                        cmp_out[a] = cat[:, ci * Fv:(ci + 1) * Fv]
+                else:
+                    fns = {"max": ell.ell_max, "min": ell.ell_min}
+                    for a in cmp:
+                        cmp_out[a] = fns[a](v, g.nbr_nodes, g.in_degree)
             nonempty = count > 0
             parts = []
             for a in self.aggregators:
@@ -496,12 +524,8 @@ class PNAConv(nn.Module):
                     parts.append(lin_out[a])
                 elif a == "sum":
                     parts.append(count * u + lin_out[a])
-                elif a == "max":
-                    mx = ell.ell_max(v, g.nbr_nodes, g.in_degree)
-                    parts.append(jnp.where(nonempty, u + mx, 0.0))
-                elif a == "min":
-                    mn = ell.ell_min(v, g.nbr_nodes, g.in_degree)
-                    parts.append(jnp.where(nonempty, u + mn, 0.0))
+                elif a in ("max", "min"):
+                    parts.append(jnp.where(nonempty, u + cmp_out[a], 0.0))
                 else:
                     raise ValueError(f"unknown aggregator {a}")
             agg_cat = jnp.concatenate(parts, axis=-1)
@@ -678,7 +702,8 @@ class LGConv(nn.Module):
         deg = g.in_degree.astype(x.dtype)
         dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1.0)), 0.0)
 
-        cfg = _layer_cfg(self, g, x, int8_ok=True, block_kernel=True)
+        cfg = _layer_cfg(self, g, x, int8_ok=True, block_kernel=True,
+                         conv_kind="lg")
         if cfg is not None:
             cfg.pop("int8", None)  # parameter-free: numerics-neutral
             # whole-layer count-SpMM kernel (W-independent gather) with the
@@ -731,7 +756,8 @@ class SimpleConv(nn.Module):
         if name in ("sum", "mean"):
             # whole-layer count-SpMM kernel (W-independent gather); max/min
             # need per-slot compares and stay on the multi-aggregate path
-            cfg = _layer_cfg(self, g, x, int8_ok=True, block_kernel=True)
+            cfg = _layer_cfg(self, g, x, int8_ok=True, block_kernel=True,
+                             conv_kind="simple")
             if cfg is not None:
                 cfg.pop("int8", None)  # parameter-free: numerics-neutral
                 from gnnbuilder_tpu.ops.pallas.mp_layer import (

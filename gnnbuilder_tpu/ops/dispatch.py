@@ -191,13 +191,26 @@ def staged_r3_ok() -> bool:
     return _STAGED_R3 or _MODE == "always"
 
 
-def block_layer_cfg(g, int8_ok: bool = False) -> Optional[dict]:
+# convs whose epilogue is elementwise-only: for them the Pallas block
+# kernel wins (fusing the scale/bias pass saves an [N,F] HBM round trip —
+# gcn 714 -> 579us, block_model_ab.json).  Convs whose epilogue is
+# matmuls (gin/sage) measured FASTER on the XLA einsum block path (XLA
+# fuses the aggregation einsum into the epilogue dots better than the
+# hand kernel's per-tile schedule: gin 427 vs 746us) — they get None here
+# and take ops/block.py.
+_BLOCK_KERNEL_CONVS = ("gcn", "lg", "simple")
+
+
+def block_layer_cfg(g, int8_ok: bool = False,
+                    conv: Optional[str] = None) -> Optional[dict]:
     """Kernel kwargs for the block-matmul fused layer
     (fused_mp_layer block mode) when it applies, else None — callers then
     fall back to the XLA block einsum path (ops/block.py), NOT to the
     windowed kernels (block packing already outranks those)."""
     bc = block_cfg(g)
     if bc is None or _BLOCK == "fused" or _SUPPRESSED.get():
+        return None
+    if conv is not None and conv not in _BLOCK_KERNEL_CONVS:
         return None
     if not staged_r3_ok():
         return None
