@@ -142,18 +142,76 @@ def main():
             "roofline_edges_per_s")},
     }
 
+    # --- round-3 block-diagonal arms: the count-SpMM as ONE batched MXU
+    # matmul over the bin-packed dense block adjacency (no gather at all).
+    # Roofline includes the A traffic (bf16 blocks) alongside v + out.
+    from gnnbuilder_tpu.bench.canonical import canonical_batches as _cb
+    from gnnbuilder_tpu.ops.block import block_spmm
+    from gnnbuilder_tpu.ops.pallas.mp_layer import (
+        block_tile_rows,
+        fused_mp_layer,
+    )
+
+    _, bb_batches = _cb("qm9", n_graphs=1100, batch_size=1024,
+                        node_multiple=1024, block_size=128)
+    bb = bb_batches[0]
+    Nb = bb.num_nodes
+    BB = 128
+    real_edges_b = int(np.asarray(bb.edge_mask).sum())
+    vb0 = jax.random.normal(jax.random.PRNGKey(0), (Nb, F), jnp.float32)
+    adj_bytes = (Nb // BB) * BB * BB * 2  # bf16 blocks
+    min_bytes_b = Nb * F * 4 * 2 + adj_bytes
+
+    for name, fn in (
+        ("block_spmm_xla", jax.jit(
+            lambda x: block_spmm(bb.block_adj, x, mm="split2"))),
+        ("block_spmm_kernel", jax.jit(
+            lambda x: fused_mp_layer(
+                x, None, bb.in_degree, "simple_sum",
+                tile_rows=block_tile_rows(Nb, BB),
+                interpret=not on_tpu, gather_mode="split2", mm="bf16",
+                block_adj=bb.block_adj,
+            ))),
+    ):
+        x = fn(vb0)
+        dtb = chained_time(fn, x, n_lo=10, n_hi=60, repeats=5)
+        flops_b = Nb * 2 * BB * F * 2  # split2 = 2 bf16 passes
+        repb = roofline_report(dtb, flops=flops_b, min_bytes=min_bytes_b,
+                               num_edges=real_edges_b)
+        log(f"{name}: {dtb*1e6:.1f} us, "
+            f"{repb['fraction_of_roofline']*100:.0f}% of "
+            f"{repb['bound']}-bound roofline, "
+            f"{repb['edges_per_s']/1e6:,.0f}M edges/s")
+        results[name] = {
+            "latency_us": dtb * 1e6,
+            **{k: repb[k] for k in (
+                "fraction_of_roofline", "bound", "edges_per_s",
+                "roofline_edges_per_s")},
+        }
+
     results["meta"] = {
         "N": N, "W": W, "F": F, "edges": real_edges,
+        "N_block": Nb, "edges_block": real_edges_b,
         "peak_flops": peak_flops, "peak_bw": peak_bw,
         "protocol": "chained",
     }
+    best_frac = max(
+        results[k]["fraction_of_roofline"]
+        for k in ("count_spmm", "block_spmm_xla", "block_spmm_kernel")
+        if k in results
+    )
     out_path = os.path.join(ROOT, "results_tpu", "spmm_roofline.json")
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps({
         "metric": "qm9_spmm_fraction_of_roofline",
-        "value": round(results["count_spmm"]["fraction_of_roofline"], 3),
-        "edges_per_s": round(results["count_spmm"]["edges_per_s"], 1),
+        "value": round(best_frac, 3),
+        "windowed_fraction": round(
+            results["count_spmm"]["fraction_of_roofline"], 3),
+        "block_xla_fraction": round(
+            results["block_spmm_xla"]["fraction_of_roofline"], 3),
+        "block_kernel_fraction": round(
+            results["block_spmm_kernel"]["fraction_of_roofline"], 3),
         "multi_agg_fraction": round(
             results["multi_aggregate"]["fraction_of_roofline"], 3),
     }))
