@@ -318,11 +318,11 @@ class GINEConv(nn.Module):
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
         assert g.edge_feat is not None, "GINEConv requires edge features"
         e = self.lin_edge(g.edge_feat)
-        # GINE has no halo formulation (edge-indexed gathers are whole-batch
-        # layouts) — the dispatcher gate plus the edge-table check keep it on
-        # the (GSPMD-only) paths under sharding.  The kernel is STAGED
-        # (dispatch gate) until its on-hardware verification artifact
-        # lands (experiments/tpu_verify_r2.py).
+        # Under halo the fused GINE kernel is skipped (its window schedule
+        # is whole-batch) but the XLA ELL branch below works: edge arrays
+        # REPLICATE across shards (halo_batch_specs edge_feat=P()), so the
+        # edge-slot gather takes global ids directly while the node gather
+        # rides the ring-exchanged window (ops/ell.ell_gather).
         cfg = None if _halo_on() else (
             _layer_cfg(self, g, x, int8_ok=_quant_ok(), staged=True)
         )

@@ -50,18 +50,17 @@ def ell_gather(values, table, node_rows: bool = True):
     shard's rows and ``table`` holds GLOBAL ids: the gather then reads from
     the ring-exchanged [halo | local | halo] window.  Out-of-window ids
     (ghost/pad slots) clamp to the window edge; every consumer masks them
-    by degree.  ``node_rows=False`` marks edge-indexed gathers (GINE),
-    which have no windowed formulation — unsupported under halo.
+    by degree.  ``node_rows=False`` marks edge-indexed gathers (GINE):
+    edge arrays REPLICATE under halo (parallel/sharding.halo_batch_specs
+    edge_feat=P()), so the global-id take needs no windowing at all.
     """
     from gnnbuilder_tpu.parallel.halo import active_halo, halo_exchange
 
     h = active_halo()
     if h is not None:
         if not node_rows:
-            raise NotImplementedError(
-                "edge-indexed ELL gathers (GINE) are not supported under "
-                "halo parallelism; use the GSPMD path (halo=False)"
-            )
+            # values is the full replicated edge array; ids are global
+            return jnp.take(values, table, axis=0)
         axis, halo = h
         xw = halo_exchange(values, halo, axis)
         base = jax.lax.axis_index(axis) * values.shape[0]

@@ -13,8 +13,9 @@ Full training step (forward + backward + optax update) jitted over the
   ("all-to-all boundary exchange overlapped with local aggregation").
   Collective bytes per layer: 2 * halo * F per chip, batch-size
   independent; contrast GSPMD's full all-gathers.  Requires ELL tables
-  and graph-contiguous packing (both packer guarantees); GINE excluded
-  (edge-indexed gathers, see ops/ell.ell_gather).
+  and graph-contiguous packing (both packer guarantees).  GINE runs too:
+  its edge arrays replicate across shards, so the edge-slot gathers take
+  global ids directly (ops/ell.ell_gather node_rows=False).
 
 Gradients reduce over dp automatically because every shard contributes to
 the same (replicated) loss scalar — ppermute/psum transpose correctly

@@ -230,8 +230,35 @@ def test_halo_train_step_matches_gspmd():
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
 
-def test_halo_rejects_gine():
-    model, batch, _ = _halo_model_and_batch("gcn")
+def test_halo_gine_matches_single_device():
+    """GINE under explicit halo (round-3): edge arrays replicate across
+    shards (halo_batch_specs edge_feat=P()) so the edge-slot gathers take
+    global ids while node gathers ride the exchanged window — the halo
+    forward must equal the single-device forward."""
+    gine = gnnb.GNNModel(
+        graph_input_feature_dim=8,
+        gnn_hidden_dim=16,
+        gnn_num_layers=2,
+        gnn_output_dim=8,
+        gnn_conv="gine",
+        graph_input_edge_dim=4,
+        gnn_skip_connection=True,
+        pooling_aggrs=("add", "mean"),
+        mlp_out_dim=1,
+    )
+    graphs = FakeDataset(
+        num_graphs=16, avg_num_nodes=10, node_dim=8, edge_dim=4, seed=9
+    )
+    b = build_graph_batch(graphs, node_budget=256)
+    params = gine.init(jax.random.PRNGKey(0), b)
+    single = np.asarray(gine.apply(params, b))
+    mesh = make_mesh(dp=8, tp=1)
+    fwd = make_sharded_forward(gine, mesh, b, halo=True)
+    sharded = np.asarray(fwd(params, shard_batch(mesh, b)))
+    np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=1e-5)
+
+
+def test_halo_gine_train_step_matches_gspmd():
     gine = gnnb.GNNModel(
         graph_input_feature_dim=8,
         gnn_hidden_dim=16,
@@ -245,11 +272,23 @@ def test_halo_rejects_gine():
         num_graphs=16, avg_num_nodes=10, node_dim=8, edge_dim=4, seed=9
     )
     b = build_graph_batch(graphs, node_budget=256)
-    params = gine.init(jax.random.PRNGKey(0), b)
+    target = stack_targets(graphs, b.num_graphs)
+    params = gine.init(jax.random.PRNGKey(1), b)
+    opt = optax.sgd(1e-2)
     mesh = make_mesh(dp=8, tp=1)
-    fwd = make_sharded_forward(gine, mesh, b, halo=True)
-    with pytest.raises(NotImplementedError):
-        fwd(params, shard_batch(mesh, b))
+    sbatch = shard_batch(mesh, b)
+    outs = {}
+    for name, halo in (("gspmd", False), ("halo", True)):
+        step, init = make_sharded_train_step(
+            gine, opt, mesh, b, halo=halo, donate=False
+        )
+        p, s = init(params)
+        p2, _, loss = step(p, s, sbatch, target)
+        outs[name] = (float(loss), jax.tree.map(np.asarray, p2))
+    assert np.isclose(outs["gspmd"][0], outs["halo"][0], atol=1e-6)
+    for a, b2 in zip(jax.tree.leaves(outs["gspmd"][1]),
+                     jax.tree.leaves(outs["halo"][1])):
+        np.testing.assert_allclose(a, b2, atol=1e-5, rtol=1e-5)
 
 
 def test_p_factors_drive_tp_sharding():
