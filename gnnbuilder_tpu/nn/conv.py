@@ -22,7 +22,7 @@ unchanged.  Kernel tile shapes are tuned separately by the DSE
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -587,6 +587,11 @@ class GATConv(nn.Module):
     concat: bool = True
     negative_slope: float = 0.2
     add_self_loops: bool = True
+    # attention over edge features (PyG GATConv edge_dim; the reference's
+    # unexported GATEdgeConv_GNNB wrapper, models.py:166): per-edge logits
+    # gain a term att_edge . (W_e e_ij); self-loop edge features follow
+    # PyG's fill_value="mean" (mean of the receiver's incoming edge attrs)
+    edge_dim: Optional[int] = None
     p_in: int = 1
     p_out: int = 1
 
@@ -596,8 +601,25 @@ class GATConv(nn.Module):
         init = nn.initializers.glorot_uniform()
         self.att_src = self.param("att_src", init, (1, H, C))
         self.att_dst = self.param("att_dst", init, (1, H, C))
+        if self.edge_dim is not None:
+            self.lin_edge = Linear(H * C, use_bias=False, name="lin_edge")
+            self.att_edge = self.param("att_edge", init, (1, H, C))
         out_dim = H * C if self.concat else C
         self.bias = self.param("bias", nn.initializers.zeros, (out_dim,))
+
+    def _edge_logits(self, g: GraphBatch, n, H, C):
+        """Per-edge attention term [E, H] + the self-loop term [N, H]
+        (fill_value='mean': the linear projection commutes with the mean,
+        so project the segment-mean of raw attrs once)."""
+        e_proj = self.lin_edge(g.edge_feat).reshape(-1, H, C)
+        a_edge = jnp.sum(e_proj * self.att_edge, axis=-1)  # [E, H]
+        mean_attr = segment.segment_mean(
+            g.edge_feat, g.receivers, n,
+            count=g.in_degree.astype(g.edge_feat.dtype)[:, None],
+        )
+        self_proj = self.lin_edge(mean_attr).reshape(n, H, C)
+        a_self = jnp.sum(self_proj * self.att_edge, axis=-1)  # [N, H]
+        return a_edge, a_self
 
     def __call__(self, g: GraphBatch, x, act=None, skip=None):
         n = g.num_nodes
@@ -608,7 +630,9 @@ class GATConv(nn.Module):
         # — the conv the reference never implemented, fused.  concat mode
         # only; input dim and per-head width both auto-pad (unaligned
         # head widths pay the padding only at scale — _layer_cfg gate).
-        if not self.is_initializing() and self.concat:
+        # Edge-featured attention stays on the XLA paths below.
+        if (not self.is_initializing() and self.concat
+                and self.edge_dim is None):
             from gnnbuilder_tpu.ops.pallas.gat_layer import (
                 fused_gat_layer_vjp,
             )
@@ -632,19 +656,27 @@ class GATConv(nn.Module):
         h = self.lin(x).reshape(n, H, C)
         a_src = jnp.sum(h * self.att_src, axis=-1)  # [N, H]
         a_dst = jnp.sum(h * self.att_dst, axis=-1)  # [N, H]
+        has_edge = self.edge_dim is not None
+        if has_edge:
+            assert g.edge_feat is not None, "edge_dim requires edge features"
+            a_edge, a_self_edge = self._edge_logits(g, n, H, C)
 
-        if _use_ell(g):
-            # separable logits: leaky_relu(as_j + ad_i) per ELL slot; the
-            # self loop is an analytic extra slot (no edge materialization)
-            lt = jax.nn.leaky_relu(
-                ell.ell_gather(a_src, g.nbr_nodes) + a_dst[:, None, :],
-                self.negative_slope,
-            )  # [N, W, H]
+        if _use_ell(g) and g.nbr_edges is not None:
+            # separable logits: leaky_relu(as_j + ad_i [+ ae_ij]) per ELL
+            # slot; the self loop is an analytic extra slot
+            lt = ell.ell_gather(a_src, g.nbr_nodes) + a_dst[:, None, :]
+            if has_edge:
+                lt = lt + ell.ell_gather(a_edge, g.nbr_edges,
+                                         node_rows=False)
+            lt = jax.nn.leaky_relu(lt, self.negative_slope)  # [N, W, H]
             vt = ell.ell_gather(h, g.nbr_nodes)  # [N, W, H, C]
             mask = ell.ell_mask(g.nbr_nodes, g.in_degree)
             if self.add_self_loops:
+                self_logit = a_src + a_dst
+                if has_edge:
+                    self_logit = self_logit + a_self_edge
                 self_logit = jax.nn.leaky_relu(
-                    a_src + a_dst, self.negative_slope
+                    self_logit, self.negative_slope
                 )  # [N, H]
                 out = ell.ell_softmax_sum(lt, vt, mask, self_logit, h)
             else:
@@ -652,13 +684,17 @@ class GATConv(nn.Module):
             out = out.reshape(n, H * C) if self.concat else out.mean(axis=1)
             return _finish(out + self.bias, act, skip)
 
-        logits = jax.nn.leaky_relu(
-            a_src[g.senders] + a_dst[g.receivers], self.negative_slope
-        )  # [E, H]
+        logits = a_src[g.senders] + a_dst[g.receivers]
+        if has_edge:
+            logits = logits + a_edge
+        logits = jax.nn.leaky_relu(logits, self.negative_slope)  # [E, H]
 
         if self.add_self_loops:
+            self_logit = a_src + a_dst
+            if has_edge:
+                self_logit = self_logit + a_self_edge
             self_logit = jax.nn.leaky_relu(
-                a_src + a_dst, self.negative_slope
+                self_logit, self.negative_slope
             )  # [N, H]
             m_edge = jax.ops.segment_max(
                 logits, g.receivers, n, indices_are_sorted=True

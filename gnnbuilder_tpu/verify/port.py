@@ -47,12 +47,16 @@ def port_conv(conv_type: str, tconv) -> dict:
             "lin": _linear(tconv.lin),
         }
     if conv_type == "gat":
-        return {
+        out = {
             "lin": _linear(tconv.lin),
             "att_src": _t(tconv.att_src),
             "att_dst": _t(tconv.att_dst),
             "bias": _t(tconv.bias),
         }
+        if getattr(tconv, "edge_dim", None) is not None:
+            out["lin_edge"] = _linear(tconv.lin_edge)
+            out["att_edge"] = _t(tconv.att_edge)
+        return out
     if conv_type == "edge":
         # lin0 is torch Linear [out, 2*in] -> PairLinear kernel [2*in, out]
         return {"lin0": _linear(tconv.lin0), "lin1": _linear(tconv.lin1)}

@@ -179,36 +179,58 @@ class TorchPNAConv(nn.Module):
 class TorchGATConv(nn.Module):
     def __init__(
         self, in_channels, out_channels, heads=1, concat=True,
-        negative_slope=0.2,
+        negative_slope=0.2, edge_dim=None,
     ):
         super().__init__()
         self.heads = heads
         self.out_channels = out_channels
         self.concat = concat
         self.negative_slope = negative_slope
+        self.edge_dim = edge_dim
         self.lin = nn.Linear(in_channels, heads * out_channels, bias=False)
         self.att_src = nn.Parameter(torch.empty(1, heads, out_channels))
         self.att_dst = nn.Parameter(torch.empty(1, heads, out_channels))
         nn.init.xavier_uniform_(self.att_src)
         nn.init.xavier_uniform_(self.att_dst)
+        if edge_dim is not None:
+            self.lin_edge = nn.Linear(
+                edge_dim, heads * out_channels, bias=False
+            )
+            self.att_edge = nn.Parameter(
+                torch.empty(1, heads, out_channels)
+            )
+            nn.init.xavier_uniform_(self.att_edge)
         out_dim = heads * out_channels if concat else out_channels
         self.bias = nn.Parameter(torch.zeros(out_dim))
 
     def forward(self, x, edge_index, edge_attr=None):
         n = x.shape[0]
         H, C = self.heads, self.out_channels
-        # PyG add_self_loops path: remove existing self loops, add one per node
+        # PyG add_self_loops path: remove existing self loops, add one per
+        # node; self-loop edge_attr = fill_value="mean" (scatter-mean of
+        # the receiver's incoming edge attrs, PyG GATConv default)
         keep = edge_index[0] != edge_index[1]
         ei = edge_index[:, keep]
         loops = torch.arange(n, dtype=ei.dtype).unsqueeze(0).repeat(2, 1)
         ei = torch.cat([ei, loops], dim=1)
         src, dst = ei[0], ei[1]
+        if self.edge_dim is not None:
+            ea = edge_attr[keep]
+            cnt = _scatter_sum(
+                torch.ones(ea.shape[0], 1), edge_index[1][keep], n
+            ).clamp(min=1.0)
+            self_attr = _scatter_sum(ea, edge_index[1][keep], n) / cnt
+            ea_full = torch.cat([ea, self_attr], dim=0)
 
         h = self.lin(x).view(n, H, C)
         a_src = (h * self.att_src).sum(-1)  # [N, H]
         a_dst = (h * self.att_dst).sum(-1)
+        raw = a_src[src] + a_dst[dst]
+        if self.edge_dim is not None:
+            e_proj = self.lin_edge(ea_full).view(-1, H, C)
+            raw = raw + (e_proj * self.att_edge).sum(-1)
         logits = torch.nn.functional.leaky_relu(
-            a_src[src] + a_dst[dst], self.negative_slope
+            raw, self.negative_slope
         )  # [E', H]
         m = torch.full((n, H), float("-inf"))
         idx = dst.unsqueeze(-1).expand_as(logits)

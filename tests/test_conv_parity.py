@@ -93,6 +93,23 @@ def test_gat_parity(heads, concat, ell):
     np.testing.assert_allclose(out[:n_real], golden, atol=ATOL, rtol=1e-4)
 
 
+@pytest.mark.parametrize("ell", [True, False], ids=["ell", "flat"])
+@pytest.mark.parametrize("heads", [1, 4])
+def test_gat_edge_features_parity(heads, ell):
+    """GAT with edge features in the attention logits (PyG GATConv
+    edge_dim; the reference's unexported GATEdgeConv_GNNB wrapper,
+    models.py:166), incl. the fill_value='mean' self-loop edge attrs."""
+    g, batch, n_real, tconv, golden = _setup(
+        "gat", heads=heads, edge_dim=4, ell=ell
+    )
+    conv = gnnb.GATConv(
+        in_channels=F_IN, out_channels=F_OUT, heads=heads, edge_dim=4
+    )
+    params = {"params": port.port_conv("gat", tconv)}
+    out = _run_jax(conv, batch, params)
+    np.testing.assert_allclose(out[:n_real], golden, atol=ATOL, rtol=1e-4)
+
+
 def test_gcn_parity_wide_then_narrow():
     """GCN picks transform-first vs aggregate-first by dims; both must match."""
     # f_out > f_in -> aggregate first branch
