@@ -81,8 +81,16 @@ class Program:
         max_graphs: int = 2,
         precision: Precision | str = "f32",
         seed: int = 0,
+        block_size: int = 0,
     ):
         self.model = model
+        if block_size:
+            assert max_nodes % block_size == 0, (max_nodes, block_size)
+        # block_size > 0 selects the block-diagonal bin-packed layout
+        # (core/graph.py): aggregation runs as batched MXU matmuls
+        # (ops/block.py / the block kernels).  Requires every graph to
+        # have <= block_size nodes; best for small-molecule datasets.
+        self.block_size = int(block_size)
         self.bucket = BucketSpec(max_nodes, max_edges, max_graphs)
         self.precision = (
             precision
@@ -156,6 +164,7 @@ class Program:
             node_budget=self.bucket.max_nodes,
             edge_budget=self.bucket.max_edges,
             graph_budget=self.bucket.max_graphs,
+            block_size=self.block_size or None,
         )
 
     # ---------------------------------------------------------------- forward
