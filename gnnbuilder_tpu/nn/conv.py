@@ -661,6 +661,22 @@ class GATConv(nn.Module):
             assert g.edge_feat is not None, "edge_dim requires edge features"
             a_edge, a_self_edge = self._edge_logits(g, n, H, C)
 
+        bcfg = _block_cfg(g)
+        if bcfg is not None and not has_edge and not _halo_on():
+            # dense masked attention per block: rank-1 logits are a
+            # broadcast add, the weighted sum one batched matmul per head
+            # (ops/block.block_gat_attention); edge-featured logits have
+            # no rank-1 structure and keep the ELL/flat paths
+            from gnnbuilder_tpu.ops import block
+
+            out = block.block_gat_attention(
+                g.block_adj, h, a_src, a_dst,
+                neg_slope=self.negative_slope,
+                self_loops=self.add_self_loops,
+            )
+            out = out.reshape(n, H * C) if self.concat else out.mean(axis=1)
+            return _finish(out + self.bias, act, skip)
+
         if _use_ell(g) and g.nbr_edges is not None:
             # separable logits: leaky_relu(as_j + ad_i [+ ae_ij]) per ELL
             # slot; the self loop is an analytic extra slot

@@ -33,6 +33,7 @@ __all__ = [
     "block_mean",
     "block_std",
     "block_multi",
+    "block_gat_attention",
 ]
 
 _STD_EPS = 1e-5  # PyG StdAggregation epsilon (reference gnn_builder_lib.h:700)
@@ -119,3 +120,57 @@ def block_multi(x, block_adj, in_degree, aggregators, mm: str = "split2"):
         var = jax.nn.relu(s2 / d - mean * mean)
         out["std"] = jnp.sqrt(var + _STD_EPS)
     return out
+
+
+_BIG = 3e38  # finite -inf stand-in (matches the Pallas kernels)
+
+
+def block_gat_attention(
+    block_adj,      # [T, B, B] edge counts (j -> i at [t, i, j])
+    h,              # [N, H, C] projected per-head features
+    a_src,          # [N, H] source attention term (a_l . h_j)
+    a_dst,          # [N, H] receiver attention term (a_r . h_i)
+    neg_slope: float = 0.2,
+    self_loops: bool = True,
+):
+    """GAT as dense masked attention per block — the FlashAttention-style
+    formulation the block layout unlocks (reference left GAT as
+    ``// TODO``, gnn_builder_lib.h:2343).
+
+    PyG semantics exactly: per-edge logits leaky_relu(a_src_j + a_dst_i),
+    softmax over each receiver's incoming edges (+ the analytic self
+    loop), attention-weighted sum.  The rank-1 logit structure makes the
+    score matrix a broadcast add — no matmul — and the weighted sum is
+    one batched MXU matmul per head.  Edge MULTIPLICITY is exact: k
+    parallel edges contribute k identical softmax terms, which is
+    ``A ⊙ exp(logits)`` with A the count matrix.
+    """
+    T, B, _ = block_adj.shape
+    N, H, C = h.shape
+    assert N == T * B, (N, T, B)
+    A = block_adj.astype(jnp.float32).reshape(T, 1, B, B)
+    mask = A > 0
+    asrc = a_src.reshape(T, B, H).transpose(0, 2, 1)   # [T, H, B] (j)
+    adst = a_dst.reshape(T, B, H).transpose(0, 2, 1)   # [T, H, B] (i)
+    raw = jax.nn.leaky_relu(
+        adst[:, :, :, None] + asrc[:, :, None, :], neg_slope
+    )                                                   # [T, H, Bi, Bj]
+    masked = jnp.where(mask, raw, -_BIG)
+    m = jnp.max(masked, axis=-1)                        # [T, H, Bi]
+    if self_loops:
+        self_logit = jax.nn.leaky_relu(
+            (a_src + a_dst).reshape(T, B, H).transpose(0, 2, 1), neg_slope
+        )                                               # [T, H, B]
+        m = jnp.maximum(m, self_logit)
+    w = jnp.where(mask, A * jnp.exp(raw - m[..., None]), 0.0)
+    denom = jnp.sum(w, axis=-1)                         # [T, H, Bi]
+    hb = h.reshape(T, B, H, C).transpose(0, 2, 1, 3)    # [T, H, B, C]
+    # XLA-default dot precision (bf16-ish passes on TPU, exact f32 on
+    # CPU) — the same contract as every other XLA-path matmul here
+    num = jnp.einsum("thij,thjc->thic", w, hb)
+    if self_loops:
+        es = jnp.exp(self_logit - m)                    # [T, H, B]
+        denom = denom + es
+        num = num + es[..., None] * hb
+    out = num / jnp.maximum(denom, 1e-16)[..., None]    # [T, H, B, C]
+    return out.transpose(0, 2, 1, 3).reshape(N, H, C)

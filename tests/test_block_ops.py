@@ -112,3 +112,50 @@ def test_max_min_rejected():
             jnp.zeros((128, 4)), jnp.zeros((1, 128, 128)),
             jnp.zeros((128,), jnp.int32), ("max",),
         )
+
+
+def test_block_gat_attention_matches_ell_path(batch, x):
+    """Dense masked per-block attention (block_gat_attention) == the ELL
+    segment-softmax GAT on the same graphs, incl. self loops."""
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.ops import dispatch
+
+    conv = gnnb.GATConv(in_channels=32, out_channels=8, heads=4)
+    params = conv.init(jax.random.PRNGKey(3), batch, x)
+    # auto on CPU -> block path (dense attention)
+    out_block = conv.apply(params, batch, x)
+    dispatch.set_kernel_overrides(block_mode="off")
+    try:
+        out_ell = conv.apply(params, batch, x)
+    finally:
+        dispatch.set_kernel_overrides(block_mode=None)
+    np.testing.assert_allclose(out_block, out_ell, atol=1e-5)
+
+
+def test_block_gat_attention_edge_multiplicity():
+    """k parallel edges contribute k softmax terms: A ⊙ exp(logits) must
+    reproduce the flat-path result on a multigraph."""
+    from gnnbuilder_tpu.core.graph import build_graph_batch
+    from gnnbuilder_tpu.data.datasets import Graph
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.ops import dispatch
+
+    rng = np.random.default_rng(0)
+    # tiny multigraph: edge (0 -> 1) twice, (2 -> 1) once, (1 -> 0) once
+    g = Graph(
+        x=rng.normal(size=(3, 6)).astype(np.float32),
+        edge_index=np.array([[0, 0, 2, 1], [1, 1, 1, 0]], np.int64),
+    )
+    b = build_graph_batch([g], block_size=128, ell_width=8)
+    conv = gnnb.GATConv(in_channels=6, out_channels=5, heads=2)
+    xb = b.node_feat
+    params = conv.init(jax.random.PRNGKey(1), b, xb)
+    out_block = conv.apply(params, b, xb)  # dense path (CPU auto)
+    dispatch.set_kernel_overrides(block_mode="off")
+    try:
+        out_flat = conv.apply(params, b.replace(nbr_nodes=None), xb)
+    finally:
+        dispatch.set_kernel_overrides(block_mode=None)
+    np.testing.assert_allclose(
+        np.asarray(out_block)[:3], np.asarray(out_flat)[:3], atol=1e-5
+    )
