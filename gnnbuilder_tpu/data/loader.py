@@ -45,6 +45,7 @@ class GraphLoader:
         edge_multiple: int = 8,
         drop_last: bool = True,
         prefetch: int = 2,
+        block_size: int = 0,
     ):
         self.graphs = list(graphs)
         self.batch_size = batch_size
@@ -55,13 +56,28 @@ class GraphLoader:
         self.edge_multiple = edge_multiple
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # block_size > 0 selects the block-diagonal bin-packed layout
+        # (core/graph.py) — aggregation as batched MXU matmuls
+        self.block_size = int(block_size)
 
         # one shared bucket across every possible batch composition: worst
         # case = the batch_size largest graphs packed together
         ns = sorted((g.x.shape[0] for g in self.graphs), reverse=True)
         es = sorted((g.edge_index.shape[1] for g in self.graphs), reverse=True)
         k = min(batch_size, len(self.graphs))
-        self.node_budget = self._rup(sum(ns[:k]) + 1, node_multiple)
+        if self.block_size:
+            import math
+
+            bsz = self.block_size
+            assert ns[0] <= bsz, (ns[0], bsz)
+            # worst-case pack: each block holds at least
+            # floor(bsz / max_graph) graphs of the largest kind
+            per = max(bsz // ns[0], 1) if ns[0] else bsz
+            blocks = -(-k // per) + 1
+            align = math.lcm(bsz, node_multiple)
+            self.node_budget = self._rup(blocks * bsz + 1, align)
+        else:
+            self.node_budget = self._rup(sum(ns[:k]) + 1, node_multiple)
         self.edge_budget = self._rup(max(sum(es[:k]), 1), edge_multiple)
         self.graph_budget = batch_size + 1
         self._epoch = 0
@@ -100,6 +116,7 @@ class GraphLoader:
             graph_budget=self.graph_budget,
             node_multiple=self.node_multiple,
             edge_multiple=self.edge_multiple,
+            block_size=self.block_size or None,
         )
         target = stack_targets(chunk, batch.num_graphs, self.target_dim)
         return batch, target

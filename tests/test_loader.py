@@ -73,3 +73,26 @@ def test_epoch_abandoned_early_does_not_leak_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_loader_block_packed_batches():
+    """block_size routes the loader through the bin-packed layout with a
+    worst-case shared bucket (every batch validates, same jit signature)."""
+    import jax
+
+    from gnnbuilder_tpu.core.validate import validate_batch
+    from gnnbuilder_tpu.data.datasets import load_dataset
+    from gnnbuilder_tpu.data.loader import GraphLoader
+
+    graphs = load_dataset("qm9", n=100, seed=2)
+    ld = GraphLoader(graphs, batch_size=32, shuffle=True, block_size=128)
+    shapes = set()
+    n = 0
+    for b, y in ld.epoch():
+        validate_batch(b)
+        assert b.block_size_static == 128
+        assert b.block_adj is not None
+        shapes.add((b.num_nodes, b.num_edges, b.num_graphs))
+        n += 1
+    assert n == len(ld)
+    assert len(shapes) == 1  # one bucket -> one executable
