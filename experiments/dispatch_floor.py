@@ -1,0 +1,153 @@
+"""Separate per-CALL dispatch overhead from true per-OP device time.
+
+Hypothesis (round 3): every jit call through the axon relay pays a fixed
+~0.1 ms dispatch cost that chained-marginal timing does NOT cancel (the
+calls are serialized by the data dependency, so the dispatch serializes
+too).  If true, every sub-200us standalone kernel number in
+results_tpu/ is dominated by dispatch, the kernels are much closer to
+roofline than reported, and the optimization lever is "more work per
+dispatch", not kernel tuning.
+
+Method: for each op f, build jit(f^k) for k = 1, 2, 4, 8 (INNER chain —
+sequential data dependency inside one executable, so nothing overlaps)
+and fit time(k) = overhead + k * t_op.  Ops probed:
+
+  tiny      x * 1.0000001 + eps       (pure dispatch floor)
+  block     Pallas block-SpMM         (the round-3 count-SpMM)
+  block_xla einsum block-SpMM
+  windowed  fused_mp_layer gcn        (the round-2 windowed kernel)
+  pna       fused PNA layer           (the headline layer)
+
+Writes results_tpu/dispatch_floor.json with per-op (overhead_us,
+per_op_us) and the implied fraction-of-roofline corrections.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnnbuilder_tpu.bench.canonical import canonical_batches
+    from gnnbuilder_tpu.bench.timing import chained_marginal_time
+    from gnnbuilder_tpu.ops.block import block_spmm
+    from gnnbuilder_tpu.ops.pallas.mp_layer import (
+        block_tile_rows,
+        fused_mp_layer,
+    )
+    from gnnbuilder_tpu.ops.pallas.pna_layer import fused_pna_layer
+
+    log(f"devices: {jax.devices()}")
+    on_tpu = jax.default_backend() == "tpu"
+    F = 128
+
+    _, bb_batches = canonical_batches(
+        "qm9", n_graphs=1100, batch_size=1024,
+        node_multiple=1024, block_size=128,
+    )
+    bb = bb_batches[0]
+    Nb = bb.num_nodes
+    _, w_batches = canonical_batches(
+        "qm9", n_graphs=1100, batch_size=1024, node_multiple=256,
+    )
+    wb = w_batches[0]
+    Nw = wb.num_nodes
+
+    k = jax.random.PRNGKey(1)
+    ks = jax.random.split(k, 6)
+    w_pre = jax.random.normal(ks[0], (2 * F, F), jnp.float32) * 0.1
+    b_pre = jnp.zeros((F,), jnp.float32)
+    k_post = jax.random.normal(ks[2], (13 * F, F), jnp.float32) * 0.1
+    b_post = jnp.zeros((F,), jnp.float32)
+    w_lin = jax.random.normal(ks[4], (F, F), jnp.float32) * 0.1
+    b_lin = jnp.zeros((F,), jnp.float32)
+
+    def op_tiny(x):
+        return x * 1.0000001 + 1e-9
+
+    def op_block(x):
+        return fused_mp_layer(
+            x, None, bb.in_degree, "simple_sum",
+            tile_rows=block_tile_rows(Nb, 128),
+            interpret=not on_tpu, gather_mode="split2", mm="bf16",
+            block_adj=bb.block_adj,
+        ) * 0.1 + x * 0.01  # keep magnitudes bounded through the chain
+
+    def op_block_xla(x):
+        return block_spmm(bb.block_adj, x, mm="split2") * 0.1 + x * 0.01
+
+    def op_windowed(x):
+        return fused_mp_layer(
+            x, wb.nbr_nodes, wb.in_degree, "gcn",
+            b0=jnp.zeros((F,), jnp.float32),
+            tile_rows=256, window_slack=32, sub_rows=128,
+            interpret=not on_tpu, gather_mode="split2", mm="bf16",
+        ) * 0.1 + x * 0.01
+
+    def op_pna(x):
+        return fused_pna_layer(
+            x, wb.nbr_nodes, wb.in_degree,
+            w_pre, b_pre, k_post, b_post, w_lin, b_lin, 2.0,
+            tile_rows=256, window_slack=32, sub_rows=128,
+            gather_mode="split2", mm="bf16", interpret=not on_tpu,
+        ) * 0.1 + x * 0.01
+
+    ops = {
+        "tiny_block_shape": (op_tiny, Nb),
+        "block_kernel": (op_block, Nb),
+        "block_xla": (op_block_xla, Nb),
+        "tiny_windowed_shape": (op_tiny, Nw),
+        "windowed_gcn": (op_windowed, Nw),
+        "pna_layer": (op_pna, Nw),
+    }
+
+    results = {"meta": {"protocol": "inner-chain k=1,2,4,8; chained calls",
+                        "N_block": Nb, "N_windowed": Nw}}
+    for name, (op, N) in ops.items():
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (N, F), jnp.float32)
+        times = {}
+        for kk in (1, 2, 4, 8):
+            def f(x, _k=kk, _op=op):
+                for _ in range(_k):
+                    x = _op(x)
+                return x
+
+            fj = jax.jit(f)
+            x = fj(x0)
+            x.block_until_ready()
+            dt = chained_marginal_time(fj, x, n_lo=6, n_hi=30, repeats=5)
+            times[kk] = dt * 1e6
+        # least squares fit time = a + b*k
+        kks = np.array(sorted(times))
+        ts = np.array([times[int(i)] for i in kks])
+        b_slope, a_int = np.polyfit(kks, ts, 1)
+        results[name] = {
+            "times_us": {str(int(i)): float(times[int(i)]) for i in kks},
+            "overhead_us": float(a_int),
+            "per_op_us": float(b_slope),
+        }
+        log(f"{name}: per-op {b_slope:.1f} us, per-call overhead "
+            f"{a_int:.1f} us  ({ {int(i): round(times[int(i)],1) for i in kks} })")
+
+    out = os.path.join(ROOT, "results_tpu", "dispatch_floor.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1, default=float)
+    print(json.dumps({k: round(v["per_op_us"], 1)
+                      for k, v in results.items() if k != "meta"}))
+
+
+if __name__ == "__main__":
+    main()
