@@ -55,6 +55,18 @@ def bench_tpu(
     from gnnbuilder_tpu.bench.canonical import canonical_batches, canonical_model
     from gnnbuilder_tpu.bench.timing import marginal_time
 
+    from gnnbuilder_tpu.data.datasets import DATASET_SPECS
+
+    # block-diagonal packing where it wins: convs on the block matmul
+    # path (A/B: results_tpu/block_model_ab.json — gin 1.32x, gcn 1.23x)
+    # and datasets whose graphs fit a 128-row block; PNA/GAT keep their
+    # fused windowed kernels on standard packing (block costs them ~8%
+    # pad nodes for no kernel change)
+    spec = DATASET_SPECS[dataset]
+    block = 128 if (
+        conv in ("gcn", "gin", "sage") and spec.max_nodes <= 128
+    ) else 0
+
     out = {}
     graphs = None
     for bs in batch_sizes:
@@ -63,6 +75,7 @@ def bench_tpu(
             n_graphs=max(n_graphs, bs + 1),
             batch_size=bs,
             node_multiple=256 if bs > 8 else 8,
+            block_size=block if bs > 8 else 0,
         )
         b = batches[0]
         model = canonical_model(conv, dataset, graphs=graphs)
