@@ -55,7 +55,7 @@ def main():
     slack = int(np.ceil(b.max_graph_nodes_static / 8) * 8)
 
     # --- measured single-chip step time ----------------------------------
-    bench_path = os.path.join(ROOT, "results_tpu", "bench_r2.json")
+    bench_path = os.path.join(ROOT, "results_tpu", "bench_r3.json")
     with open(bench_path) as f:
         bench = json.load(f)
     t_train = bench["train_step_b1024_ms"] / 1e3
@@ -71,14 +71,21 @@ def main():
     # gradient all-reduce: ring all-reduce moves 2 * P bytes per chip.
     grad_ar = 2 * p_bytes
 
-    def project(n_chips: int, training: bool, weak: bool) -> dict:
+    def project(n_chips: int, training: bool, weak: bool,
+                block_layout: bool = False) -> dict:
         # weak scaling: per-chip batch stays b1024 (global batch grows) —
         # per-chip compute constant; strong scaling: global batch fixed at
         # b1024, per-chip compute shrinks (and the comm/compute ratio is
         # the worst case for the target).
         t1 = t_train if training else t_fwd
         t_compute = t1 if weak else t1 / n_chips
-        comm = (halo_step + grad_ar) if training else halo_fwd
+        # block-diagonal layout (round 3): graphs never cross a dp shard
+        # boundary, so conv layers move ZERO bytes — training comm is the
+        # gradient all-reduce alone, inference comm is zero
+        if block_layout:
+            comm = grad_ar if training else 0
+        else:
+            comm = (halo_step + grad_ar) if training else halo_fwd
         t_comm = comm / ICI_BW
         # halo is positioned to overlap local aggregation (parallel/halo.py);
         # the grad all-reduce overlaps the backward of earlier layers.
@@ -98,6 +105,8 @@ def main():
     rows_train = [project(n, True, weak=False) for n in widths]
     rows_train_weak = [project(n, True, weak=True) for n in widths]
     rows_inf = [project(n, False, weak=False) for n in widths]
+    rows_block = [project(n, True, weak=False, block_layout=True)
+                  for n in widths]
 
     # the headline: 2 hosts, training, weak scaling, NO overlap credit —
     # the most conservative reading of the target that is still projectable
@@ -114,7 +123,7 @@ def main():
         },
         "measured_single_chip": {
             "train_step_ms": t_train * 1e3, "forward_ms": t_fwd * 1e3,
-            "source": "results_tpu/bench_r2.json (chained protocol)",
+            "source": "results_tpu/bench_r3.json (chained protocol)",
         },
         "assumptions": {
             "ici_bw_bytes_per_s": ICI_BW,
@@ -124,6 +133,13 @@ def main():
         "projection_training_strong": rows_train,
         "projection_training_weak": rows_train_weak,
         "projection_inference_strong": rows_inf,
+        "projection_training_strong_block_layout": rows_block,
+        "block_layout_note": (
+            "block-diagonal packing (core/graph.py block_size) keeps every "
+            "graph inside one dp shard: conv layers exchange ZERO bytes; "
+            "inference scales embarrassingly parallel and training comm "
+            "is the gradient all-reduce alone"
+        ),
         "two_hosts_training": {
             "weak_serial_no_overlap_credit": two_hosts["efficiency_serial"],
             "weak_overlapped": two_hosts["efficiency_overlapped"],
