@@ -87,6 +87,7 @@ class GNNServer:
         ell_width: Optional[int] = None,
         rev_ell_width: Optional[int] = None,
         strict_shapes: bool = False,
+        block_size: int = 0,
     ):
         self._fn = fn
         self._params = params
@@ -101,6 +102,10 @@ class GNNServer:
         # exceeds the width fails that batch with a clear error)
         self._ell_width = ell_width
         self._rev_ell_width = rev_ell_width
+        # block-diagonal bin-packed layout (core/graph.py): batches pack
+        # into block_size-row MXU blocks; the executable was compiled for
+        # that layout, so every served batch must use it too
+        self._block = int(block_size)
         # strict (artifact) mode: shapes are frozen in the executable, so
         # over-width requests are rejected at submit; flexible (live
         # Program) mode: the worker falls back to auto widths and jit
@@ -134,6 +139,7 @@ class GNNServer:
                 if batch_example.rev_nbr_nodes is not None
                 else 0,
             )
+        kw.setdefault("block_size", getattr(prog, "block_size", 0))
         return cls(
             lambda batch: fwd(prog.params, batch),
             None,
@@ -262,12 +268,23 @@ class GNNServer:
     # ---------------------------------------------------------------- worker
     def _fits(self, chunk: list, g) -> bool:
         nb, eb, gb = self._budgets
-        n = sum(p.graph.x.shape[0] for p in chunk) + g.x.shape[0]
+        if self._block:
+            # exact greedy bin-pack simulation (chunks are small)
+            cur = 0
+            for gg in [p.graph for p in chunk] + [g]:
+                ng = gg.x.shape[0]
+                if ng > self._block:
+                    return False
+                if (cur % self._block) + ng > self._block:
+                    cur = -(-cur // self._block) * self._block
+                cur += ng
+            n = -(-(cur + 1) // self._block) * self._block
+        else:
+            n = sum(p.graph.x.shape[0] for p in chunk) + g.x.shape[0] + 8
         e = sum(p.graph.edge_index.shape[1] for p in chunk) + (
             g.edge_index.shape[1]
         )
-        # +1 ghost node / graph, 8-multiple rounding headroom
-        return n + 8 <= nb and e + 8 <= eb and len(chunk) + 2 <= gb
+        return n <= nb and e + 8 <= eb and len(chunk) + 2 <= gb
 
     def _run(self):
         from gnnbuilder_tpu.core.graph import build_graph_batch
@@ -301,6 +318,7 @@ class GNNServer:
                         gs, node_budget=nb, edge_budget=eb, graph_budget=gb,
                         ell_width=self._ell_width,
                         rev_ell_width=self._rev_ell_width,
+                        block_size=self._block or None,
                     )
                 except (AssertionError, ValueError):
                     if self._strict:
@@ -308,7 +326,8 @@ class GNNServer:
                     # live-Program mode: a batch outgrew the pinned ELL
                     # widths — auto-size and let jit compile for the shape
                     batch = build_graph_batch(
-                        gs, node_budget=nb, edge_budget=eb, graph_budget=gb
+                        gs, node_budget=nb, edge_budget=eb, graph_budget=gb,
+                        block_size=self._block or None,
                     )
                 if (self._max_graph_nodes
                         and batch.max_graph_nodes_static

@@ -113,3 +113,30 @@ def test_int8_static_calibration(setup):
     prog_f32.set_params(prog.params)
     full = np.asarray(prog_f32.forward(b1))
     assert np.abs(static - full).max() / (np.abs(full).max() + 1e-6) < 0.15
+
+
+def test_server_block_packed():
+    """GNNServer over a block-packed Program: micro-batched requests pack
+    into the bin-packed layout the executable was compiled for."""
+    import jax
+    import numpy as np
+
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.data.datasets import load_dataset
+    from gnnbuilder_tpu.serve import GNNServer
+
+    graphs = load_dataset("qm9", n=24, seed=4)
+    model = gnnb.GNNModel(
+        graph_input_feature_dim=11, gnn_hidden_dim=16, gnn_num_layers=2,
+        gnn_output_dim=8, gnn_conv="gin", pooling_aggrs=("mean",),
+        mlp_out_dim=1,
+    )
+    prog = gnnb.Program(model, max_nodes=1024, max_edges=2048,
+                        max_graphs=25, block_size=128)
+    b = prog.batch(graphs)
+    prog.init_params(b)
+    golden = np.asarray(prog.forward(b))[:24]
+    with GNNServer.from_program(prog, batch_example=b) as srv:
+        assert srv._block == 128
+        out = srv.predict(graphs)
+    np.testing.assert_allclose(out[:, 0], golden[:, 0], atol=1e-5)
