@@ -183,10 +183,33 @@ def measure_many(
                 )
             if out_csv:
                 if writer is None:
-                    new = not os.path.exists(out_csv)
-                    fh = open(out_csv, "a", newline="")
-                    writer = csv.DictWriter(fh, fieldnames=list(row))
-                    if new:
+                    # schema-safe append: if the existing header lacks any
+                    # of this row's fields (a knob added since the corpus
+                    # started — e.g. block_size in round 3), REWRITE the
+                    # file with the union schema first; blind appending
+                    # under a stale header misaligns every new row
+                    fields = list(row)
+                    if os.path.exists(out_csv):
+                        with open(out_csv) as rfh:
+                            old_fields = next(csv.reader(rfh), [])
+                        if not set(fields) <= set(old_fields):
+                            union = list(
+                                dict.fromkeys(old_fields + fields)
+                            )
+                            with open(out_csv, "w", newline="") as wfh:
+                                w = csv.DictWriter(wfh, fieldnames=union)
+                                w.writeheader()
+                                for r_old in rows[:-1]:
+                                    w.writerow({k: r_old.get(k, "")
+                                                for k in union})
+                            fields = union
+                        else:
+                            fields = old_fields
+                        fh = open(out_csv, "a", newline="")
+                        writer = csv.DictWriter(fh, fieldnames=fields)
+                    else:
+                        fh = open(out_csv, "a", newline="")
+                        writer = csv.DictWriter(fh, fieldnames=fields)
                         writer.writeheader()
                 writer.writerow(row)
                 fh.flush()
