@@ -53,9 +53,9 @@ _SUB_ROWS: Optional[int] = None    # gather sub-tile height (DSE-tunable)
 _BLOCK: Optional[str] = os.environ.get("GNNB_BLOCK_MODE") or None
 if _BLOCK not in (None, "off", "fused", "split2", "bf16", "highest"):
     raise ValueError(f"bad GNNB_BLOCK_MODE {_BLOCK!r}")
-# "sub" | "tile" DMA granularity; GNNB_WINDOW_MODE lets the on-hardware
-# runbook (scripts/runbook.sh) apply the A/B winner to later steps in the
-# same pipeline without a source edit mid-run
+# "sub" | "tile" DMA granularity override (None = the policy default,
+# "tile" — see _window_mode_policy); GNNB_WINDOW_MODE overrides without
+# a source edit.
 _WINDOW_MODE: Optional[str] = (
     os.environ.get("GNNB_WINDOW_MODE") or None
 )
@@ -332,8 +332,15 @@ def fused_config(
             out["mm"] = "bf16" if on_tpu else "f32"
             if _SUB_ROWS is not None and slack:
                 out["sub_rows"] = _SUB_ROWS
-            if _WINDOW_MODE is not None and slack:
-                out["window_mode"] = _WINDOW_MODE
+            if slack:
+                # policy default "tile" since round 3: the inner-chain
+                # A/B (results_tpu/pna_sched_ab.json — the ~0.1ms host-
+                # issue floor fitted out, tile < sub in BOTH passes,
+                # ~116 vs ~169 us/layer on the fused PNA layer) reversed
+                # round-2's single-call conclusion, which measured the
+                # issue floor (results_tpu/dispatch_floor.json), not the
+                # kernel.  Numerics identical (pure DMA schedule).
+                out["window_mode"] = _WINDOW_MODE or "tile"
             if int8_layer:
                 out["int8"] = True
         return out
