@@ -29,7 +29,8 @@ OUT_DIR = os.path.join(ROOT, "dse_models")
 CSV = os.path.join(OUT_DIR, "perf_data.csv")
 
 
-def build(n_per_dataset: int, datasets: list[str], seed: int):
+def build(n_per_dataset: int, datasets: list[str], seed: int,
+          convs: list[str] | None = None):
     import jax
 
     try:
@@ -39,10 +40,13 @@ def build(n_per_dataset: int, datasets: list[str], seed: int):
     except Exception:
         pass
     from gnnbuilder_tpu.dse.measure import measure_many
-    from gnnbuilder_tpu.dse.space import sample_space
+    from gnnbuilder_tpu.dse.space import DEFAULT_AXES, sample_space
 
+    axes = None
+    if convs:
+        axes = dict(DEFAULT_AXES, conv=list(convs))
     for di, ds in enumerate(datasets):
-        cfgs = sample_space(n_per_dataset, seed=seed + di)
+        cfgs = sample_space(n_per_dataset, seed=seed + di, axes=axes)
         print(f"=== dataset {ds}: {len(cfgs)} configs ===", flush=True)
         measure_many(cfgs, dataset=ds, iters=12, out_csv=CSV)
 
@@ -234,6 +238,8 @@ def main():
     ap.add_argument("--n", type=int, default=80,
                     help="designs per dataset")
     ap.add_argument("--datasets", default="qm9,esol,hiv")
+    ap.add_argument("--convs", default="",
+                    help="restrict the conv axis (comma list)")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--fit-only", action="store_true")
     ap.add_argument("--remeasure-outliers", type=int, default=0,
@@ -248,7 +254,8 @@ def main():
     elif args.remeasure_outliers:
         remeasure_outliers(args.remeasure_outliers)
     elif not args.fit_only:
-        build(args.n, args.datasets.split(","), args.seed)
+        build(args.n, args.datasets.split(","), args.seed,
+              convs=[c for c in args.convs.split(",") if c])
     fit()
 
 
