@@ -226,19 +226,39 @@ def main():
         per_op = max(float(slope), 1e-9)
         floor_single = min_bytes_b / peak_bw
         floor_stream = adj_bytes / peak_bw
+        # degenerate fit: if the k=8 total never cleared the per-call
+        # host-issue floor (times flat in k), the slope measures noise —
+        # the device is FASTER than the host can observe at this depth.
+        # Mark unresolved; never report an infinite fraction.
+        resolved = (
+            float(tt[-1]) > 1.5 * float(tt[0])
+            and per_op * 8 > 0.2 * max(float(intercept), 1e-9)
+        )
         results[name] = {
             "per_op_us": per_op * 1e6,
             "per_call_overhead_us": float(intercept) * 1e6,
             "times_us": {str(int(i)): float(times[int(i)]) * 1e6
                          for i in kk},
-            "edges_per_s": real_edges_b / per_op,
-            "fraction_of_single_pass_roofline": floor_single / per_op,
-            "fraction_of_streaming_roofline": floor_stream / per_op,
+            "resolved": bool(resolved),
         }
-        log(f"{name}: per-op {per_op*1e6:.1f} us "
-            f"({real_edges_b/per_op/1e6:,.0f}M edges/s; "
-            f"{floor_single/per_op*100:.0f}% of single-pass / "
-            f"{floor_stream/per_op*100:.0f}% of streaming roofline)")
+        if resolved:
+            results[name].update(
+                edges_per_s=real_edges_b / per_op,
+                fraction_of_single_pass_roofline=floor_single / per_op,
+                fraction_of_streaming_roofline=floor_stream / per_op,
+            )
+            log(f"{name}: per-op {per_op*1e6:.1f} us "
+                f"({real_edges_b/per_op/1e6:,.0f}M edges/s; "
+                f"{floor_single/per_op*100:.0f}% of single-pass / "
+                f"{floor_stream/per_op*100:.0f}% of streaming roofline)")
+        else:
+            results[name]["note"] = (
+                "total device time below the host-issue floor at k=8 — "
+                "per-op time unresolvable from here (i.e. faster than "
+                "measurable; lower bound only)"
+            )
+            log(f"{name}: UNRESOLVED (flat in k: device faster than the "
+                "host-issue floor)")
 
     results["meta"] = {
         "N": N, "W": W, "F": F, "edges": real_edges,
@@ -253,7 +273,7 @@ def main():
          if k in results]
         + [results[k]["fraction_of_single_pass_roofline"]
            for k in ("block_spmm_xla_chain", "block_spmm_kernel_chain")
-           if k in results]
+           if k in results and results[k].get("resolved")]
     )
     out_path = os.path.join(ROOT, "results_tpu", "spmm_roofline.json")
     with open(out_path, "w") as fh:
