@@ -227,7 +227,11 @@ def block_layer_cfg(g, int8_ok: bool = False,
 
     BB = g.block_size_static
     tn = block_tile_rows(g.num_nodes, BB, cap=_TILE_ROWS or 1024)
-    if tn is None:
+    if tn is None or tn < 4 * BB:
+        # a prime-ish block count forces tiny grid tiles (one block per
+        # launch step) — the per-step overhead then loses to the XLA
+        # einsum path (gcn/qm9 b256 grid regression, round 3); require
+        # >= 4 blocks per tile, else fall back to ops/block.py
         return None
     interpret = not on_tpu
     out = dict(
