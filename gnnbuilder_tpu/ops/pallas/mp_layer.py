@@ -679,9 +679,12 @@ def _make_vjp_fn(conv, eps, tile_rows, window_slack, interpret, gather_mode,
                 conv, eps, act, has_skip, v, s, deg, skip, p, ct
             )
             # transpose of the sum aggregation: count-SpMM over the
-            # reverse table — a pure linear pass, no compare terms
+            # reverse table — a pure linear pass, no compare terms.
+            # window_mode follows the forward's schedule (tile default,
+            # hardware-verified: fused_parity_tpu_r2 window_tile_backward)
             dv = dv_self + fused_gather_backward(
-                ds, rev_nbr, out_deg, has_lin=True, **cfg
+                ds, rev_nbr, out_deg, has_lin=True,
+                window_mode=window_mode, **cfg
             )
             if not has_skip:
                 dskip = jnp.zeros_like(skip)

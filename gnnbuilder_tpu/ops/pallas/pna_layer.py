@@ -822,7 +822,8 @@ def _make_vjp_fn(delta, tile_rows, window_slack, interpret, gather_mode,
                 dv = fused_gather_backward(
                     cstk, rev_nbr, out_deg, v=v,
                     has_lin=True, has_dev=True, n_cmp=2,
-                    fwd_gather_mode=gather_mode, **cfg,
+                    fwd_gather_mode=gather_mode,
+                    window_mode=window_mode, **cfg,
                 )
 
             # pre_nn chains: u = x @ w_i + b_pre (receiver), v = x @ w_j
