@@ -151,6 +151,65 @@ def main():
         f"(roofline {roof['roofline_edges_per_s']:,.0f})"
     )
 
+    # device-time arm: chain k forwards inside ONE executable and fit
+    # time(k) = overhead + k * t_device (experiments/dispatch_floor.py).
+    # Through the relay every call pays a ~0.1 ms host-issue floor a
+    # locally attached chip would not; t_device is what the hardware
+    # actually spends per forward.  Clearly labeled; the headline stays
+    # the end-to-end call time.
+    device_b1_ms = None
+    device_b1_upper_ms = None
+    try:
+        import numpy as _np
+
+        gs1, b1batches = canonical_batches(
+            "qm9", n_graphs=64, batch_size=1, node_multiple=8
+        )
+        bb1 = b1batches[0]
+        p1 = gnnb.Program(
+            model, max_nodes=bb1.num_nodes, max_edges=bb1.num_edges,
+            max_graphs=bb1.num_graphs,
+        )
+        p1.init_params(bb1)
+        fwd1 = p1.compile(bb1)
+
+        def chain_k(k):
+            def f(x):
+                b = bb1.with_node_feat(x)
+                for _ in range(k):
+                    out = fwd1(p1.params, b)
+                    b = b.with_node_feat(
+                        b.node_feat + 1e-12 * out.sum()
+                    )
+                return b.node_feat
+
+            return jax.jit(f)
+
+        times = {}
+        for k in (1, 2, 4, 8):
+            fj = chain_k(k)
+            x = fj(bb1.node_feat)
+            x.block_until_ready()
+            times[k] = marginal_time(fj, x, n_lo=8, n_hi=40, repeats=4)
+        kk = _np.array(sorted(times))
+        tt = _np.array([times[int(i)] for i in kk])
+        slope, intercept = _np.polyfit(kk, tt, 1)
+        if float(tt[-1]) > 1.5 * float(tt[0]) and slope > 0:
+            device_b1_ms = float(slope) * 1e3
+            log(f"batch=1 DEVICE time (issue floor fitted out): "
+                f"{device_b1_ms:.3f} ms "
+                f"(per-call overhead {intercept*1e3:.3f} ms)")
+        else:
+            # even 8 chained forwards return within the per-call issue
+            # floor: the device forward is faster than observable from
+            # this host — report the upper bound times[8]/8
+            device_b1_upper_ms = float(times[8]) / 8 * 1e3
+            log(f"batch=1 device time unresolved (flat in k): "
+                f"UPPER BOUND {device_b1_upper_ms:.3f} ms "
+                f"(8 chained forwards inside one call window)")
+    except Exception as e:  # noqa: BLE001
+        log(f"device-time arm skipped: {type(e).__name__}: {e}")
+
     # bf16 policy arm: the reference's fpga_par headline is 16-bit
     # FPX(16,10) (build_gnnbuilder_benchmarks.py:398-399), so the 16-bit
     # TPU policy (bf16 params/gathers/matmuls, compile/precision.py) is
@@ -250,6 +309,18 @@ def main():
         out["bf16_graphs_per_s"] = round(bf16_tput, 1)
         out["bf16_vs_baseline"] = round(
             bf16_tput / REF_PNA_QM9_GRAPHS_PER_S, 2
+        )
+    if device_b1_ms is not None:
+        out["latency_b1_device_ms"] = round(device_b1_ms, 4)
+        out["device_vs_baseline_latency"] = round(
+            REF_PNA_QM9_LATENCY_S * 1e3 / device_b1_ms, 1
+        )
+    elif device_b1_upper_ms is not None:
+        out["latency_b1_device_upper_ms"] = round(device_b1_upper_ms, 4)
+        out["device_latency_note"] = (
+            "b1 device time is below the host-issue measurement floor "
+            "(8 chained forwards return within one call window); the "
+            "bound is times[k=8]/8"
         )
     if train_ms is not None:
         out["train_step_b1024_ms"] = round(train_ms, 2)
