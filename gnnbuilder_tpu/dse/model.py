@@ -58,6 +58,12 @@ FEATURE_NAMES = (
         # appended in round 3 (block-diagonal packing); pickles fit before
         # it predict on their own prefix (CostModel._features)
         "block_packed",
+        # appended round 3b: MXU-alignment flags (the fused-kernel gate is
+        # a latency regime change) + log-batch interactions
+        "hidden_mxu_aligned",
+        "out_mxu_aligned",
+        "log_bs",
+        "log_bs_log_h",
     ]
 )
 
@@ -123,7 +129,14 @@ def transform_x(cfgs: Sequence[DSEConfig]) -> np.ndarray:
                 float(c.avg_edges),
             ]
             + _analytic_features(c)
-            + [1.0 if getattr(c, "block_size", 0) else 0.0]
+            + [
+                1.0 if getattr(c, "block_size", 0) else 0.0,
+                1.0 if int(c.gnn_hidden_dim) % 128 == 0 else 0.0,
+                1.0 if int(c.gnn_output_dim) % 128 == 0 else 0.0,
+                float(np.log(float(c.batch_size))),
+                float(np.log(float(c.batch_size))
+                      * np.log(max(float(c.gnn_hidden_dim), 1.0))),
+            ]
         )
     return np.asarray(rows, dtype=np.float64)
 
@@ -141,7 +154,7 @@ class _HuberTreesResidual:
     (kernel-regime effects the analytic terms miss).  Cuts 5-fold CV MAPE
     0.266 -> ~0.237 (mean over split seeds) on the 210-point corpus."""
 
-    def __init__(self, n_estimators=600, min_samples_leaf=2, epsilon=1.35):
+    def __init__(self, n_estimators=1200, min_samples_leaf=1, epsilon=1.35):
         self.n_estimators = n_estimators
         self.min_samples_leaf = min_samples_leaf
         self.epsilon = epsilon
