@@ -121,3 +121,37 @@ def test_node_budget_respects_block_multiple():
     validate_batch(b)
     with pytest.raises(AssertionError):
         build_graph_batch(graphs, block_size=128, node_budget=520)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_block_packing_fuzz_random_sizes(seed):
+    """Random graph-size mixes (1..block_size nodes, incl. edgeless and
+    exactly-full blocks): pack, validate, and check GIN forward parity
+    vs standard packing."""
+    import jax
+
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(20):
+        n = int(rng.integers(1, 129))
+        e = int(rng.integers(0, max(2 * n, 1)))
+        ei = rng.integers(0, n, size=(2, e)).astype(np.int64)
+        graphs.append(Graph(
+            x=rng.normal(size=(n, 6)).astype(np.float32),
+            edge_index=ei,
+        ))
+    b_std = build_graph_batch(graphs, ell_width=0)
+    b_blk = build_graph_batch(graphs, block_size=128, ell_width=0)
+    validate_batch(b_blk, strict_ell=False)
+
+    import gnnbuilder_tpu as gnnb
+
+    model = gnnb.GNNModel(
+        graph_input_feature_dim=6, gnn_hidden_dim=8, gnn_num_layers=2,
+        gnn_output_dim=4, gnn_conv="gin", pooling_aggrs=("add", "mean"),
+        mlp_out_dim=1,
+    )
+    params = model.init(jax.random.PRNGKey(0), b_std)
+    o1 = np.asarray(model.apply(params, b_std))[:20]
+    o2 = np.asarray(model.apply(params, b_blk))[:20]
+    np.testing.assert_allclose(o2, o1, atol=1e-5)
