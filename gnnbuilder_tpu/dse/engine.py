@@ -148,9 +148,12 @@ class DSEEngine:
             avg_nodes=avg_nodes, avg_edges=avg_edges,
         )
         cands = [
-            DSEConfig(**base, ell_width=ew, tile_rows=tr)
+            DSEConfig(**base, ell_width=ew, tile_rows=tr,
+                      window_mode=wm, block_size=bs_)
             for ew in (None, 0)
             for tr in (None, 256, 512, 1024)
+            for wm in (None, "sub", "tile")
+            for bs_ in (0, 128)
         ]
         ranked = self.optimize(cands, top_k=len(cands))
         best, best_pred = ranked[0]
@@ -159,10 +162,16 @@ class DSEEngine:
             from gnnbuilder_tpu.ops import dispatch
 
             dispatch.set_kernel_overrides(
-                tile_rows=best.tile_rows, ell_width=best.ell_width
+                tile_rows=best.tile_rows, ell_width=best.ell_width,
+                window_mode=best.window_mode,
             )
             applied = {
-                "tile_rows": best.tile_rows, "ell_width": best.ell_width
+                "tile_rows": best.tile_rows, "ell_width": best.ell_width,
+                "window_mode": best.window_mode,
+                # block_size is a packing-time layout choice — report it
+                # so the caller packs batches accordingly (build_graph_
+                # batch / Program / GraphLoader block_size)
+                "block_size": getattr(best, "block_size", 0),
             }
         return {
             "best": best,
