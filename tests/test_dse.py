@@ -118,9 +118,12 @@ def test_pretrained_tune_kernels():
         assert r["applied"] == {
             "tile_rows": r["best"].tile_rows,
             "ell_width": r["best"].ell_width,
+            "window_mode": r["best"].window_mode,
+            "block_size": r["best"].block_size,
         }
         assert r["predicted_us_per_graph"] > 0
-        assert len(r["ranked"]) == 8  # 2 ell_width x 4 tile_rows
+        # 2 ell_width x 4 tile_rows x 3 window_mode x 2 block_size
+        assert len(r["ranked"]) == 48
         preds = [p for _, p in r["ranked"]]
         assert preds == sorted(preds)
         # gather_mode is never tuned (numerics-preserving contract) and a
