@@ -25,7 +25,7 @@ import numpy as np
 
 
 def run(dataset="esol", steps=40, batch_size=16, hidden=32, layers=3,
-        lr=1e-3, conv="gcn", seed=0, verbose=True):
+        lr=1e-3, conv="gcn", seed=0, verbose=True, block_size=0):
     """Regression (MSE) or binary classification (BCE-with-logits) is picked
     from the dataset spec; classification additionally reports torch-vs-JAX
     ROC-AUC on the training pool (the HIV-style end-to-end parity the
@@ -71,7 +71,8 @@ def run(dataset="esol", steps=40, batch_size=16, hidden=32, layers=3,
 
     # identical batches
     chunks = [graphs[i : i + batch_size] for i in range(0, len(graphs), batch_size)]
-    jbatches = [gnnb.build_graph_batch(c) for c in chunks]
+    jbatches = [gnnb.build_graph_batch(c, block_size=block_size or None)
+                for c in chunks]
     jtargets = [stack_targets(c, b.num_graphs) for c, b in zip(chunks, jbatches)]
 
     # --- JAX training ---
@@ -123,7 +124,7 @@ def run(dataset="esol", steps=40, batch_size=16, hidden=32, layers=3,
         ])
         jscores, tscores = [], []
         for c in chunks:
-            b = gnnb.build_graph_batch(c)
+            b = gnnb.build_graph_batch(c, block_size=block_size or None)
             out = np.asarray(jmodel.apply(p, b))
             jscores.append(out[: len(c), 0])
             with torch.no_grad():

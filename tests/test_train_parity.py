@@ -37,3 +37,14 @@ def test_classification_training_and_auc_match_torch():
     # the trained model must beat chance and match torch's AUC
     assert tauc > 0.55, tauc
     assert abs(jauc - tauc) < 0.05, aucs
+
+
+def test_block_layout_training_curves_match_torch():
+    """Same torch-vs-JAX multi-step training parity on BLOCK-PACKED
+    batches (the round-3 matmul-aggregation path, the TPU default for
+    gin/sage): the layout must be invisible to the optimizer."""
+    from train_parity import run
+
+    jl, tl, rel = run(steps=12, batch_size=8, hidden=16, layers=2,
+                      conv="gin", block_size=128, verbose=False)
+    assert rel.max() < 1e-3, rel.max()
