@@ -61,7 +61,7 @@ def main():
     model = canonical_model("pna", "qm9", graphs=graphs)
 
     def measure(bs, n_lo=5, n_hi=25, return_info=False, repeats=2,
-                precision="f32"):
+                precision="f32", node_multiple=None):
         import numpy as np
 
         # node_multiple=256 aligns larger batches to the fused Pallas
@@ -69,7 +69,7 @@ def main():
         # padding and the XLA path, which wins at that scale
         gs, batches = canonical_batches(
             "qm9", n_graphs=max(bs * 2, 64), batch_size=bs,
-            node_multiple=256 if bs >= 64 else 8,
+            node_multiple=node_multiple or (256 if bs >= 64 else 8),
         )
         b = batches[0]
         p = gnnb.Program(
@@ -217,8 +217,12 @@ def main():
     # headline.  Guarded: a bf16-path failure must not cost the round.
     bf16_tput = None
     try:
+        # packing per the knob grid's bf16 winner (results_tpu/
+        # pna_tune.json: nm1024 enables the tr1024/sr256 tile schedule) —
+        # the autotuner role the DSE owns (dse.engine.tune_kernels)
         dt_bf16 = measure(best_bs, n_lo=5, n_hi=35, repeats=5,
-                          precision="bf16")
+                          precision="bf16",
+                          node_multiple=1024 if best_bs >= 256 else None)
         bf16_tput = best_bs / dt_bf16
         log(f"bf16 policy batch={best_bs}: {dt_bf16*1e3:.2f} ms/call -> "
             f"{bf16_tput:,.0f} graphs/s")
