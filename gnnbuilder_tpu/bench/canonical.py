@@ -59,13 +59,29 @@ def canonical_batches(
     edge_multiple: int = 8,
     seed: int = 0,
     block_size: int = 0,
+    node_dim: int = None,
 ):
     """Greedily pack the first ``n_graphs`` graphs into uniform-bucket batches
     of ``batch_size`` graphs; all batches share one (max) bucket so a single
     executable serves the whole sweep.  ``block_size`` > 0 selects the
     block-diagonal bin-packed layout (core/graph.py) — the bucket then
-    covers the worst-case pack waste across chunks."""
+    covers the worst-case pack waste across chunks.  ``node_dim`` zero-pads
+    node features to the given width (DSE rows for the in==out convs
+    LG/Simple run with input == hidden; pad values are timing-inert)."""
     graphs = load_dataset(dataset, n=n_graphs, seed=seed)
+    if node_dim is not None:
+        import dataclasses as _dc
+
+        graphs = [
+            _dc.replace(
+                g,
+                x=np.pad(
+                    g.x[:, :node_dim],
+                    ((0, 0), (0, max(node_dim - g.x.shape[1], 0))),
+                ),
+            )
+            for g in graphs
+        ]
     chunks = [
         graphs[i : i + batch_size] for i in range(0, len(graphs), batch_size)
     ]

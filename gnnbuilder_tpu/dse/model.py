@@ -64,6 +64,11 @@ FEATURE_NAMES = (
         "out_mxu_aligned",
         "log_bs",
         "log_bs_log_h",
+        # appended round 4: EdgeConv joins the corpus (the reference left
+        # it a commented-out skeleton, gnn_builder_lib.h:2636-2703); the
+        # one-hot list above is frozen (pickled models index by name), so
+        # the new conv rides an appended flag
+        "conv_edge",
     ]
 )
 
@@ -73,6 +78,9 @@ FEATURE_NAMES = (
 _CONV_MM = {
     "gcn": 1.0, "gin": 2.0, "sage": 2.0, "pna": 15.0, "gat": 3.0,
     "gine": 3.0, "lg": 0.0, "simple": 0.0,
+    # EdgeConv: PairLinear pre (2 node matmuls) + lin1 at EDGE cost
+    # (~avg-degree node-equivalents, ~2-4 on molecular graphs)
+    "edge": 5.0,
 }
 
 
@@ -136,6 +144,7 @@ def transform_x(cfgs: Sequence[DSEConfig]) -> np.ndarray:
                 float(np.log(float(c.batch_size))),
                 float(np.log(float(c.batch_size))
                       * np.log(max(float(c.gnn_hidden_dim), 1.0))),
+                1.0 if c.conv == "edge" else 0.0,
             ]
         )
     return np.asarray(rows, dtype=np.float64)
