@@ -180,7 +180,9 @@ class Program:
                 batch = batch.with_node_feat(
                     batch.node_feat.astype(jnp.bfloat16)
                 )
-            with prec.activate():
+            from gnnbuilder_tpu.ops.dispatch import inference_mode
+
+            with prec.activate(), inference_mode():
                 if scales:
                     from gnnbuilder_tpu.ops.quant import calibration
 
@@ -380,7 +382,9 @@ class Program:
                 batch = batch.with_node_feat(
                     batch.node_feat.astype(jnp.bfloat16)
                 )
-            with prec.activate():
+            from gnnbuilder_tpu.ops.dispatch import inference_mode
+
+            with prec.activate(), inference_mode():
                 if scales:
                     from gnnbuilder_tpu.ops.quant import calibration
 
@@ -417,7 +421,9 @@ class Program:
                         else batch.node_feat.dtype
                     )
                 )
-                with prec.activate():
+                from gnnbuilder_tpu.ops.dispatch import inference_mode
+
+                with prec.activate(), inference_mode():
                     if scales:
                         from gnnbuilder_tpu.ops.quant import calibration
 

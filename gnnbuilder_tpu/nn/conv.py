@@ -625,6 +625,31 @@ class GATConv(nn.Module):
         n = g.num_nodes
         H, C = self.heads, self.out_channels
 
+        # fused block-dense attention (softmax in VMEM, ops/pallas/
+        # gat_block.py) on block-packed batches in inference scope — the
+        # round-4 fix for the XLA block path's [T,H,B,B] HBM round trip
+        # (gat_block_ab.json 0.83x).  Outranks the windowed kernel there;
+        # concat mode, no edge features.
+        if (not self.is_initializing() and self.concat
+                and self.edge_dim is None):
+            from gnnbuilder_tpu.ops import dispatch as _dispatch2
+
+            bkcfg = _dispatch2.gat_block_cfg(g)
+            if bkcfg is not None:
+                from gnnbuilder_tpu.ops.pallas.gat_block import (
+                    gat_block_layer_auto,
+                )
+
+                p = self.variables["params"]
+                return gat_block_layer_auto(
+                    x, g.block_adj,
+                    p["lin"]["kernel"], p["att_src"], p["att_dst"],
+                    p["bias"], H,
+                    neg_slope=self.negative_slope,
+                    self_loops=self.add_self_loops,
+                    skip=skip, act=act, **bkcfg,
+                )
+
         # fully-fused Pallas layer (projection + SDDMM logits + masked
         # softmax + weighted sum + bias/skip/act, ops/pallas/gat_layer.py)
         # — the conv the reference never implemented, fused.  concat mode

@@ -189,16 +189,21 @@ class GNNModel(nn.Module):
         (ghost graph row included — mask it with g.graph_mask downstream)."""
         h = g.node_feat if x is None else x
         L = self.gnn_num_layers
-        for i, conv in enumerate(self.gnn_convs):
-            # skip-add + activation are delegated to the conv so fused
-            # kernels can absorb them into their epilogue; the conv's XLA
-            # paths apply the identical math (nn/conv.py _finish)
-            skip = (
-                h if self.gnn_skip_connection and 0 < i < L - 1 else None
-            )
-            # positional act/skip so nn.remat's static_argnums can mark the
-            # activation string static (kwargs cannot be)
-            h = conv(g, h, self.gnn_activation, skip)
+        stacked = self._fused_gnn_stack(g, h)
+        if stacked is not None:
+            h = stacked
+        else:
+            for i, conv in enumerate(self.gnn_convs):
+                # skip-add + activation are delegated to the conv so fused
+                # kernels can absorb them into their epilogue; the conv's
+                # XLA paths apply the identical math (nn/conv.py _finish)
+                skip = (
+                    h if self.gnn_skip_connection and 0 < i < L - 1
+                    else None
+                )
+                # positional act/skip so nn.remat's static_argnums can mark
+                # the activation string static (kwargs cannot be)
+                h = conv(g, h, self.gnn_activation, skip)
         fused = self._fused_readout(g, h)
         if fused is not None:
             return fused
@@ -207,6 +212,49 @@ class GNNModel(nn.Module):
         if self.output_activation is not None:
             out = OUTPUT_ACTIVATIONS[self.output_activation](out)
         return out
+
+    def _fused_gnn_stack(self, g: GraphBatch, h):
+        """Whole-stack Pallas kernel (every conv layer in one kernel, the
+        hidden state VMEM-resident — ops/pallas/pna_block.py) when the
+        dispatch policy allows: block-packed batch + inference scope.
+        Returns None to fall back to the per-layer conv loop (identical
+        math — pinned by tests/test_pna_block_stack.py)."""
+        if self.is_initializing() or self.gnn_conv != "pna":
+            return None
+        if self.gnn_num_layers < 1:
+            return None
+        kw = dict(self.conv_kwargs or {})
+        if "aggregators" in kw or "scalers" in kw:
+            return None  # non-default PNA configs keep the per-layer path
+        from gnnbuilder_tpu.ops import dispatch
+        from gnnbuilder_tpu.ops.pallas.pna_block import _ACTS as _STACK_ACTS
+
+        if self.gnn_activation not in _STACK_ACTS:
+            return None
+        cfg = dispatch.pna_stack_cfg(g, self.gnn_num_layers)
+        if cfg is None:
+            return None
+        from gnnbuilder_tpu.ops.pallas.pna_block import pna_block_stack_auto
+
+        p = self.variables["params"]
+        layers = []
+        for i in range(self.gnn_num_layers):
+            q = p[f"gnn_convs_{i}"]
+            layers.append((
+                q["pre_nn"]["kernel"], q["pre_nn"]["bias"],
+                q["post_nn"]["kernel"], q["post_nn"]["bias"],
+                q["lin"]["kernel"], q["lin"]["bias"],
+            ))
+        L = self.gnn_num_layers
+        delta = float(kw.get("delta", 1.0))
+        skips = tuple(
+            self.gnn_skip_connection and 0 < i < L - 1 for i in range(L)
+        )
+        return pna_block_stack_auto(
+            h, g.nbr_nodes, g.in_degree, layers,
+            deltas=(delta,) * L, skips=skips, act=self.gnn_activation,
+            out_dim=self.gnn_output_dim, **cfg,
+        )
 
     def _fused_readout(self, g: GraphBatch, h):
         """Whole-readout Pallas kernel (pooling + MLP + output activation,

@@ -30,6 +30,9 @@ __all__ = [
     "fused_config",
     "readout_config",
     "no_fused",
+    "inference_mode",
+    "inference_on",
+    "pna_stack_cfg",
 ]
 
 _MODE = "auto"
@@ -83,6 +86,28 @@ def no_fused():
         yield
     finally:
         _SUPPRESSED.reset(tok)
+
+
+# inference scope: whole-STACK kernels (ops/pallas/pna_block.py) replace
+# the per-layer kernels only here — their backward is an XLA-reference
+# recompute, so training paths must keep the per-layer fused VJP kernels.
+# Program forward/benchmark/serving enter this scope; train steps do not.
+_INFERENCE: _contextvars.ContextVar = _contextvars.ContextVar(
+    "gnnb_inference", default=False
+)
+
+
+@_contextlib.contextmanager
+def inference_mode():
+    tok = _INFERENCE.set(True)
+    try:
+        yield
+    finally:
+        _INFERENCE.reset(tok)
+
+
+def inference_on() -> bool:
+    return _INFERENCE.get()
 
 
 def set_fused_mode(mode: str, tile_rows: Optional[int] = None) -> None:
@@ -243,6 +268,112 @@ def block_layer_cfg(g, int8_ok: bool = False,
     if int8_on:
         out["int8"] = True
     return out
+
+
+# round-4 staged gate: the block-local fused PNA STACK kernel
+# (ops/pallas/pna_block.py — the whole conv stack in one kernel, hidden
+# state VMEM-resident).  Staged until its on-chip verification artifact
+# lands (tpu_verify_r4.py), then the default flips with the artifact
+# commit (CLAUDE.md staged-rollout convention).
+_STAGED_R4 = os.environ.get("GNNB_STAGED_R4", "0") == "1"
+
+
+def staged_r4_ok() -> bool:
+    return _STAGED_R4 or _MODE == "always"
+
+
+def pna_stack_cfg(g, n_layers: int = 1) -> Optional[dict]:
+    """Kernel kwargs for the whole-stack block-local PNA kernel
+    (ops/pallas/pna_block.py) when it applies, else None (the model falls
+    back to the per-layer conv loop).
+
+    Preconditions: block-packed batch (neighbor ids block-local — the
+    gather window IS the 128-row block), inference scope (the stack
+    kernel's backward is an XLA recompute; training keeps the per-layer
+    fused VJP kernels), no halo/suppression, f32/bf16 policy (int8
+    epilogues not implemented in the stack kernel)."""
+    if _MODE == "never" or _SUPPRESSED.get() or _BLOCK == "off":
+        return None
+    if not staged_r4_ok():
+        return None
+    if not inference_on() and _MODE != "always":
+        return None
+    if g.nbr_nodes is None or getattr(g, "block_adj", None) is None:
+        return None
+    BB = g.block_size_static
+    if BB % 128 != 0:
+        return None
+    from gnnbuilder_tpu.parallel.halo import active_halo
+
+    if active_halo() is not None:
+        return None
+    from gnnbuilder_tpu.compile.precision import active_precision
+
+    prec = active_precision()
+    if prec is not None and prec.name == "int8":
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if _MODE == "auto" and not on_tpu:
+        return None
+    from gnnbuilder_tpu.ops.pallas.mp_layer import block_tile_rows
+
+    tn = block_tile_rows(g.num_nodes, BB, cap=_TILE_ROWS or 1024)
+    if tn is None:
+        return None
+    gather = _GATHER_MODE or (
+        "bf16" if prec is not None and prec.name == "bf16" else "split2"
+    )
+    return dict(
+        tile_rows=tn,
+        block_size=BB,
+        gather_mode=gather,
+        mm="bf16" if on_tpu else "f32",
+        interpret=not on_tpu,
+    )
+
+
+def gat_block_cfg(g) -> Optional[dict]:
+    """Kernel kwargs for the fused block-dense GAT attention kernel
+    (ops/pallas/gat_block.py) when it applies, else None (GATConv keeps
+    the windowed fused kernel / XLA paths).
+
+    Same gating shape as pna_stack_cfg: block-packed batch + inference
+    scope (the kernel's backward is an XLA recompute; training keeps the
+    windowed kernel's hand-written scatter backward), f32/bf16 policy."""
+    if _MODE == "never" or _SUPPRESSED.get() or _BLOCK == "off":
+        return None
+    if not staged_r4_ok():
+        return None
+    if not inference_on() and _MODE != "always":
+        return None
+    if getattr(g, "block_adj", None) is None:
+        return None
+    BB = g.block_size_static
+    if BB % 128 != 0:
+        return None
+    from gnnbuilder_tpu.parallel.halo import active_halo
+
+    if active_halo() is not None:
+        return None
+    from gnnbuilder_tpu.compile.precision import active_precision
+
+    prec = active_precision()
+    if prec is not None and prec.name == "int8":
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if _MODE == "auto" and not on_tpu:
+        return None
+    from gnnbuilder_tpu.ops.pallas.mp_layer import block_tile_rows
+
+    tn = block_tile_rows(g.num_nodes, BB, cap=_TILE_ROWS or 1024)
+    if tn is None:
+        return None
+    return dict(
+        tile_rows=tn,
+        block_size=BB,
+        mm="bf16" if on_tpu else "f32",
+        interpret=not on_tpu,
+    )
 
 
 from gnnbuilder_tpu.core.graph import _round_up
