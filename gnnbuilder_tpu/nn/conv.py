@@ -918,6 +918,27 @@ class EdgeConv(nn.Module):
         if name not in ("sum", "mean", "max"):
             raise ValueError(f"unknown aggregation {self.aggregation}")
         n = g.num_nodes
+
+        # fused block-local layer (gather + per-slot ReLU/lin1 + reduce in
+        # one kernel, ops/pallas/edge_block.py) on block-packed batches in
+        # inference scope — EdgeConv joins the fused family (round 4)
+        if not self.is_initializing():
+            from gnnbuilder_tpu.ops import dispatch as _dispatch3
+
+            ecfg = _dispatch3.edge_block_cfg(g)
+            if ecfg is not None:
+                from gnnbuilder_tpu.ops.pallas.edge_block import (
+                    edge_block_layer_auto,
+                )
+
+                p = self.variables["params"]
+                return edge_block_layer_auto(
+                    x, g.nbr_nodes, g.in_degree,
+                    p["lin0"]["kernel"], p["lin0"]["bias"],
+                    p["lin1"]["kernel"], p["lin1"]["bias"],
+                    aggregation=name, skip=skip, act=act, **ecfg,
+                )
+
         u, v = self.lin0(x, x)  # u = x@W_self + b, v = x@W_diff
         w = u - v  # receiver-side term: (x_i@W_self + b) - x_i@W_diff
         if _use_ell(g):

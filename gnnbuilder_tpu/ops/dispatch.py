@@ -292,54 +292,24 @@ def pna_stack_cfg(g, n_layers: int = 1) -> Optional[dict]:
     kernel's backward is an XLA recompute; training keeps the per-layer
     fused VJP kernels), no halo/suppression, f32/bf16 policy (int8
     epilogues not implemented in the stack kernel)."""
-    if _MODE == "never" or _SUPPRESSED.get() or _BLOCK == "off":
+    if g.nbr_nodes is None:
         return None
-    if not staged_r4_ok():
+    cfg = _r4_block_cfg(g)
+    if cfg is None:
         return None
-    if not inference_on() and _MODE != "always":
-        return None
-    if g.nbr_nodes is None or getattr(g, "block_adj", None) is None:
-        return None
-    BB = g.block_size_static
-    if BB % 128 != 0:
-        return None
-    from gnnbuilder_tpu.parallel.halo import active_halo
-
-    if active_halo() is not None:
-        return None
-    from gnnbuilder_tpu.compile.precision import active_precision
-
-    prec = active_precision()
-    if prec is not None and prec.name == "int8":
-        return None
-    on_tpu = jax.default_backend() == "tpu"
-    if _MODE == "auto" and not on_tpu:
-        return None
-    from gnnbuilder_tpu.ops.pallas.mp_layer import block_tile_rows
-
-    tn = block_tile_rows(g.num_nodes, BB, cap=_TILE_ROWS or 1024)
-    if tn is None:
-        return None
-    gather = _GATHER_MODE or (
-        "bf16" if prec is not None and prec.name == "bf16" else "split2"
+    prec_name = cfg.pop("_prec")
+    cfg["gather_mode"] = _GATHER_MODE or (
+        "bf16" if prec_name == "bf16" else "split2"
     )
-    return dict(
-        tile_rows=tn,
-        block_size=BB,
-        gather_mode=gather,
-        mm="bf16" if on_tpu else "f32",
-        interpret=not on_tpu,
-    )
+    return cfg
 
 
-def gat_block_cfg(g) -> Optional[dict]:
-    """Kernel kwargs for the fused block-dense GAT attention kernel
-    (ops/pallas/gat_block.py) when it applies, else None (GATConv keeps
-    the windowed fused kernel / XLA paths).
-
-    Same gating shape as pna_stack_cfg: block-packed batch + inference
-    scope (the kernel's backward is an XLA recompute; training keeps the
-    windowed kernel's hand-written scatter backward), f32/bf16 policy."""
+def _r4_block_cfg(g) -> Optional[dict]:
+    """Shared gate for the round-4 block-local inference kernels
+    (pna_block / gat_block / edge_block): block-packed batch + inference
+    scope (their backwards are XLA recomputes; training keeps the
+    per-layer fused VJP kernels), staged rollout, f32/bf16 policy, no
+    halo/suppression."""
     if _MODE == "never" or _SUPPRESSED.get() or _BLOCK == "off":
         return None
     if not staged_r4_ok():
@@ -373,7 +343,35 @@ def gat_block_cfg(g) -> Optional[dict]:
         block_size=BB,
         mm="bf16" if on_tpu else "f32",
         interpret=not on_tpu,
+        _prec=prec.name if prec is not None else None,
     )
+
+
+def gat_block_cfg(g) -> Optional[dict]:
+    """Kernel kwargs for the fused block-dense GAT attention kernel
+    (ops/pallas/gat_block.py) when it applies, else None (GATConv keeps
+    the windowed fused kernel / XLA paths)."""
+    cfg = _r4_block_cfg(g)
+    if cfg is not None:
+        cfg.pop("_prec")
+    return cfg
+
+
+def edge_block_cfg(g) -> Optional[dict]:
+    """Kernel kwargs for the fused block-local EdgeConv layer
+    (ops/pallas/edge_block.py) when it applies, else None (EdgeConv keeps
+    the ELL/flat XLA paths).  gather_mode follows the precision policy
+    (bf16 one-pass under the bf16 policy, exact split2 otherwise)."""
+    if g.nbr_nodes is None:
+        return None
+    cfg = _r4_block_cfg(g)
+    if cfg is None:
+        return None
+    prec = cfg.pop("_prec")
+    cfg["gather_mode"] = _GATHER_MODE or (
+        "bf16" if prec == "bf16" else "split2"
+    )
+    return cfg
 
 
 from gnnbuilder_tpu.core.graph import _round_up
