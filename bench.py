@@ -61,15 +61,19 @@ def main():
     model = canonical_model("pna", "qm9", graphs=graphs)
 
     def measure(bs, n_lo=5, n_hi=25, return_info=False, repeats=2,
-                precision="f32", node_multiple=None):
+                precision="f32", node_multiple=None, block_size=0):
         import numpy as np
 
         # node_multiple=256 aligns larger batches to the fused Pallas
         # kernel's node tiles (ops/dispatch.py); tiny batches keep tight
-        # padding and the XLA path, which wins at that scale
+        # padding and the XLA path, which wins at that scale.
+        # block_size=128 selects the bin-packed layout: the whole-stack
+        # block-local PNA kernel (ops/pallas/pna_block.py) then runs the
+        # entire conv stack in one kernel (round 4).
         gs, batches = canonical_batches(
             "qm9", n_graphs=max(bs * 2, 64), batch_size=bs,
             node_multiple=node_multiple or (256 if bs >= 64 else 8),
+            block_size=block_size,
         )
         b = batches[0]
         p = gnnb.Program(
@@ -78,6 +82,7 @@ def main():
             max_edges=b.num_edges,
             max_graphs=b.num_graphs,
             precision=precision,
+            block_size=block_size,
         )
         p.init_params(b)
         # chained-call marginal timing (Program.benchmark): independent
@@ -127,24 +132,33 @@ def main():
     # — a driver re-run should land inside the printed range, not chase a
     # best session)
     best_tput, best_bs, best = 0.0, 1, None
-    f32_runs_by_bs = {}
+    best_blk = 0
+    f32_runs_by_key = {}
     for bs in (256, 1024):
-        # median-of-5 marginal estimates: relay noise at sub-ms call times
-        # swings single estimates by 2-3x
-        runs = []
-        binfo = None
-        for _ in range(3):
-            dt_i, binfo = measure_guarded(bs, n_lo=5, n_hi=35, repeats=5,
-                                          return_info=True)
-            runs.append(dt_i)
-        runs.sort()
-        dt = runs[1]  # median of 3
-        f32_runs_by_bs[bs] = runs
-        tput = bs / dt
-        log(f"batch={bs}: {dt*1e3:.2f} ms/call -> {tput:,.0f} graphs/s "
-            f"(3-run range {bs/runs[-1]:,.0f}-{bs/runs[0]:,.0f})")
-        if tput > best_tput:
-            best_tput, best_bs, best = tput, bs, (dt, binfo)
+        # packing axis: standard contiguous vs block bin-packed (the
+        # whole-stack block-local PNA kernel dispatches on the latter)
+        for blk_sz in (0, 128):
+            # median-of-5 marginal estimates: relay noise at sub-ms call
+            # times swings single estimates by 2-3x
+            runs = []
+            binfo = None
+            for _ in range(3):
+                dt_i, binfo = measure_guarded(
+                    bs, n_lo=5, n_hi=35, repeats=5, return_info=True,
+                    block_size=blk_sz,
+                    node_multiple=1024 if blk_sz else None,
+                )
+                runs.append(dt_i)
+            runs.sort()
+            dt = runs[1]  # median of 3
+            f32_runs_by_key[(bs, blk_sz)] = runs
+            tput = bs / dt
+            log(f"batch={bs} pack={'block' if blk_sz else 'std'}: "
+                f"{dt*1e3:.2f} ms/call -> {tput:,.0f} graphs/s "
+                f"(3-run range {bs/runs[-1]:,.0f}-{bs/runs[0]:,.0f})")
+            if tput > best_tput:
+                best_tput, best_bs, best = tput, bs, (dt, binfo)
+                best_blk = blk_sz
 
     # roofline accounting for the winning config (BASELINE.json edges/s target)
     from gnnbuilder_tpu.bench.roofline import program_min_bytes, roofline_report
@@ -238,6 +252,7 @@ def main():
             bf16_runs.append(measure(
                 best_bs, n_lo=5, n_hi=35, repeats=5, precision="bf16",
                 node_multiple=1024 if best_bs >= 256 else None,
+                block_size=best_blk,
             ))
         bf16_runs.sort()
         dt_bf16 = bf16_runs[1]  # median of 3
@@ -287,7 +302,9 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"train-step metric skipped: {type(e).__name__}: {e}")
 
-    f32_range = sorted(best_bs / d for d in f32_runs_by_bs[best_bs])
+    f32_range = sorted(
+        best_bs / d for d in f32_runs_by_key[(best_bs, best_blk)]
+    )
     out = {
         "metric": "qm9_pna_throughput",
         "value": round(best_tput, 1),
@@ -300,6 +317,7 @@ def main():
         "latency_b1_spread": round(b1_spread, 3),
         "protocol": "chained-marginal, median-of-3 runs per arm",
         "best_batch_size": best_bs,
+        "best_packing": "block128" if best_blk else "standard",
         "edges_per_s": round(roof["edges_per_s"], 1),
         "fraction_of_roofline": round(roof["fraction_of_roofline"], 3),
         "baseline": "fpga_par pna/qm9 1.707 ms/graph (BASELINE.md)",
