@@ -84,3 +84,56 @@ def test_fixture_forward_torch_parity():
     np.testing.assert_allclose(
         out[: len(graphs)], np.stack(golden), atol=5e-4, rtol=1e-4
     )
+
+
+def test_all_molnet_fixtures_load_and_run():
+    """Round-4 breadth (VERDICT r3 item 9): the remaining four datasets
+    ship committed real-molecule fixtures (scripts/make_molnet_fixtures.py)
+    exercising the same flat .npz ingestion contract, including QM9's
+    explicit-hydrogen 11/4-dim encoding and an edgeless single-heavy-atom
+    graph (methane in freesolv)."""
+    from gnnbuilder_tpu.data.datasets import DATASET_SPECS
+
+    expected = {
+        "freesolv": dict(sizes=[2, 3, 1, 6, 7, 7], y0=-5.11),
+        "lipo": dict(sizes=[6, 7, 7, 6, 14, 3], y0=2.13),
+        "hiv": dict(sizes=[19, 6, 7, 6, 14, 3], y0=1.0),
+        "qm9": dict(sizes=[5, 3, 4, 6, 6, 9], y0=0.0),
+    }
+    for name, exp in expected.items():
+        graphs = load_dataset(name, root=FIXTURES)
+        spec = DATASET_SPECS[name]
+        assert [g.num_nodes for g in graphs] == exp["sizes"], name
+        assert graphs[0].y[0] == np.float32(exp["y0"]), name
+        for g in graphs:
+            assert g.x.shape[1] == spec.node_dim, name
+            if g.edge_attr is not None and g.num_edges:
+                assert g.edge_attr.shape[1] == spec.edge_dim, name
+            if g.num_edges:
+                assert g.edge_index.min() >= 0
+                assert g.edge_index.max() < g.num_nodes
+        # pack + forward: finite predictions for every real graph
+        model = gnnb.GNNModel(
+            graph_input_feature_dim=spec.node_dim,
+            gnn_hidden_dim=16,
+            gnn_num_layers=2,
+            gnn_output_dim=8,
+            gnn_conv="gcn",
+            pooling_aggrs=("add", "mean"),
+            mlp_hidden_dim=8,
+            mlp_hidden_layers=1,
+            mlp_out_dim=1,
+        )
+        batch = gnnb.build_graph_batch(graphs)
+        import jax
+
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = np.asarray(model.apply(params, batch))
+        assert np.isfinite(out[: len(graphs)]).all(), name
+
+
+def test_hiv_fixture_labels_are_binary():
+    graphs = load_dataset("hiv", root=FIXTURES)
+    ys = np.concatenate([g.y for g in graphs])
+    assert set(np.unique(ys)) <= {0.0, 1.0}
+    assert ys[0] == 1.0  # zidovudine (AZT) is an HIV active
