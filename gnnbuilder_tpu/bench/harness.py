@@ -46,7 +46,9 @@ FPGA_PAR_BASELINE_S = {
 def bench_tpu(
     conv: str,
     dataset: str,
-    batch_sizes: Sequence[int] = (1, 256),
+    # batch=4 mirrors the reference's *_b4 sweep arm
+    # (build_base_benchmarks.py:162,246)
+    batch_sizes: Sequence[int] = (1, 4, 256),
     n_graphs: int = 512,
     iters: int = 20,
 ) -> dict:
@@ -111,10 +113,13 @@ def bench_tpu(
 
 
 def bench_torch_cpu(
-    conv: str, dataset: str, n_graphs: int = 64, reps: int = 3
+    conv: str, dataset: str, n_graphs: int = 64, reps: int = 3,
+    batch_size: int = 1,
 ) -> dict:
-    """Pure-torch golden model, single-threaded batch=1 CPU — the PyG-CPU
-    baseline analog (build_base_benchmarks.py:158-239)."""
+    """Pure-torch golden model, single-threaded CPU — the PyG-CPU baseline
+    analog (build_base_benchmarks.py:158-239).  ``batch_size`` > 1 merges
+    that many graphs per forward (offset edge indices + batch vector) like
+    the reference's *_b4 sweep arm (build_base_benchmarks.py:162)."""
     import torch
 
     from gnnbuilder_tpu.bench.canonical import CANONICAL
@@ -137,12 +142,34 @@ def bench_torch_cpu(
         **kw,
     )
     tmodel.eval()
-    tensors = [
-        (torch.tensor(g.x), torch.tensor(g.edge_index)) for g in graphs
-    ]
+    if batch_size > 1:
+        tensors = []
+        for i in range(0, len(graphs) - batch_size + 1, batch_size):
+            chunk = graphs[i : i + batch_size]
+            off, xs, eis, bvec = 0, [], [], []
+            for gi, g in enumerate(chunk):
+                xs.append(torch.tensor(g.x))
+                eis.append(torch.tensor(g.edge_index) + off)
+                bvec.append(torch.full((g.num_nodes,), gi,
+                                       dtype=torch.long))
+                off += g.num_nodes
+            tensors.append((
+                torch.cat(xs, 0), torch.cat(eis, 1), torch.cat(bvec),
+            ))
+    else:
+        tensors = [
+            (torch.tensor(g.x), torch.tensor(g.edge_index)) for g in graphs
+        ]
+    def call(t):
+        if batch_size > 1:
+            tx, tei, bvec = t
+            return tmodel(tx, tei, batch=bvec, num_graphs=batch_size)
+        tx, tei = t
+        return tmodel(tx, tei, num_graphs=1)
+
     with torch.no_grad():
-        for tx, tei in tensors[:4]:  # warmup
-            tmodel(tx, tei, num_graphs=1)
+        for t in tensors[:4]:  # warmup
+            call(t)
         from gnnbuilder_tpu.bench.energy import (
             CPU_TDP_W,
             cpu_energy_j,
@@ -151,14 +178,15 @@ def bench_torch_cpu(
 
         def loop():
             for _ in range(reps):
-                for tx, tei in tensors:
-                    tmodel(tx, tei, num_graphs=1)
+                for t in tensors:
+                    call(t)
 
         measured = cpu_energy_j(loop)  # RAPL when exposed (bare metal)
         if measured is not None:
             _, joules, dt_total = measured
-            dt = dt_total / (reps * len(tensors))
-            e_per_graph = joules / (reps * len(tensors))
+            n_calls = reps * len(tensors)
+            dt = dt_total / (n_calls * batch_size)
+            e_per_graph = joules / (n_calls * batch_size)
             return {
                 "latency_s": dt,
                 "graphs_per_s": 1.0 / dt,
@@ -167,7 +195,9 @@ def bench_torch_cpu(
             }
         t0 = time.perf_counter()
         loop()
-        dt = (time.perf_counter() - t0) / (reps * len(tensors))
+        dt = (time.perf_counter() - t0) / (
+            reps * len(tensors) * batch_size
+        )
     return {
         "latency_s": dt,
         "graphs_per_s": 1.0 / dt,
@@ -177,7 +207,14 @@ def bench_torch_cpu(
     }
 
 
-_BACKENDS = {"tpu": bench_tpu, "torch_cpu": bench_torch_cpu}
+import functools as _functools
+
+_BACKENDS = {
+    "tpu": bench_tpu,
+    "torch_cpu": bench_torch_cpu,
+    # the reference's batch=4 sweep arm (build_base_benchmarks.py:162,246)
+    "torch_cpu_b4": _functools.partial(bench_torch_cpu, batch_size=4),
+}
 
 
 def run_grid(
@@ -209,7 +246,12 @@ def run_grid(
                 rows.append(r)
                 # reference flat format: one value per file, parsed back by
                 # process_and_plot_data.py:22-45
-                for metric in ("latency_s", "graphs_per_s"):
+                metrics = ["latency_s", "graphs_per_s"]
+                # the b4 point gets its own flat files, like the
+                # reference's *_b4.txt results
+                metrics += [m for m in ("latency_b4_s", "graphs_per_s_b4")
+                            if m in r]
+                for metric in metrics:
                     path = os.path.join(
                         results_dir, f"{metric}_{backend}_{conv}_{ds}.txt"
                     )
