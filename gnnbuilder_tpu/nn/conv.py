@@ -655,18 +655,35 @@ class GATConv(nn.Module):
         # — the conv the reference never implemented, fused.  concat mode
         # only; input dim and per-head width both auto-pad (unaligned
         # head widths pay the padding only at scale — _layer_cfg gate).
-        # Edge-featured attention stays on the XLA paths below.
-        if (not self.is_initializing() and self.concat
-                and self.edge_dim is None):
+        # Edge-featured attention (edge_dim, the reference's unexported
+        # GATEdgeConv_GNNB analog) fuses too since round 4: the per-slot
+        # edge-logit table rides a kernel input (no extra gather); its
+        # backward is the XLA reference (gradients reach lin_edge/
+        # att_edge through the table).
+        if not self.is_initializing() and self.concat:
             from gnnbuilder_tpu.ops.pallas.gat_layer import (
                 fused_gat_layer_vjp,
             )
 
-            cfg = _layer_cfg(self, g, x, out_dim=H * C,
-                             int8_ok=_quant_ok())
+            has_edge_f = (
+                self.edge_dim is not None and g.nbr_edges is not None
+            )
+            fusable_edge = self.edge_dim is None or has_edge_f
+            cfg = (
+                _layer_cfg(self, g, x, out_dim=H * C,
+                           int8_ok=_quant_ok() and self.edge_dim is None)
+                if fusable_edge else None
+            )
             if cfg is not None:
                 cfg.pop("mm", None)
                 p = self.variables["params"]
+                ekw = {}
+                if self.edge_dim is not None:
+                    a_edge, a_self_e = self._edge_logits(g, n, H, C)
+                    ekw["edge_logits"] = ell.ell_gather(
+                        a_edge, g.nbr_edges, node_rows=False
+                    )  # [N, W, H] per-slot raw edge terms
+                    ekw["self_edge_logit"] = a_self_e
                 return fused_gat_layer_vjp(
                     x, g.nbr_nodes, g.in_degree,
                     p["lin"]["kernel"], p["att_src"], p["att_dst"],
@@ -675,7 +692,7 @@ class GATConv(nn.Module):
                     self_loops=self.add_self_loops,
                     skip=skip, act=act,
                     mm="bf16" if not cfg.get("interpret") else "f32",
-                    quant=cfg.pop("int8", False), **cfg,
+                    quant=cfg.pop("int8", False), **ekw, **cfg,
                 )
 
         h = self.lin(x).reshape(n, H, C)

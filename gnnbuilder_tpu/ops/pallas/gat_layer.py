@@ -109,6 +109,7 @@ def _kernel(
     has_skip: bool,
     save_res: bool,
     quant: bool = False,
+    has_edge: bool = False,
 ):
     # save_res promotes the softmax statistics (per-head max m and
     # denominator den) to kernel outputs — the residuals the hand-written
@@ -117,6 +118,12 @@ def _kernel(
         sw_ref, *rest = rest
     else:
         sw_ref = None
+    if has_edge:
+        # per-slot edge-logit table (slot-major stacked like ids) + the
+        # analytic self-edge logit term — PyG GATConv edge_dim semantics
+        le_ref, ae_self_ref, *rest = rest
+    else:
+        le_ref = ae_self_ref = None
     if has_skip:
         skip_ref, *rest = rest
     else:
@@ -233,17 +240,25 @@ def _kernel(
         deg = deg_ref[pl.ds(rows, TNS), :]               # [TNS, 1]
 
         # pass 1: per-head max logit (softmax stability)
+        def slot_logit(w):
+            g_as = G[w * TNS : (w + 1) * TNS, HC:]       # [TNS, H]
+            z = g_as + ad_sub
+            if has_edge:
+                z = z + le_ref[
+                    pl.ds(pl.multiple_of(k * W * TNS + w * TNS, 8), TNS), :
+                ]
+            return lrelu(z)
+
         m = jnp.full((TNS, H), -_BIG, jnp.float32)
         for w in range(W):
-            g_as = G[w * TNS : (w + 1) * TNS, HC:]       # [TNS, H]
-            logit = lrelu(g_as + ad_sub)
-            logit = jnp.where(w < deg, logit, -_BIG)
+            logit = jnp.where(w < deg, slot_logit(w), -_BIG)
             m = jnp.maximum(m, logit)
         if self_loops:
-            self_logit = lrelu(
-                jnp.dot(h_sub, as_ref[:],
-                        preferred_element_type=jnp.float32) + ad_sub
-            )                                            # [TNS, H]
+            z_s = jnp.dot(h_sub, as_ref[:],
+                          preferred_element_type=jnp.float32) + ad_sub
+            if has_edge:
+                z_s = z_s + ae_self_ref[pl.ds(rows, TNS), :]
+            self_logit = lrelu(z_s)                      # [TNS, H]
             m = jnp.maximum(m, self_logit)
         m = jnp.maximum(m, -_BIG * 0.5)  # empty rows: keep exp finite
 
@@ -253,8 +268,7 @@ def _kernel(
         for w in range(W):
             blk = G[w * TNS : (w + 1) * TNS, :]
             g_h = blk[:, :HC]
-            g_as = blk[:, HC:]
-            logit = lrelu(g_as + ad_sub)
+            logit = slot_logit(w)
             e = jnp.where(w < deg, jnp.exp(logit - m), 0.0)  # [TNS, H]
             den = den + e
             # broadcast per-head e onto the H*C value lanes (2-D matmul
@@ -313,6 +327,8 @@ def fused_gat_layer(
     sub_rows: Optional[int] = None,  # gather sub-tile height (None = 128)
     window_mode: str = "sub",  # "sub" = DMA per sub-tile, "tile" = per tile
     quant: bool = False,       # int8 projection (serving precision)
+    edge_logits=None,          # [N, W, H] per-slot raw edge-logit terms
+    self_edge_logit=None,      # [N, H] self-edge term (fill_value='mean')
 ):
     N, Fin = x.shape
     HC = w.shape[1]
@@ -342,12 +358,13 @@ def fused_gat_layer(
     a_s, a_d, expand = _head_matrices(att_src, att_dst, heads, C)
 
     has_skip = skip is not None
+    has_edge = edge_logits is not None
     kern = functools.partial(
         _kernel, W=W, TNS=TNS, TWS=TWS, TWL=TWL, window_mode=window_mode,
         heads=heads,
         neg_slope=float(neg_slope), self_loops=self_loops,
         gather_mode=gather_mode, mm=mm, act=act, has_skip=has_skip,
-        save_res=save_res, quant=quant,
+        save_res=save_res, quant=quant, has_edge=has_edge,
     )
 
     def blk(shape):
@@ -369,6 +386,23 @@ def fused_gat_layer(
         w, a_s, a_d, expand, bias.reshape(1, -1),
     ] + scales
     in_specs = in_specs + [vmem()] * len(scales)
+    if has_edge:
+        # slot-major stacked layout (same permutation as _stack_ids):
+        # row j*(W*TNS) + w*TNS + r holds edge_logits[j*TNS + r, w, :]
+        num_sub = N // TNS
+        le_stack = (
+            edge_logits.astype(jnp.float32)
+            .reshape(num_sub, TNS, W, heads)
+            .transpose(0, 2, 1, 3)
+            .reshape(N * W, heads)
+        )
+        in_specs.append(blk((W * TN, heads)))
+        inputs.append(le_stack)
+        in_specs.append(blk((TN, heads)))
+        inputs.append(
+            (self_edge_logit if self_edge_logit is not None
+             else jnp.zeros((N, heads), jnp.float32)).astype(jnp.float32)
+        )
     if has_skip:
         in_specs.append(blk((TN, HC)))
         inputs.append(skip)
@@ -415,7 +449,7 @@ def fused_gat_layer(
 
 def gat_layer_reference(x, nbr_nodes, in_degree, w, att_src, att_dst, bias,
                         heads, neg_slope=0.2, self_loops=True, skip=None,
-                        act=None):
+                        act=None, edge_logits=None, self_edge_logit=None):
     from gnnbuilder_tpu.ops import ell
 
     N = x.shape[0]
@@ -423,13 +457,17 @@ def gat_layer_reference(x, nbr_nodes, in_degree, w, att_src, att_dst, bias,
     h = (x @ w).reshape(N, heads, C)
     a_src = jnp.sum(h * att_src, axis=-1)
     a_dst = jnp.sum(h * att_dst, axis=-1)
-    lt = jax.nn.leaky_relu(
-        ell.ell_gather(a_src, nbr_nodes) + a_dst[:, None, :], neg_slope
-    )
+    raw = ell.ell_gather(a_src, nbr_nodes) + a_dst[:, None, :]
+    if edge_logits is not None:
+        raw = raw + edge_logits
+    lt = jax.nn.leaky_relu(raw, neg_slope)
     vt = ell.ell_gather(h, nbr_nodes)
     mask = ell.ell_mask(nbr_nodes, in_degree)
     if self_loops:
-        self_logit = jax.nn.leaky_relu(a_src + a_dst, neg_slope)
+        raw_s = a_src + a_dst
+        if self_edge_logit is not None:
+            raw_s = raw_s + self_edge_logit
+        self_logit = jax.nn.leaky_relu(raw_s, neg_slope)
         out = ell.ell_softmax_sum(lt, vt, mask, self_logit, h)
     else:
         out = ell.ell_softmax_sum(lt, vt, mask)
@@ -437,6 +475,53 @@ def gat_layer_reference(x, nbr_nodes, in_degree, w, att_src, att_dst, bias,
     if skip is not None:
         out = out + skip
     return _ACTS[act](out)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_edge_vjp_fn(heads, neg_slope, self_loops, tile_rows,
+                      window_slack, interpret, gather_mode, mm, act,
+                      has_skip, sub_rows=None, window_mode="sub"):
+    """Edge-featured attention (PyG GATConv edge_dim): fused Pallas
+    forward with the per-slot edge-logit table; XLA-reference backward
+    (gradients flow to the edge-logit inputs, and through them to
+    lin_edge/att_edge at the conv level)."""
+    fcfg = dict(tile_rows=tile_rows, window_slack=window_slack,
+                interpret=interpret, sub_rows=sub_rows,
+                window_mode=window_mode)
+
+    @jax.custom_vjp
+    def f(x, nbr, deg, skip, le, ae_self, w, att_src, att_dst, bias):
+        return fused_gat_layer(
+            x, nbr, deg, w, att_src, att_dst, bias, heads,
+            neg_slope=neg_slope, self_loops=self_loops,
+            skip=skip if has_skip else None,
+            gather_mode=gather_mode, mm=mm, act=act,
+            edge_logits=le, self_edge_logit=ae_self, **fcfg,
+        )
+
+    def fwd(x, nbr, deg, skip, le, ae_self, *p):
+        return f(x, nbr, deg, skip, le, ae_self, *p), (
+            x, nbr, deg, skip, le, ae_self, p
+        )
+
+    def bwd(res, ct):
+        x, nbr, deg, skip, le, ae_self, p = res
+        zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        _, vjp = jax.vjp(
+            lambda xx, sk, ll, aa, *pp: gat_layer_reference(
+                xx, nbr, deg, *pp, heads, neg_slope=neg_slope,
+                self_loops=self_loops, skip=sk if has_skip else None,
+                act=act, edge_logits=ll, self_edge_logit=aa,
+            ),
+            x, skip, le, ae_self, *p,
+        )
+        grads = vjp(ct)
+        dskip = grads[1] if has_skip else jnp.zeros_like(skip)
+        return (grads[0], zero_i(nbr), zero_i(deg), dskip,
+                grads[2], grads[3]) + grads[4:]
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 @functools.lru_cache(maxsize=None)
@@ -574,7 +659,8 @@ def fused_gat_layer_vjp(
     neg_slope=0.2, self_loops=True, skip=None,
     tile_rows=512, window_slack=64, interpret=False,
     gather_mode="split2", mm="f32", act=None, sub_rows=None,
-    window_mode="sub", quant=False,
+    window_mode="sub", quant=False, edge_logits=None,
+    self_edge_logit=None,
 ):
     """Differentiable fused GAT layer (Pallas fwd, XLA-reference bwd).
 
@@ -592,7 +678,8 @@ def fused_gat_layer_vjp(
                 tile_rows=tile_rows, window_slack=window_slack,
                 interpret=interpret, gather_mode=gather_mode, mm=mm,
                 act=act, sub_rows=sub_rows, window_mode=window_mode,
-                quant=quant,
+                quant=quant, edge_logits=edge_logits,
+                self_edge_logit=self_edge_logit,
             ),
             x, nbr_nodes, in_degree, skip=skip,
         )
@@ -634,15 +721,26 @@ def fused_gat_layer_vjp(
             tile_rows=tile_rows, window_slack=window_slack,
             interpret=interpret, gather_mode=gather_mode, mm=mm, act=act,
             sub_rows=sub_rows, window_mode=window_mode, quant=quant,
+            edge_logits=edge_logits, self_edge_logit=self_edge_logit,
         )
         return out.reshape(N, heads, C_p)[:, :, :C].reshape(N, HC)
 
     has_skip = skip is not None
+    skip_in = skip if has_skip else jnp.zeros((N, w.shape[1]), x.dtype)
+    if edge_logits is not None:
+        fn = _make_edge_vjp_fn(
+            heads, float(neg_slope), self_loops, tile_rows, window_slack,
+            interpret, gather_mode, mm, act, has_skip, sub_rows,
+            window_mode,
+        )
+        ae = (self_edge_logit if self_edge_logit is not None
+              else jnp.zeros((N, heads), jnp.float32))
+        return fn(x, nbr_nodes, in_degree.astype(jnp.int32), skip_in,
+                  edge_logits, ae, w, att_src, att_dst, bias)
     fn = _make_vjp_fn(
         heads, float(neg_slope), self_loops, tile_rows, window_slack,
         interpret, gather_mode, mm, act, has_skip, sub_rows, window_mode,
         quant,
     )
-    skip_in = skip if has_skip else jnp.zeros((N, w.shape[1]), x.dtype)
     return fn(x, nbr_nodes, in_degree.astype(jnp.int32), skip_in,
               w, att_src, att_dst, bias)

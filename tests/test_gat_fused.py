@@ -176,3 +176,74 @@ def test_head_width_auto_padding(batch):
         dispatch.set_fused_mode(mode)
     np.testing.assert_allclose(np.asarray(cgot), np.asarray(cref),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_fused_gat_edge_dim_parity():
+    """Round-4: edge-featured attention through the fused kernel (the
+    edge_dim fusion gate removed) — GATConv with edge_dim under
+    always-mode matches the mode=never XLA path, values and gradients."""
+    import jax
+
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.core.graph import build_graph_batch
+    from gnnbuilder_tpu.data.datasets import FakeDataset
+    from gnnbuilder_tpu.nn.conv import GATConv
+    from gnnbuilder_tpu.ops import dispatch
+
+    graphs = FakeDataset(num_graphs=20, avg_num_nodes=12, node_dim=128,
+                         edge_dim=6, seed=21)
+    g = build_graph_batch(graphs, node_multiple=128, edge_multiple=8)
+    conv = GATConv(in_channels=128, out_channels=32, heads=4, edge_dim=6)
+    params = conv.init(jax.random.PRNGKey(0), g, g.node_feat)
+
+    dispatch.set_fused_mode("never")
+    try:
+        ref = conv.apply(params, g, g.node_feat)
+    finally:
+        dispatch.set_fused_mode("auto")
+
+    from gnnbuilder_tpu.ops.pallas import gat_layer
+
+    calls = {"n": 0}
+    orig = gat_layer.fused_gat_layer_vjp
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        assert k.get("edge_logits") is not None
+        return orig(*a, **k)
+
+    gat_layer.fused_gat_layer_vjp = counting
+    try:
+        dispatch.set_fused_mode("always")
+        out = conv.apply(params, g, g.node_feat)
+    finally:
+        gat_layer.fused_gat_layer_vjp = orig
+        dispatch.set_fused_mode("auto")
+    assert calls["n"] == 1, "fused edge path was not taken"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
+
+    # gradients reach lin_edge / att_edge through the edge-logit table
+    def loss(fused):
+        def f(p):
+            if fused:
+                dispatch.set_fused_mode("always")
+            try:
+                return (conv.apply(p, g, g.node_feat) ** 2).sum()
+            finally:
+                dispatch.set_fused_mode("auto")
+        return f
+
+    import jax as _jax
+
+    gk = _jax.grad(loss(True))(params)
+    dispatch.set_fused_mode("never")
+    try:
+        gr = _jax.grad(loss(False))(params)
+    finally:
+        dispatch.set_fused_mode("auto")
+    for a, r in zip(_jax.tree.leaves(gk), _jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=2e-3)
+    ge = gk["params"]["att_edge"]
+    assert float(np.abs(np.asarray(ge)).max()) > 0.0
