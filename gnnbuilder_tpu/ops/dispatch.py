@@ -495,9 +495,14 @@ def fused_config(
             ):
                 return cfg(N, slack)
             return cfg(N, 0)
-        # measured preference on v5e: 512 > 1024 > 256; an explicit
-        # set_kernel_overrides tile is tried first
-        tiles = ([_TILE_ROWS] if _TILE_ROWS else []) + [512, 1024, 256, 128]
+        # measured preference on v5e under the round-3 "tile" window
+        # default: 256 beats 512/1024 at BOTH packings (results_tpu/
+        # pna_tune.json: nm256 tr256-tile 133.7us vs tr512 n/a; nm1024
+        # tr256-tile 139.5us vs tr512-tile 580us — wider tiles widen the
+        # per-step window DMA more than they amortize).  The round-2
+        # 512-first order measured under "sub" windows; an explicit
+        # set_kernel_overrides tile is tried first either way.
+        tiles = ([_TILE_ROWS] if _TILE_ROWS else []) + [256, 512, 1024, 128]
         for tn in tiles:
             if (
                 pna_supports(N, tn, slack, _SUB_ROWS)
