@@ -275,7 +275,7 @@ def block_layer_cfg(g, int8_ok: bool = False,
 # state VMEM-resident).  Staged until its on-chip verification artifact
 # lands (tpu_verify_r4.py), then the default flips with the artifact
 # commit (CLAUDE.md staged-rollout convention).
-_STAGED_R4 = os.environ.get("GNNB_STAGED_R4", "0") == "1"
+_STAGED_R4 = os.environ.get("GNNB_STAGED_R4", "1") == "1"
 
 
 def staged_r4_ok() -> bool:
