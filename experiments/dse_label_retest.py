@@ -1,0 +1,97 @@
+"""Test-retest of the inner-chain DSE labels — quantify the label-noise
+floor of the round-4 protocol.
+
+The inner-chain migration removed the ~0.1 ms per-call issue floor and
+its cross-session drift, but the refit CV MAPE (0.39 overall) is strongly
+magnitude-structured: 0.17-0.20 above 500 us vs ~1.0 below 50 us.  Before
+chasing model capacity, measure what fraction of that is irreducible
+label noise: re-measure a stratified sample of corpus rows in a FRESH
+session and report the relative test-retest spread per label-magnitude
+bucket.  The achievable MAPE floor is roughly the retest spread (the
+reference never faced this: its csynth labels were deterministic,
+process_dse_models.py).
+
+Writes results_tpu/dse_label_retest.json.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+CSV = os.path.join(ROOT, "dse_models", "perf_data.csv")
+
+
+def main():
+    import numpy as np
+
+    from gnnbuilder_tpu.dse.measure import measure_config
+    from gnnbuilder_tpu.dse.model import rows_to_configs
+
+    with open(CSV) as f:
+        rows = list(csv.DictReader(f))
+    cfgs = rows_to_configs(rows)
+    lat = np.array([float(r["latency_us"]) for r in rows])
+
+    # stratified sample: 6 rows per magnitude bucket
+    rng = np.random.default_rng(7)
+    buckets = [(0, 50), (50, 150), (150, 500), (500, 2000), (2000, 1e9)]
+    sample = []
+    for lo, hi in buckets:
+        ids = np.flatnonzero((lat >= lo) & (lat < hi))
+        sample += list(rng.choice(ids, size=min(6, len(ids)),
+                                  replace=False))
+
+    results = {"meta": {"n": len(sample), "protocol": "inner, timing_only"},
+               "rows": []}
+    spreads_by_bucket = {f"{lo}-{int(min(hi, 99999))}": []
+                         for lo, hi in buckets}
+    for j, i in enumerate(sample):
+        r, cfg = rows[int(i)], cfgs[int(i)]
+        try:
+            fresh = measure_config(cfg, dataset=r["dataset"], iters=12,
+                                   timing_only=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[{j}] FAILED {type(e).__name__}: {e}", flush=True)
+            continue
+        old, new = float(r["latency_us"]), float(fresh["latency_us"])
+        spread = abs(new - old) / max((new + old) / 2.0, 1e-9)
+        for lo, hi in buckets:
+            if lo <= old < hi:
+                spreads_by_bucket[f"{lo}-{int(min(hi, 99999))}"].append(
+                    spread
+                )
+        results["rows"].append({
+            "conv": r["conv"], "hidden": r["gnn_hidden_dim"],
+            "batch": r["batch_size"], "dataset": r["dataset"],
+            "old_us": old, "new_us": new, "rel_spread": spread,
+            "protocol_new": fresh["protocol"],
+        })
+        print(f"[{j}/{len(sample)}] {r['conv']} h{r['gnn_hidden_dim']} "
+              f"b{r['batch_size']}: {old:.0f} vs {new:.0f} us "
+              f"(spread {spread:.2f})", flush=True)
+
+    summary = {}
+    for k, v in spreads_by_bucket.items():
+        if v:
+            summary[k] = {
+                "n": len(v),
+                "median_rel_spread": float(np.median(v)),
+                "p90_rel_spread": float(np.percentile(v, 90)),
+            }
+    all_sp = [x["rel_spread"] for x in results["rows"]]
+    summary["overall_median"] = float(np.median(all_sp))
+    results["by_bucket_us"] = summary
+    print(json.dumps(summary, indent=1))
+
+    out = os.path.join(ROOT, "results_tpu", "dse_label_retest.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1, default=float)
+
+
+if __name__ == "__main__":
+    main()
