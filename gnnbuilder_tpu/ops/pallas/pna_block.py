@@ -103,6 +103,7 @@ def _kernel(
     out_ref,      # [TN, F]
     h_scr,        # [TN, F] f32 — the VMEM-resident hidden state
     v_scr,        # [TN, F] f32
+    u_scr,        # [TN, F] f32 — pre_nn receiver half
     agg_scr,      # [TN, 4F] f32
     *,
     L: int,
@@ -124,13 +125,14 @@ def _kernel(
 
     for l in range(L):  # static unroll: one stack, different weights/layer
         v_scr[:] = dot(h_scr[:], wj_ref[l])
+        # receiver half hoisted to ONE whole-tile dot per layer (vs KB
+        # small per-block dots)
+        u_scr[:] = dot(h_scr[:], wi_ref[l]) + bpre_ref[l]
 
         def blk(k, carry, _l=l):
             rows = pl.multiple_of(k * BB, 8)
             vblk = v_scr[pl.ds(rows, BB), :]                  # [BB, F]
-            u_blk = (
-                dot(h_scr[pl.ds(rows, BB), :], wi_ref[_l]) + bpre_ref[_l]
-            )
+            u_blk = u_scr[pl.ds(rows, BB), :]
             ids = ids_ref[pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :]
             deg = deg_ref[pl.ds(rows, BB), :]                 # [BB, 1]
             ohb = ids == lane                                 # [W*BB, BB]
@@ -293,6 +295,7 @@ def fused_pna_block_stack(
         scratch_shapes=[
             pltpu.VMEM((TN, F), jnp.float32),      # h (resident hidden)
             pltpu.VMEM((TN, F), jnp.float32),      # v
+            pltpu.VMEM((TN, F), jnp.float32),      # u
             pltpu.VMEM((TN, 4 * F), jnp.float32),  # agg concat
         ],
     )
