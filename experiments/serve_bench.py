@@ -47,7 +47,11 @@ def main():
     n_graphs = int(os.environ.get("SERVE_N", 4096))
     graphs = load_dataset("qm9", n=n_graphs)
     model = canonical_model("pna", "qm9", graphs=graphs[:200])
-    prog = gnnb.Program.from_dataset(model, graphs, batch_size=64)
+    # block-packed serving: the whole-stack PNA kernel dispatches inside
+    # the server's compiled forward (dispatch.inference_mode in
+    # Program._forward_fn; r4_block_ab 1.19x)
+    prog = gnnb.Program.from_dataset(model, graphs, batch_size=64,
+                                     block_size=128)
     prog.init_params(prog.batch(graphs[:8]))
 
     # ---- naive per-call arm (one graph per synchronous device call)

@@ -61,12 +61,13 @@ def bench_tpu(
 
     # block-diagonal packing where it wins: convs on the block matmul
     # path (A/B: results_tpu/block_model_ab.json — gin 1.32x, gcn 1.23x)
-    # and datasets whose graphs fit a 128-row block; PNA/GAT keep their
-    # fused windowed kernels on standard packing (block costs them ~8%
-    # pad nodes for no kernel change)
+    # and, since round 4, the block-local inference kernels
+    # (results_tpu/r4_block_ab.json — pna stack 1.19x, gat attention
+    # 1.76x, edge 2.66x); datasets whose graphs fit a 128-row block
     spec = DATASET_SPECS[dataset]
     block = 128 if (
-        conv in ("gcn", "gin", "sage") and spec.max_nodes <= 128
+        conv in ("gcn", "gin", "sage", "pna", "gat", "edge")
+        and spec.max_nodes <= 128
     ) else 0
 
     out = {}

@@ -126,6 +126,12 @@ class Program:
         k = min(batch_size, len(ns))
         max_nodes = int((sum(ns[:k]) + 1) * headroom) + 8
         max_edges = int(max(sum(es[:k]), 1) * headroom) + 8
+        blk = int(kw.get("block_size", 0) or 0)
+        if blk:
+            # block layout: budget covers worst-case bin-pack waste
+            # (~half a block per graph boundary) and aligns to the block
+            waste = blk / max(blk - (max_nodes / max(k, 1)) / 2.0, 1.0)
+            max_nodes = int(-(-int(max_nodes * waste + 1) // blk) * blk)
         return cls(
             model,
             max_nodes=max_nodes,

@@ -101,11 +101,15 @@ def _kernel(
 
     def blk(k, carry):
         rows = pl.multiple_of(k * BB, 8)
+        # the LANE-dim dynamic slice below needs a 128-multiple proof
+        # (Mosaic vector.load alignment); BB % 128 == 0 by the dispatch
+        # gate, so k*BB genuinely is one
+        rows_l = pl.multiple_of(k * BB, 128)
         a = adj_ref[k].astype(jnp.float32)             # [BB, BB]
         mask = a > 0.0
         for hh in range(H):                            # static head loop
             adst_col = adst_ref[pl.ds(rows, BB), hh : hh + 1]  # [BB, 1]
-            asrc_row = asrcT_ref[hh : hh + 1, pl.ds(rows, BB)]  # [1, BB]
+            asrc_row = asrcT_ref[hh : hh + 1, pl.ds(rows_l, BB)]  # [1, BB]
             z = adst_col + asrc_row                    # [BB, BB]
             raw = jnp.where(z >= 0.0, z, neg_slope * z)
             masked = jnp.where(mask, raw, -_BIG)
