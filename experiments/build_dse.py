@@ -184,6 +184,95 @@ def remeasure_all():
               f"p90 {float(np.percentile(spreads, 90)):.3f}")
 
 
+def refresh_below(threshold_us: float, max_minutes: float = 1e9):
+    """Re-measure rows whose label is below ``threshold_us`` in ONE fresh
+    session under the CURRENT dispatch policy.
+
+    Round 4 changed dispatch AFTER the corpus remeasure (653da70 tile
+    preference, 4674c71 block kernels default-on), so sub-500 us labels
+    describe a policy the framework no longer ships: the test-retest
+    experiment (results_tpu/dse_label_retest.json) found >500 us rows
+    reproduce at 0.01-0.17 rel spread while <500 us rows shifted 0.4-1.2,
+    predominantly FASTER — systematic staleness, not noise.  Labels must
+    describe the shipped policy; rows above the threshold retest clean
+    and are kept.
+
+    Resume-safe (label_session column stamps refreshed rows; CSV is
+    flushed after every row) and budget-safe (``max_minutes`` stops
+    cleanly BETWEEN rows — never kill this mid-compile, CLAUDE.md)."""
+    import csv
+
+    import numpy as np
+
+    from gnnbuilder_tpu.dse.measure import measure_config
+    from gnnbuilder_tpu.dse.model import rows_to_configs
+
+    t_start = time.perf_counter()
+    with open(CSV) as f:
+        rows = list(csv.DictReader(f))
+    for r in rows:
+        r.setdefault("label_session", "")
+    cfgs = rows_to_configs(rows)
+    todo = [i for i, r in enumerate(rows)
+            if float(r["latency_us"]) < threshold_us
+            and r["label_session"] != "r4b"]
+    # smallest labels first: staleness is worst (and MAPE impact largest)
+    # at the small-magnitude end, so a time-budgeted run covers the rows
+    # that matter most
+    todo.sort(key=lambda i: float(rows[i]["latency_us"]))
+    print(f"refreshing {len(todo)}/{len(rows)} rows "
+          f"(< {threshold_us:.0f} us, current dispatch policy)", flush=True)
+
+    def flush():
+        fields = list(dict.fromkeys(k for r in rows for k in r))
+        with open(CSV, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields)
+            w.writeheader()
+            for r in rows:
+                w.writerow({k: r.get(k, "") for k in fields})
+
+    shifts = []
+    for j, i in enumerate(todo):
+        if (time.perf_counter() - t_start) / 60.0 > max_minutes:
+            print(f"time budget reached after {j} rows; resume later",
+                  flush=True)
+            break
+        r, cfg = rows[i], cfgs[i]
+        try:
+            fresh = measure_config(cfg, dataset=r["dataset"], iters=12,
+                                   timing_only=True)
+            if (fresh["protocol"] == "inner_upper_bound"
+                    and float(fresh["latency_us"]) < 5.0):
+                fresh = measure_config(cfg, dataset=r["dataset"],
+                                       iters=12, timing_only=True)
+            if (fresh["protocol"] == "inner_upper_bound"
+                    and float(fresh["latency_us"]) < 5.0):
+                print(f"  [{j}] UNRESOLVED at clamp; label kept", flush=True)
+                continue
+        except Exception as e:  # noqa: BLE001
+            print(f"  [{j}] {r['conv']} h{r['gnn_hidden_dim']} "
+                  f"b{r['batch_size']}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+            continue
+        new, old = float(fresh["latency_us"]), float(r["latency_us"])
+        shifts.append(abs(new - old) / max(new, 1e-9))
+        bs = float(r["batch_size"])
+        print(f"  [{j}/{len(todo)}] {r['conv']} h{r['gnn_hidden_dim']} "
+              f"b{r['batch_size']} {r['dataset']}: {old:.0f} -> {new:.0f} "
+              f"us ({fresh['protocol']})", flush=True)
+        r["latency_us"] = repr(new)
+        r["latency_per_graph_us"] = repr(new / bs)
+        r["graphs_per_s"] = repr(bs / (new * 1e-6))
+        r["protocol"] = fresh["protocol"]
+        r["overhead_us"] = repr(float(fresh.get("overhead_us", 0.0)))
+        r["label_session"] = "r4b"
+        flush()
+    if shifts:
+        print(f"label shift vs stale dispatch: median "
+              f"{float(np.median(shifts)):.3f} "
+              f"p90 {float(np.percentile(shifts, 90)):.3f}", flush=True)
+
+
 def fit():
     import csv
 
@@ -268,9 +357,16 @@ def main():
     ap.add_argument("--remeasure-all", action="store_true",
                     help="re-measure EVERY row with the chained protocol "
                          "(discard stale-protocol labels), then fit")
+    ap.add_argument("--refresh-below", type=float, default=0.0,
+                    help="re-measure rows with latency below this many us "
+                         "under the CURRENT dispatch policy, then fit")
+    ap.add_argument("--max-minutes", type=float, default=1e9,
+                    help="stop cleanly between rows after this budget")
     args = ap.parse_args()
     os.makedirs(OUT_DIR, exist_ok=True)
-    if args.remeasure_all:
+    if args.refresh_below:
+        refresh_below(args.refresh_below, args.max_minutes)
+    elif args.remeasure_all:
         remeasure_all()
     elif args.remeasure_outliers:
         remeasure_outliers(args.remeasure_outliers)

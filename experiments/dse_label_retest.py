@@ -23,6 +23,7 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcomp")
 CSV = os.path.join(ROOT, "dse_models", "perf_data.csv")
 
 
@@ -55,6 +56,21 @@ def main():
         try:
             fresh = measure_config(cfg, dataset=r["dataset"], iters=12,
                                    timing_only=True)
+            # a clamp-degenerate fresh estimate (relay noise drove the
+            # marginal fit negative -> ~0 us upper bound) is not a
+            # measurement: retry once, then drop the row from the spread
+            # stats rather than record a fictitious 2.0 spread
+            if (fresh["protocol"] == "inner_upper_bound"
+                    and float(fresh["latency_us"]) < 5.0):
+                fresh = measure_config(cfg, dataset=r["dataset"], iters=12,
+                                       timing_only=True)
+            if (fresh["protocol"] == "inner_upper_bound"
+                    and float(fresh["latency_us"]) < 5.0):
+                print(f"[{j}] UNRESOLVED at clamp; skipped", flush=True)
+                results.setdefault("skipped_unresolved", []).append(
+                    {"conv": r["conv"], "old_us": float(r["latency_us"])}
+                )
+                continue
         except Exception as e:  # noqa: BLE001
             print(f"[{j}] FAILED {type(e).__name__}: {e}", flush=True)
             continue

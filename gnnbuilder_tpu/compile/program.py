@@ -444,6 +444,45 @@ class Program:
 
         return chain
 
+    def _inner_chain_dyn_fn(self):
+        """Dynamic-length inner chain: ONE executable serves every chain
+        length k (``lax.fori_loop`` with a traced trip count), so a
+        two-point slope fit costs one compile instead of two — and both
+        arms run literally the same code, so the per-call overhead cancels
+        by construction rather than by compiler coincidence."""
+        model = self.model
+        prec = self.precision
+        scales = self.int8_scales
+
+        @jax.jit
+        def chain(params, batch: GraphBatch, carry, k):
+            if prec.name == "bf16":
+                params = prec.cast_params(params)
+
+            def body(_i, c):
+                b = batch.with_node_feat(
+                    (batch.node_feat + c.astype(batch.node_feat.dtype)
+                     * 1e-30).astype(
+                        jnp.bfloat16 if prec.name == "bf16"
+                        else batch.node_feat.dtype
+                    )
+                )
+                from gnnbuilder_tpu.ops.dispatch import inference_mode
+
+                with prec.activate(), inference_mode():
+                    if scales:
+                        from gnnbuilder_tpu.ops.quant import calibration
+
+                        with calibration(scales=scales):
+                            out = model.apply(params, b)
+                    else:
+                        out = model.apply(params, b)
+                return jnp.sum(out.astype(jnp.float32))
+
+            return jax.lax.fori_loop(0, k, body, carry)
+
+        return chain
+
     def benchmark_inner(
         self,
         batch: GraphBatch,
@@ -451,6 +490,7 @@ class Program:
         k_hi: int = 5,
         iters: int = 20,
         repeats: int = 5,
+        dynamic: bool = True,
     ) -> dict:
         """Per-forward DEVICE time via the inner-chain protocol
         (experiments/dispatch_floor.py): time jit(forward^k) at two chain
@@ -470,11 +510,20 @@ class Program:
         if self.params is None:
             self.init_params(batch)
         times = {}
-        for k in (k_lo, k_hi):
-            key = ("inner", k)
+        if dynamic:
+            key = ("inner_dyn",)
             if key not in self._compiled:
-                self._compiled[key] = self._inner_chain_fn(k)
-            step = self._compiled[key]
+                self._compiled[key] = self._inner_chain_dyn_fn()
+            dyn_step = self._compiled[key]
+        for k in (k_lo, k_hi):
+            if dynamic:
+                kj = jnp.int32(k)
+                step = lambda p, b, c, _kj=kj: dyn_step(p, b, c, _kj)
+            else:
+                key = ("inner", k)
+                if key not in self._compiled:
+                    self._compiled[key] = self._inner_chain_fn(k)
+                step = self._compiled[key]
             carry = {"c": jnp.zeros(())}
 
             def call():
@@ -488,6 +537,16 @@ class Program:
                 dt = marginal_time(
                     call, n_lo=gap // 5, n_hi=gap, repeats=max(repeats, 3)
                 )
+                # relay noise can drive the median marginal estimate
+                # negative, which marginal_time clamps to ~0 — a nonsense
+                # "0 us" that would poison labels/spreads downstream.  At
+                # the clamp, retry once at the widest gap; if still
+                # degenerate, keep the clamp (resolved=False below makes
+                # the caller treat the row as unusable, not as 0 us).
+                if dt < 1e-8:
+                    dt = marginal_time(
+                        call, n_lo=80, n_hi=400, repeats=max(repeats, 3)
+                    )
             times[k] = dt
         slope = (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
         overhead = times[k_lo] - slope * k_lo
