@@ -490,7 +490,7 @@ class Program:
         k_hi: int = 5,
         iters: int = 20,
         repeats: int = 5,
-        dynamic: bool = True,
+        dynamic: bool = False,
     ) -> dict:
         """Per-forward DEVICE time via the inner-chain protocol
         (experiments/dispatch_floor.py): time jit(forward^k) at two chain

@@ -130,8 +130,14 @@ def measure_config(
 
         t0 = time.perf_counter()
         if protocol == "inner":
+            # dynamic=True: one traced-trip-count executable serves both
+            # slope arms — for a bulk corpus run the single (slow, ~20 min
+            # cold) dyn-chain compile amortizes over hundreds of designs,
+            # and the round-4b corpus was measured this way.  The public
+            # benchmark_inner default is static (two cheap compiles) so a
+            # one-off caller never hits the cold-compile wall.
             bench = prog.benchmark_inner(batch, iters=iters,
-                                         repeats=repeats)
+                                         repeats=repeats, dynamic=True)
         else:
             bench = prog.benchmark(batch, iters=iters, repeats=repeats)
         bench_s = time.perf_counter() - t0
