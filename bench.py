@@ -134,7 +134,11 @@ def main():
     best_tput, best_bs, best = 0.0, 1, None
     best_blk = 0
     f32_runs_by_key = {}
-    for bs in (256, 1024):
+    # batch-size sweep: the ~0.1 ms per-call host issue floor
+    # (results_tpu/dispatch_floor.json) costs ~9% of a ~1 ms b1024 call;
+    # b4096 amortizes it below 3% — "steady-state throughput at the best
+    # batch size" is the metric, so let the sweep find that point.
+    for bs in (256, 1024, 4096):
         # packing axis: standard contiguous vs block bin-packed (the
         # whole-stack block-local PNA kernel dispatches on the latter)
         for blk_sz in (0, 128):

@@ -64,7 +64,7 @@ DEFAULT_AXES = {
     # every conv the model family supports (LG/Simple cannot head a
     # GNNModel — they require in==out per layer, reference models.py:274 —
     # their aggregation cost is covered by the gcn rows minus transform)
-    "conv": ["gcn", "gin", "sage", "pna", "gat", "gine"],
+    "conv": ["gcn", "gin", "sage", "pna", "gat", "gine", "edge"],
     "gnn_hidden_dim": [64, 128, 256],
     "gnn_output_dim": [32, 64],
     "gnn_num_layers": [2, 3, 4, 6],

@@ -42,8 +42,16 @@ def test_transform_x_shape_and_encoding():
     cfgs = dse.sample_space(5, seed=0)
     X = dse.transform_x(cfgs)
     assert X.shape == (5, len(dse.model.FEATURE_NAMES))
-    # one-hot sums to 1
-    np.testing.assert_array_equal(X[:, : len(dse.model.CONV_ONE_HOT)].sum(1), 1)
+    # the one-hot list is FROZEN (pickled models index features by name):
+    # convs in it sum to 1; later convs (edge, round 4) ride an appended
+    # flag instead and leave the one-hot block all-zero
+    onehot = X[:, : len(dse.model.CONV_ONE_HOT)].sum(1)
+    edge_col = dse.model.FEATURE_NAMES.index("conv_edge")
+    for row, cfg in enumerate(cfgs):
+        if cfg.conv in dse.model.CONV_ONE_HOT:
+            assert onehot[row] == 1 and X[row, edge_col] == 0
+        else:
+            assert onehot[row] == 0 and X[row, edge_col] == 1
 
 
 def test_measure_fit_optimize_roundtrip(tmp_path):
@@ -169,3 +177,29 @@ def test_ell_width_override_reaches_packing():
         assert np.allclose(np.asarray(b0.node_feat), np.asarray(b1.node_feat))
     finally:
         dispatch.set_kernel_overrides(None, None, None)
+
+
+def test_cv_mape_banded_contract():
+    """Banded out-of-fold MAPE (round 4: the scalar CV MAPE is dominated
+    by the sub-500us label-noise floor measured in
+    results_tpu/dse_label_retest.json; the banded view separates model
+    error from label noise).  Pins: bands partition by band_by (total
+    latency), counts sum to the corpus, and a clean synthetic target
+    yields small error in every populated band."""
+    import numpy as np
+
+    from gnnbuilder_tpu.dse.model import cv_mape_banded
+    from gnnbuilder_tpu.dse.space import sample_space
+
+    cfgs = sample_space(60, seed=3)
+    # deterministic, feature-predictable target (per-graph us)
+    y = np.asarray([
+        1.0 + 0.01 * c.gnn_hidden_dim * c.gnn_num_layers / c.batch_size
+        for c in cfgs
+    ])
+    total = y * np.asarray([float(c.batch_size) for c in cfgs])
+    out = cv_mape_banded(cfgs, y, band_by=total, folds=4)
+    assert out, "at least one band populated"
+    assert sum(v["n"] for v in out.values()) == len(cfgs)
+    for k, v in out.items():
+        assert v["n"] > 0 and np.isfinite(v["mape"])
