@@ -42,7 +42,18 @@ def main():
     from gnnbuilder_tpu.serve import GNNServer
 
     log(f"devices: {jax.devices()}")
-    results = {"meta": {"model": "canonical pna/qm9", "max_batch": 64}}
+    results = {"meta": {
+        "model": "canonical pna/qm9",
+        "open_loop_max_batch": 64,
+        "sustained_max_batch_sweep": [64, 256, 1024],
+        "relay_note": (
+            "through the axon relay every device->host materialization "
+            "pays a fixed ~25-40 ms sync a locally attached chip would "
+            "not; the server syncs once per micro-batch, so request "
+            "latency percentiles are bounded below by the relay RTT "
+            "while throughput amortizes it across the micro-batch"
+        ),
+    }}
 
     n_graphs = int(os.environ.get("SERVE_N", 4096))
     graphs = load_dataset("qm9", n=n_graphs)
@@ -77,26 +88,44 @@ def main():
     log(f"naive b1: {naive_tput:,.0f} graphs/s, "
         f"p50 {results['naive_b1']['p50_ms']:.3f} ms")
 
-    # ---- sustained closed-loop arm
-    with GNNServer.from_program(
-        prog, batch_example=prog.batch(graphs[:8]), max_wait_ms=0.5
-    ) as server:
-        _ = server.predict(graphs[:64])  # warm + compile
-        t0 = time.perf_counter()
-        n_sus = min(int(os.environ.get("SERVE_SUSTAIN", 2048)), len(graphs))
-        out = server.predict(graphs[:n_sus])
-        dt = time.perf_counter() - t0
-        assert out.shape[0] == n_sus and np.isfinite(out).all()
-        sustained = n_sus / dt
-        st = server.stats()
-    results["sustained"] = {
-        "graphs_per_s": sustained,
-        "avg_batch": st["avg_batch"],
-        "p50_ms": st.get("p50_ms"),
-        "p99_ms": st.get("p99_ms"),
-    }
-    log(f"sustained: {sustained:,.0f} graphs/s "
-        f"(avg batch {st['avg_batch']:.1f})")
+    # ---- sustained closed-loop arms, micro-batch sweep.  Through the
+    # axon relay every device->host materialization pays a fixed ~25-40 ms
+    # sync a locally attached chip would not (CLAUDE.md) — the server
+    # syncs once per MICRO-BATCH, so max_batch is the amortization knob
+    # and the sweep locates the relay-transfer ceiling explicitly.
+    sustained = None
+    for mb in (64, 256, 1024):
+        # budgets sized to the micro-batch: a 64-graph server must not pad
+        # every batch to 1024-graph budgets, and a 1024 micro-batch cannot
+        # fit 64-graph budgets
+        prog_mb = prog
+        if mb != 64:
+            prog_mb = gnnb.Program.from_dataset(
+                model, graphs, batch_size=mb, block_size=128)
+            prog_mb.set_params(prog.params)
+        with GNNServer.from_program(
+            prog_mb, batch_example=prog_mb.batch(graphs[:8]),
+            max_wait_ms=0.5, max_batch=mb,
+        ) as server:
+            _ = server.predict(graphs[:mb])  # warm + compile
+            t0 = time.perf_counter()
+            n_sus = min(int(os.environ.get("SERVE_SUSTAIN", 4096)),
+                        len(graphs))
+            out = server.predict(graphs[:n_sus])
+            dt = time.perf_counter() - t0
+            assert out.shape[0] == n_sus and np.isfinite(out).all()
+            tput = n_sus / dt
+            st = server.stats()
+        results[f"sustained_mb{mb}"] = {
+            "graphs_per_s": tput,
+            "avg_batch": st["avg_batch"],
+            "p50_ms": st.get("p50_ms"),
+            "p99_ms": st.get("p99_ms"),
+        }
+        log(f"sustained mb={mb}: {tput:,.0f} graphs/s "
+            f"(avg batch {st['avg_batch']:.1f})")
+        if sustained is None or tput > sustained:
+            sustained = tput
 
     # ---- open-loop offered-load arms
     loads = [int(x) for x in os.environ.get(
