@@ -151,12 +151,20 @@ def main():
                 pause = next_tick - time.perf_counter()
                 if pause > 0:
                     time.sleep(pause)
-            # drain
-            for f in futs:
-                f.result(timeout=120)
+            # drain — an offered load above capacity builds an unbounded
+            # queue; mark the arm saturated instead of dying in the drain
+            saturated = False
+            try:
+                for f in futs:
+                    f.result(timeout=180)
+            except Exception:  # noqa: BLE001 — futures.TimeoutError
+                saturated = True
+                log(f"  load {rate}: saturated (drain timeout), "
+                    f"recording served-so-far stats")
             elapsed = time.perf_counter() - t_start
             st = server.stats()
         results[f"open_loop@{rate}"] = {
+            "saturated": saturated,
             "offered_graphs_per_s": rate,
             "served_graphs_per_s": st["served"] / elapsed,
             "avg_batch": st["avg_batch"],

@@ -300,13 +300,22 @@ class GNNServer:
             chunk = [first]
             deadline = time.perf_counter() + self._max_wait
             while len(chunk) < self._max_batch:
-                remaining = deadline - time.perf_counter()
-                if remaining <= 0:
-                    break
+                # drain instantly-available requests without consuming the
+                # wait budget: max_wait bounds how long we WAIT for
+                # stragglers, not how many queued requests we may take
+                # (the deadline-capped drain was ~50 graphs/0.5 ms — it
+                # silently capped every micro-batch regardless of
+                # max_batch, measured on chip in serve_bench round 4)
                 try:
-                    nxt = self._q.get(timeout=remaining)
+                    nxt = self._q.get_nowait()
                 except queue.Empty:
-                    break
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    try:
+                        nxt = self._q.get(timeout=remaining)
+                    except queue.Empty:
+                        break
                 if not self._fits(chunk, nxt.graph):
                     # bucket full: run what we have, requeue the extra
                     self._q.put(nxt)

@@ -172,3 +172,37 @@ def test_server_pipelined_burst_correctness():
         stats = srv.stats()
     assert stats["batches"] >= 2  # the burst actually split into batches
     np.testing.assert_allclose(outs, goldens, atol=1e-5)
+
+
+def test_deep_queue_fills_to_max_batch():
+    """max_wait bounds how long the batcher WAITS for stragglers — it must
+    not cap how many already-queued requests one micro-batch takes.  (The
+    old deadline-capped drain silently limited every batch to ~50 graphs
+    regardless of max_batch, measured on chip in serve_bench round 4.)
+    With a slow forward and max_wait_ms=0, requests pile up while a batch
+    is in flight; the next batch must take ALL of them."""
+    import time
+
+    import numpy as np
+
+    from gnnbuilder_tpu.data.datasets import load_dataset
+    from gnnbuilder_tpu.serve import GNNServer
+
+    graphs = load_dataset("esol", n=48, seed=5)
+
+    def slow_fn(batch):
+        time.sleep(0.05)  # queue backs up behind this
+        return np.zeros((batch.num_graphs, 1), np.float32)
+
+    with GNNServer(
+        slow_fn, None, node_budget=4096, edge_budget=8192,
+        graph_budget=49, max_wait_ms=0.0,
+    ) as srv:
+        futs = [srv.submit(g) for g in graphs]
+        for f in futs:
+            f.result(timeout=60)
+        st = srv.stats()
+    assert st["served"] == 48
+    # batch 1 takes whatever arrived first; everything queued behind the
+    # slow call must land in at most two more batches (48 fits one)
+    assert st["batches"] <= 3, st
