@@ -54,6 +54,15 @@ def main():
     from gnnbuilder_tpu.bench.canonical import canonical_batches, canonical_model
     from gnnbuilder_tpu.bench.timing import marginal_time
 
+    # persistent XLA/Mosaic compile cache: a committed pre-run seeds every
+    # executable this script needs, so a later (driver) run compiles
+    # nothing — immune to slow/wedged remote compiles (CLAUDE.md) and
+    # minutes faster
+    try:
+        gnnb.enable_persistent_cache()
+    except Exception as e:  # noqa: BLE001 — cache is an optimization only
+        log(f"persistent cache unavailable: {e}")
+
     devs, platform = _devices_with_retry()
     log(f"devices: {devs}")
 

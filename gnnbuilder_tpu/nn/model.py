@@ -277,10 +277,17 @@ class GNNModel(nn.Module):
 
         mx = None
         if "max" in aggrs:
-            count = g.n_node.astype(h.dtype)[:, None]
-            mx = segment.segment_max(
-                h, g.node_graph, g.num_graphs, count=count
-            )
+            if g.graph_starts is not None and g.max_graph_nodes_static:
+                # contiguous-window max: 219 us -> gather-bound
+                # (results_tpu/block_insitu.json, round 4)
+                mx = segment.contiguous_segment_max(
+                    h, g.graph_starts, g.n_node, g.max_graph_nodes_static
+                )
+            else:
+                count = g.n_node.astype(h.dtype)[:, None]
+                mx = segment.segment_max(
+                    h, g.node_graph, g.num_graphs, count=count
+                )
         p = self.variables["params"]["mlp_head"]
         n_lin = self.mlp_head.num_of_layers
         weights = tuple(

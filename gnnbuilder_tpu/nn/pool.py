@@ -81,6 +81,15 @@ class GlobalPooling(nn.Module):
                     # backward routes cotangents to the achieving shard
                     m = jnp.max(jax.lax.all_gather(m, halo[0]), axis=0)
                     outs.append(jnp.where(count > 0, m, 0.0))
+                elif (g.graph_starts is not None
+                      and g.max_graph_nodes_static):
+                    # graphs are contiguous row ranges under both packings:
+                    # gather-window max instead of XLA's scatter-max
+                    # (219 us -> gather-bound, block_insitu.json round 4)
+                    outs.append(segment.contiguous_segment_max(
+                        x, g.graph_starts, g.n_node,
+                        g.max_graph_nodes_static,
+                    ))
                 else:
                     outs.append(
                         segment.segment_max(x, seg, n_graphs, count=count)

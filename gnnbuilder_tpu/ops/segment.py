@@ -23,6 +23,7 @@ __all__ = [
     "segment_sum",
     "segment_mean",
     "segment_max",
+    "contiguous_segment_max",
     "segment_min",
     "segment_std",
     "segment_multi",
@@ -58,6 +59,35 @@ def segment_max(data, segment_ids, num_segments, count=None):
     if count is None:
         count = segment_count(segment_ids, num_segments, data.dtype)
     return jnp.where(count > 0, m, 0.0).astype(data.dtype)
+
+
+def contiguous_segment_max(data, starts, counts, max_rows: int):
+    """Per-segment max when segments are CONTIGUOUS row ranges.
+
+    The packer lays graphs out contiguously under BOTH packings
+    (core/graph.py graph_starts), so per-graph max pooling needs no
+    scatter: gather each segment's [max_rows] row window and reduce on
+    the VPU.  ``jax.ops.segment_max`` lowers to a scatter-max that
+    measured 219 us on [20480, 128] (results_tpu/block_insitu.json) —
+    ~17x this formulation's memory footprint.
+
+    Exact for every segment with count <= max_rows — every REAL graph,
+    by definition of max_graph_nodes_static.  Longer segments (only the
+    ghost row's pad tail) reduce their first max_rows rows: finite
+    garbage, masked downstream like every ghost output.  Empty segments
+    return 0 (PyG convention, reference gnn_builder_lib.h:736)."""
+    n = data.shape[0]
+    st = starts.astype(jnp.int32)[:, None]
+    pos = jnp.arange(max_rows, dtype=jnp.int32)[None, :]
+    rows = jnp.clip(st + pos, 0, n - 1)
+    win = jnp.take(data, rows, axis=0)              # [G, max_rows, F]
+    cnt = counts.astype(jnp.int32)
+    valid = pos < cnt[:, None]                      # [G, max_rows]
+    big = jnp.asarray(3e38, jnp.float32)
+    m = jnp.max(
+        jnp.where(valid[:, :, None], win.astype(jnp.float32), -big), axis=1
+    )
+    return jnp.where((cnt > 0)[:, None], m, 0.0).astype(data.dtype)
 
 
 def segment_min(data, segment_ids, num_segments, count=None):
