@@ -253,7 +253,7 @@ class GNNModel(nn.Module):
         return pna_block_stack_auto(
             h, g.nbr_nodes, g.in_degree, layers,
             deltas=(delta,) * L, skips=skips, act=self.gnn_activation,
-            out_dim=self.gnn_output_dim, **cfg,
+            out_dim=self.gnn_output_dim, block_adj=g.block_adj, **cfg,
         )
 
     def _fused_readout(self, g: GraphBatch, h):

@@ -92,6 +92,11 @@ def _kernel(
     x_ref,        # [TN, F] VMEM — input node features (layer-0 h)
     ids_ref,      # [W*TN, 1] int32 block-localized stacked slot ids
     deg_ref,      # [TN, 1] int32
+    adj_ref,      # [TN, BB] bf16 — block adjacency rows (block_adj
+                  # reshaped [T,BB,BB] -> [N,BB]): sum / sum-of-squares
+                  # aggregation rides the MXU instead of the per-slot VPU
+                  # loop (round 4b: the W-loop's elementwise accumulation
+                  # dominated the stack kernel's time)
     wi_ref,       # [L, F, F]   pre_nn receiver halves
     wj_ref,       # [L, F, F]   pre_nn neighbor halves
     bpre_ref,     # [L, 1, F]
@@ -114,6 +119,7 @@ def _kernel(
     mm: str,
     act: Optional[str],
     skips: tuple,
+    adj_sums: bool = False,
 ):
     TN = x_ref.shape[0]
     F = wi_ref.shape[2]
@@ -135,8 +141,31 @@ def _kernel(
             u_blk = u_scr[pl.ds(rows, BB), :]
             ids = ids_ref[pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :]
             deg = deg_ref[pl.ds(rows, BB), :]                 # [BB, 1]
+            adj = adj_ref[pl.ds(rows, BB), :]                 # [BB, BB] bf16
             ohb = ids == lane                                 # [W*BB, BB]
+            bdot = lambda m, v: jnp.dot(
+                m, v, preferred_element_type=jnp.float32
+            )
+            # adj_sums=True: sum and sum-of-squares straight from the
+            # block adjacency — small MXU dots instead of W elementwise
+            # accumulation passes on the VPU.  Chip-measured within-run
+            # A/B (results_tpu/adj_sums_ab.json): NO speedup (0.97x
+            # median) — Mosaic already overlaps the slot accumulation
+            # with the gather dots, and the extra adjacency dots add MXU
+            # work (+2.7 GFLOP/layer at b1024) for nothing.  Default
+            # stays the slot accumulation; the flag and the negative
+            # result are kept so the hypothesis is not re-chased.
+            v2 = vblk * vblk if adj_sums else None
+            s_acc = sq_acc = None
             if gather_mode == "highest":
+                if adj_sums:
+                    af = adj.astype(jnp.float32)
+                    s_acc = jnp.dot(af, vblk,
+                                    preferred_element_type=jnp.float32,
+                                    precision=_HI)
+                    sq_acc = jnp.dot(af, v2,
+                                     preferred_element_type=jnp.float32,
+                                     precision=_HI)
                 G = jnp.dot(
                     ohb.astype(jnp.float32), vblk,
                     preferred_element_type=jnp.float32, precision=_HI,
@@ -144,9 +173,6 @@ def _kernel(
             elif gather_mode in ("split2", "bf16"):
                 oh = ohb.astype(jnp.bfloat16)
                 vh = vblk.astype(jnp.bfloat16)
-                bdot = lambda m, v: jnp.dot(
-                    m, v, preferred_element_type=jnp.float32
-                )
                 if gather_mode == "split2":
                     # one-hot x bf16 products are exact; hi+lo reconstructs
                     # the f32 rows — an EXACT gather in two passes
@@ -154,19 +180,34 @@ def _kernel(
                         jnp.bfloat16
                     )
                     G = bdot(oh, vh) + bdot(oh, vl)           # [W*BB, F]
+                    if adj_sums:
+                        v2h = v2.astype(jnp.bfloat16)
+                        v2l = (v2 - v2h.astype(jnp.float32)).astype(
+                            jnp.bfloat16
+                        )
+                        s_acc = bdot(adj, vh) + bdot(adj, vl)
+                        sq_acc = bdot(adj, v2h) + bdot(adj, v2l)
                 else:
                     G = bdot(oh, vh)
+                    if adj_sums:
+                        v2h = v2.astype(jnp.bfloat16)
+                        s_acc = bdot(adj, vh)
+                        sq_acc = bdot(adj, v2h)
             else:
                 raise ValueError(f"unknown gather_mode {gather_mode}")
 
-            zero = jnp.zeros((BB, F), jnp.float32)
-            s_acc, sq_acc = zero, zero
+            # only max/min still need the per-slot walk (no MXU
+            # realization of a running max exists)
             mx = jnp.full((BB, F), -_BIG, jnp.float32)
             mn = jnp.full((BB, F), _BIG, jnp.float32)
+            if not adj_sums:
+                zero = jnp.zeros((BB, F), jnp.float32)
+                s_acc, sq_acc = zero, zero
             for w in range(W):
                 g = G[w * BB : (w + 1) * BB, :]
-                s_acc = s_acc + g
-                sq_acc = sq_acc + g * g
+                if not adj_sums:
+                    s_acc = s_acc + g
+                    sq_acc = sq_acc + g * g
                 bias = jnp.where(w < deg, 0.0, -_BIG)         # [BB, 1]
                 mx = jnp.maximum(mx, g + bias)
                 mn = jnp.minimum(mn, g - bias)
@@ -216,7 +257,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "deltas", "skips", "act", "block_size", "tile_rows", "interpret",
-        "gather_mode", "mm",
+        "gather_mode", "mm", "adj_sums",
     ),
 )
 def fused_pna_block_stack(
@@ -238,6 +279,9 @@ def fused_pna_block_stack(
     interpret: bool = False,
     gather_mode: str = "split2",
     mm: str = "f32",
+    block_adj=None,   # [N/BB, BB, BB] dense block adjacency (GraphBatch
+                      # ships it); rebuilt from the neighbor table if absent
+    adj_sums: bool = False,
 ):
     N, F = x.shape
     L = wi.shape[0]
@@ -256,6 +300,21 @@ def fused_pna_block_stack(
     sws = (np.arange(T, dtype=np.int32) * BB).astype(np.int32)
     ids_stack = _stack_ids(nbr_nodes, in_degree, sws, BB)
     deg2d = in_degree.astype(jnp.int32).reshape(N, 1)
+    if block_adj is None:
+        # fallback for direct callers/tests: rebuild the block-local
+        # adjacency counts from the neighbor table.  nbr_nodes ships
+        # GLOBAL row ids (_stack_ids localizes them for the kernel), so
+        # subtract each node's block start; slots past the degree are
+        # masked (their ids point at pad rows, not out of range)
+        starts = (jnp.arange(N, dtype=jnp.int32) // BB) * BB
+        local = nbr_nodes.astype(jnp.int32) - starts[:, None]  # [N, W]
+        w_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+        valid = w_idx < in_degree.astype(jnp.int32)[:, None]   # [N, W]
+        oh = jax.nn.one_hot(local, BB, dtype=jnp.float32)      # [N, W, BB]
+        adj2d = jnp.sum(oh * valid[:, :, None].astype(jnp.float32), axis=1)
+    else:
+        adj2d = block_adj.reshape(N, BB).astype(jnp.float32)
+    adj2d = adj2d.astype(jnp.bfloat16)
 
     # matmul operands ship bf16 when the dots run one-pass bf16 anyway
     # (identical numerics to the in-kernel cast, half the VMEM); biases
@@ -268,6 +327,7 @@ def fused_pna_block_stack(
     kern = functools.partial(
         _kernel, L=L, W=W, BB=BB, deltas=tuple(float(d) for d in deltas),
         gather_mode=gather_mode, mm=mm, act=act, skips=tuple(skips),
+        adj_sums=adj_sums,
     )
 
     def blk(shape):
@@ -281,11 +341,12 @@ def fused_pna_block_stack(
         blk((TN, F)),
         blk((W * TN, 1)),
         blk((TN, 1)),
+        blk((TN, BB)),            # adjacency rows
         vmem(), vmem(), vmem(),   # wi, wj, b_pre
         vmem(), vmem(), vmem(),   # k0, ks, b_post
         vmem(), vmem(),           # w_lin, b_lin
     ]
-    inputs = [x, ids_stack, deg2d, mats[0], mats[1], b_pre,
+    inputs = [x, ids_stack, deg2d, adj2d, mats[0], mats[1], b_pre,
               mats[2], mats[3], b_post, mats[4], b_lin]
 
     grid_spec = pl.GridSpec(
@@ -303,7 +364,8 @@ def fused_pna_block_stack(
     # realization accounting per node per layer: pre pair + one-hot gather
     # (npass passes over W*BB columns) + scaler dot + self/lin dots
     per_node = (
-        2 * F * F + npass * W * BB * F + 4 * F * 3 * F + 2 * F * F
+        2 * F * F + npass * W * BB * F + npass * 2 * BB * F
+        + 4 * F * 3 * F + 2 * F * F
     )
     return pl.pallas_call(
         kern,
@@ -380,22 +442,23 @@ def _stack_params(layers, F_p):
 def _make_vjp_fn(deltas, skips, act, block_size, tile_rows, interpret,
                  gather_mode, mm, n_layers):
     @jax.custom_vjp
-    def f(x, nbr, deg, *flat):
+    def f(x, nbr, deg, adj, *flat):
         stacked = flat
         return fused_pna_block_stack(
             x, nbr, deg, *stacked, deltas=deltas, skips=skips, act=act,
             block_size=block_size, tile_rows=tile_rows,
             interpret=interpret, gather_mode=gather_mode, mm=mm,
+            block_adj=adj if adj.size else None,
         )
 
-    def fwd(x, nbr, deg, *flat):
-        return f(x, nbr, deg, *flat), (x, nbr, deg, flat)
+    def fwd(x, nbr, deg, adj, *flat):
+        return f(x, nbr, deg, adj, *flat), (x, nbr, deg, adj, flat)
 
     def bwd(res, ct):
         # XLA-reference backward over the STACKED padded operands (the
         # stack kernel serves inference; training uses the per-layer fused
         # VJP kernels — dispatch.inference_mode gates this path out there)
-        x, nbr, deg, flat = res
+        x, nbr, deg, adj, flat = res
 
         def ref(xx, *fl):
             wi, wj, bpre, k0, ks, bpost, wlin, blin = fl
@@ -420,7 +483,12 @@ def _make_vjp_fn(deltas, skips, act, block_size, tile_rows, interpret,
         _, vjp = jax.vjp(ref, x, *flat)
         grads = vjp(ct)
         zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-        return (grads[0], zero_i(nbr), zero_i(deg)) + tuple(grads[1:])
+        adj_ct = (np.zeros(adj.shape, jax.dtypes.float0)
+                  if jnp.issubdtype(adj.dtype, jnp.integer)
+                  else jnp.zeros(adj.shape, adj.dtype))
+        return (grads[0], zero_i(nbr), zero_i(deg), adj_ct) + tuple(
+            grads[1:]
+        )
 
     f.defvjp(fwd, bwd)
     return f
@@ -428,13 +496,15 @@ def _make_vjp_fn(deltas, skips, act, block_size, tile_rows, interpret,
 
 def fused_pna_block_stack_vjp(x, nbr, deg, stacked, deltas, skips, act,
                               block_size, tile_rows, interpret,
-                              gather_mode, mm):
+                              gather_mode, mm, block_adj=None):
     fn = _make_vjp_fn(
         tuple(float(d) for d in deltas), tuple(bool(s) for s in skips),
         act, block_size, tile_rows, interpret, gather_mode, mm,
         len(deltas),
     )
-    return fn(x, nbr, deg.astype(jnp.int32), *stacked)
+    adj = (block_adj if block_adj is not None
+           else jnp.zeros((0,), jnp.bfloat16))
+    return fn(x, nbr, deg.astype(jnp.int32), adj, *stacked)
 
 
 def pna_block_stack_auto(
@@ -451,6 +521,7 @@ def pna_block_stack_auto(
     interpret: bool = False,
     gather_mode: str = "split2",
     mm: str = "f32",
+    block_adj=None,
 ):
     """Whole-stack fused PNA on a block-packed batch with automatic
     feature padding; returns [N, out_dim] (the last layer's real width)."""
@@ -464,6 +535,7 @@ def pna_block_stack_auto(
     out = fused_pna_block_stack_vjp(
         xp, nbr_nodes, in_degree, stacked, tuple(deltas), tuple(skips),
         act, block_size, tile_rows, interpret, gather_mode, mm,
+        block_adj=block_adj,
     )
     if out_dim is None:
         out_dim = layers[-1][4].shape[1]
