@@ -120,8 +120,17 @@ class GNNServer:
         self._batches = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
-        # one in-flight dispatched-but-unmaterialized batch (pipelining)
-        self._pending = None
+        # dispatched-but-unmaterialized batches (pipelining): a dedicated
+        # resolver thread materializes them, so host-side packing of the
+        # NEXT batch overlaps the device->host sync of the previous ones
+        # (through the axon relay that sync is a fixed ~26 ms — serialized
+        # with packing it WAS the throughput ceiling, serve_r4.json).
+        # The small maxsize bounds in-flight device memory and applies
+        # backpressure to the dispatch loop.
+        self._resolve_q: "queue.Queue" = queue.Queue(maxsize=3)
+        self._resolver = threading.Thread(target=self._resolve_loop,
+                                          daemon=True)
+        self._resolver.start()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -259,7 +268,14 @@ class GNNServer:
 
     def close(self):
         self._stop.set()
-        self._worker.join(timeout=5.0)
+        self._worker.join(timeout=10.0)
+        # sentinel after the worker stops dispatching: the resolver drains
+        # every in-flight batch first, so no future is left unresolved
+        try:
+            self._resolve_q.put(None, timeout=5.0)
+        except queue.Full:  # pragma: no cover — resolver wedged
+            pass
+        self._resolver.join(timeout=30.0)
 
     def __enter__(self):
         return self
@@ -295,8 +311,7 @@ class GNNServer:
             try:
                 first = self._q.get(timeout=0.05)
             except queue.Empty:
-                self._resolve_pending()  # idle: flush the in-flight batch
-                continue
+                continue  # the resolver thread drains in-flight batches
             chunk = [first]
             deadline = time.perf_counter() + self._max_wait
             while len(chunk) < self._max_batch:
@@ -365,19 +380,19 @@ class GNNServer:
                     p.future.set_exception(e)
                 continue
 
-            if self._pending is not None:
-                self._resolve_pending()
-            self._pending = (chunk, dev_out)
-            if self._q.empty():
-                self._resolve_pending()
-        # stop requested: never leave an in-flight batch unresolved
-        self._resolve_pending()
+            # hand off to the resolver; blocks only when 3 batches are
+            # already awaiting materialization (backpressure)
+            self._resolve_q.put((chunk, dev_out))
 
-    def _resolve_pending(self):
-        if self._pending is None:
-            return
-        chunk, dev_out = self._pending
-        self._pending = None
+    def _resolve_loop(self):
+        while True:
+            item = self._resolve_q.get()
+            if item is None:
+                return
+            self._resolve_one(item)
+
+    def _resolve_one(self, item):
+        chunk, dev_out = item
         try:
             out = np.asarray(dev_out)
         except Exception as e:  # noqa: BLE001 — device-side failure
