@@ -219,9 +219,13 @@ class GNNModel(nn.Module):
         dispatch policy allows: block-packed batch + inference scope.
         Returns None to fall back to the per-layer conv loop (identical
         math — pinned by tests/test_pna_block_stack.py)."""
-        if self.is_initializing() or self.gnn_conv != "pna":
+        if self.is_initializing():
             return None
         if self.gnn_num_layers < 1:
+            return None
+        if self.gnn_conv in ("gcn", "gin", "sage"):
+            return self._fused_mp_stack(g, h)
+        if self.gnn_conv != "pna":
             return None
         kw = dict(self.conv_kwargs or {})
         if "aggregators" in kw or "scalers" in kw:
@@ -254,6 +258,46 @@ class GNNModel(nn.Module):
             h, g.nbr_nodes, g.in_degree, layers,
             deltas=(delta,) * L, skips=skips, act=self.gnn_activation,
             out_dim=self.gnn_output_dim, block_adj=g.block_adj, **cfg,
+        )
+
+    def _fused_mp_stack(self, g: GraphBatch, h):
+        """Whole-stack kernel for the mp conv family (gcn/gin/sage —
+        ops/pallas/mp_block.py): every layer in one kernel, hidden state
+        VMEM-resident, no per-layer [N, F] HBM round trips.  Same gate
+        shape as the PNA stack; returns None for the per-layer loop
+        (identical math — pinned by tests/test_mp_block_stack.py)."""
+        from gnnbuilder_tpu.ops import dispatch
+        from gnnbuilder_tpu.ops.pallas.pna_block import _ACTS as _STACK_ACTS
+
+        conv = self.gnn_conv
+        if self.gnn_activation not in _STACK_ACTS:
+            return None
+        cfg = dispatch.mp_stack_cfg(g, conv, self.gnn_num_layers)
+        if cfg is None:
+            return None
+        from gnnbuilder_tpu.ops.pallas.mp_block import mp_block_stack_auto
+
+        p = self.variables["params"]
+        layers, epss = [], []
+        for i in range(self.gnn_num_layers):
+            q = p[f"gnn_convs_{i}"]
+            if conv == "gcn":
+                layers.append((q["lin"]["kernel"], q["bias"], None, None))
+            elif conv == "gin":
+                layers.append((q["lin0"]["kernel"], q["lin0"]["bias"],
+                               q["lin1"]["kernel"], q["lin1"]["bias"]))
+            else:  # sage
+                layers.append((q["lin_l"]["kernel"], q["lin_l"]["bias"],
+                               q["lin_r"]["kernel"], None))
+            epss.append(float(getattr(self.gnn_convs[i], "eps", 0.0)))
+        L = self.gnn_num_layers
+        skips = tuple(
+            self.gnn_skip_connection and 0 < i < L - 1 for i in range(L)
+        )
+        return mp_block_stack_auto(
+            h, g.block_adj, g.in_degree, conv, layers,
+            epss=tuple(epss), skips=skips, act=self.gnn_activation,
+            out_dim=self.gnn_output_dim, **cfg,
         )
 
     def _fused_readout(self, g: GraphBatch, h):

@@ -282,6 +282,42 @@ def staged_r4_ok() -> bool:
     return _STAGED_R4 or _MODE == "always"
 
 
+# Round-4b whole-stack kernel for the mp family (ops/pallas/mp_block.py).
+# Chip-verified + A/B'd within-run (results_tpu/mp_stack_ab.json,
+# all_pass): gcn 1.28x, sage 2.52x over the per-layer policy -> enabled;
+# gin 0.99x (the XLA per-layer einsum already fuses GIN's epilogue MLP
+# into the aggregation as well as the stack does) -> stays per-layer.
+# GNNB_STAGED_R4B=0 stages the stack back out.
+_STAGED_R4B = os.environ.get("GNNB_STAGED_R4B", "1") == "1"
+_MP_STACK_CONVS = ("gcn", "sage")
+
+
+def staged_r4b_ok() -> bool:
+    return _STAGED_R4B or _MODE == "always"
+
+
+def mp_stack_cfg(g, conv: str, n_layers: int = 1) -> Optional[dict]:
+    """Kernel kwargs for the whole-stack block-local mp kernel
+    (ops/pallas/mp_block.py) when it applies, else None (the model falls
+    back to the per-layer conv loop).  Same gate as the PNA stack
+    (block-packed batch + inference scope + f32/bf16) plus the round-4b
+    staged flag and the per-conv A/B policy above."""
+    if conv not in (
+        _MP_STACK_CONVS if _MODE != "always" else ("gcn", "gin", "sage")
+    ):
+        return None
+    if not staged_r4b_ok():
+        return None
+    cfg = _r4_block_cfg(g)
+    if cfg is None:
+        return None
+    prec_name = cfg.pop("_prec")
+    cfg["gather_mode"] = _GATHER_MODE or (
+        "bf16" if prec_name == "bf16" else "split2"
+    )
+    return cfg
+
+
 def pna_stack_cfg(g, n_layers: int = 1) -> Optional[dict]:
     """Kernel kwargs for the whole-stack block-local PNA kernel
     (ops/pallas/pna_block.py) when it applies, else None (the model falls
