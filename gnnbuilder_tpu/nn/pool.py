@@ -82,10 +82,17 @@ class GlobalPooling(nn.Module):
                     m = jnp.max(jax.lax.all_gather(m, halo[0]), axis=0)
                     outs.append(jnp.where(count > 0, m, 0.0))
                 elif (g.graph_starts is not None
-                      and g.max_graph_nodes_static):
+                      and g.max_graph_nodes_static
+                      and g.num_graphs * g.max_graph_nodes_static
+                      <= 4 * g.num_nodes):
                     # graphs are contiguous row ranges under both packings:
                     # gather-window max instead of XLA's scatter-max
-                    # (219 us -> gather-bound, block_insitu.json round 4)
+                    # (219 us -> gather-bound, block_insitu.json round 4).
+                    # The [G, maxg, F] window (and its scatter-add backward)
+                    # only pays off while it stays comparable to the node
+                    # array — a skewed batch where one big graph inflates
+                    # maxg for everyone (G*maxg >> N) falls back to the
+                    # scatter-max below instead of blowing up memory.
                     outs.append(segment.contiguous_segment_max(
                         x, g.graph_starts, g.n_node,
                         g.max_graph_nodes_static,

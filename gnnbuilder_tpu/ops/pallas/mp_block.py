@@ -271,6 +271,13 @@ def _make_vjp_fn(conv, epss, skips, act, block_size, tile_rows, interpret,
         return f(x, adj, deg, w0, b0, w1, b1), (x, adj, deg, w0, b0, w1, b1)
 
     def bwd(res, ct):
+        # CPU-parity / test-only escape hatch: recomputes through
+        # mp_stack_reference at XLA default matmul precision, which on TPU
+        # is one-pass bf16 — NOT the forward kernel's gather_mode/mm
+        # policy.  dispatch gates this stack to inference_mode (training
+        # uses the per-layer fused VJP kernels), so on-chip gradients
+        # never flow through here; if that gate is ever lifted, thread
+        # the forward's precision policy into the reference chain first.
         x, adj, deg, w0, b0, w1, b1 = res
 
         def ref(xx, _w0, _b0, _w1, _b1):

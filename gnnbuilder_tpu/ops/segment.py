@@ -75,7 +75,11 @@ def contiguous_segment_max(data, starts, counts, max_rows: int):
     by definition of max_graph_nodes_static.  Longer segments (only the
     ghost row's pad tail) reduce their first max_rows rows: finite
     garbage, masked downstream like every ghost output.  Empty segments
-    return 0 (PyG convention, reference gnn_builder_lib.h:736)."""
+    return 0 (PyG convention, reference gnn_builder_lib.h:736).
+
+    Invalid lanes mask with -inf (not a large finite value) so the
+    result is bit-identical to ``jax.ops.segment_max`` for any finite
+    input — dispatch swaps freely between the two implementations."""
     n = data.shape[0]
     st = starts.astype(jnp.int32)[:, None]
     pos = jnp.arange(max_rows, dtype=jnp.int32)[None, :]
@@ -83,9 +87,9 @@ def contiguous_segment_max(data, starts, counts, max_rows: int):
     win = jnp.take(data, rows, axis=0)              # [G, max_rows, F]
     cnt = counts.astype(jnp.int32)
     valid = pos < cnt[:, None]                      # [G, max_rows]
-    big = jnp.asarray(3e38, jnp.float32)
     m = jnp.max(
-        jnp.where(valid[:, :, None], win.astype(jnp.float32), -big), axis=1
+        jnp.where(valid[:, :, None], win.astype(jnp.float32), -jnp.inf),
+        axis=1,
     )
     return jnp.where((cnt > 0)[:, None], m, 0.0).astype(data.dtype)
 

@@ -266,16 +266,45 @@ class GNNServer:
             )
         return out
 
-    def close(self):
+    def close(self, timeout: Optional[float] = None):
+        """Stop dispatching and resolve/fail everything outstanding.
+
+        Blocks until the worker thread actually exits — it may be inside
+        a minutes-long flexible-mode recompile in ``self._fn`` — because
+        the resolver's shutdown sentinel must only be enqueued once the
+        worker can no longer hand off batches (the queue is FIFO, so the
+        sentinel then drains every in-flight batch first).  Pass
+        ``timeout`` to bound the wait; on expiry the daemon worker is
+        abandoned WITHOUT sending the sentinel, so the (daemon) resolver
+        keeps draining any late handoff rather than stranding its
+        futures.  Requests still sitting in the submit queue are failed
+        either way.
+        """
         self._stop.set()
-        self._worker.join(timeout=10.0)
-        # sentinel after the worker stops dispatching: the resolver drains
-        # every in-flight batch first, so no future is left unresolved
+        deadline = (None if timeout is None
+                    else time.perf_counter() + timeout)
+        while self._worker.is_alive():
+            wait = 0.5
+            if deadline is not None:
+                wait = min(wait, deadline - time.perf_counter())
+                if wait <= 0:
+                    break
+            self._worker.join(timeout=wait)
+        if not self._worker.is_alive():
+            # worker is dead: every batch it will ever dispatch is already
+            # in _resolve_q ahead of the sentinel
+            self._resolve_q.put(None)
+            self._resolver.join(timeout=60.0)
+        # fail requests the worker never picked up
         try:
-            self._resolve_q.put(None, timeout=5.0)
-        except queue.Full:  # pragma: no cover — resolver wedged
+            while True:
+                p = self._q.get_nowait()
+                if not p.future.done():
+                    p.future.set_exception(
+                        RuntimeError("GNNServer closed before this request "
+                                     "was dispatched"))
+        except queue.Empty:
             pass
-        self._resolver.join(timeout=30.0)
 
     def __enter__(self):
         return self
