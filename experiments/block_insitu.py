@@ -52,9 +52,12 @@ def main():
     log(f"devices: {jax.devices()}")
 
     bs = int(os.environ.get("INSITU_BS", 1024))
+    # default node_multiple matches bench.py's block arms (nm1024) so the
+    # decomposition explains the driver-visible number
+    nm = int(os.environ.get("INSITU_NM", 1024))
     graphs, batches = canonical_batches(
         "qm9", n_graphs=max(2 * bs, 64), batch_size=bs,
-        node_multiple=min(1024, max(128, bs)), block_size=128,
+        node_multiple=nm, block_size=128,
     )
     b = batches[0]
     model = canonical_model("pna", "qm9", graphs=graphs)
@@ -168,7 +171,8 @@ def main():
     log(f"readout fused vs xla tail: {t_read:.1f} vs {t_xla:.1f} us "
         f"(segmax alone {t_segmax:.1f})")
 
-    out = os.path.join(ROOT, "results_tpu", "block_insitu.json")
+    suffix = "" if bs == 1024 else f"_b{bs}"
+    out = os.path.join(ROOT, "results_tpu", f"block_insitu{suffix}.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1, default=float)
     print(json.dumps({k: round(v["us"], 1) for k, v in results.items()

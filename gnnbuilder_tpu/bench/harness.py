@@ -70,15 +70,24 @@ def bench_tpu(
         and spec.max_nodes <= 128
     ) else 0
 
+    from gnnbuilder_tpu.core.graph import _BLOCK_AUTO_MIN_NODES
+
     out = {}
     graphs = None
     for bs in batch_sizes:
+        # auto-packing crossover (core/graph.resolve_block_size policy):
+        # small batches keep standard packing — the block kernels' per-step
+        # overhead dominates below the measured node crossover
+        # (BENCH_r04.json b256: block 169k vs std 704k graphs/s)
+        use_block = (
+            block if bs * spec.mean_nodes >= _BLOCK_AUTO_MIN_NODES else 0
+        )
         graphs, batches = canonical_batches(
             dataset,
             n_graphs=max(n_graphs, bs + 1),
             batch_size=bs,
             node_multiple=256 if bs > 8 else 8,
-            block_size=block if bs > 8 else 0,
+            block_size=use_block if bs > 8 else 0,
         )
         b = batches[0]
         model = canonical_model(conv, dataset, graphs=graphs)

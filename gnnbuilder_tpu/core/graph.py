@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["GraphBatch", "build_graph_batch", "pad_sizes"]
+__all__ = ["GraphBatch", "build_graph_batch", "pad_sizes",
+           "resolve_block_size"]
 
 
 @jax.tree_util.register_dataclass
@@ -177,6 +178,37 @@ def pad_sizes(
 # scales with N*ell_width; power-law graphs should use the flat segment path)
 ELL_MAX_WIDTH = 64
 
+# --- block-packing auto policy -------------------------------------------
+# Crossover (total REAL nodes in the batch) above which block-diagonal
+# packing wins over standard contiguous packing.  Measured on chip
+# (results_tpu/block_insitu_b256.json vs BENCH_r04.json): the whole-stack
+# block kernels amortize their per-grid-step weight residency only once
+# the batch spans enough 128-row blocks; below the crossover the windowed
+# per-layer kernels on a tightly padded standard batch are faster.
+# Env-overridable for re-measurement on new hardware.
+_BLOCK_AUTO_MIN_NODES = int(
+    __import__("os").environ.get("GNNB_BLOCK_AUTO_MIN_NODES", "8192")
+)
+_BLOCK_AUTO_SIZE = 128
+
+
+def resolve_block_size(block_size, n_node_list) -> Optional[int]:
+    """Resolve a ``block_size`` argument that may be the string "auto".
+
+    "auto" picks block-diagonal packing (B=128) when the batch is large
+    enough to amortize the block kernels' per-step overhead AND every
+    graph fits in one block; otherwise standard packing.  Numeric values
+    and None pass through unchanged."""
+    if block_size != "auto":
+        return block_size
+    if not n_node_list:
+        return None
+    if max(n_node_list) > _BLOCK_AUTO_SIZE:
+        return None
+    if sum(n_node_list) < _BLOCK_AUTO_MIN_NODES:
+        return None
+    return _BLOCK_AUTO_SIZE
+
 # process-wide default for build_graph_batch(ell_width=None) — the DSE
 # autotuner's handle on the batch layout (ops/dispatch.set_kernel_overrides)
 _DEFAULT_ELL_WIDTH: Optional[int] = None
@@ -219,8 +251,17 @@ def build_graph_batch(
     (ops/block.py).  Requires every graph to have <= B nodes; B should be
     a multiple of 128 (the MXU tile).  Node-count overhead is the pack
     waste (~mean_graph_nodes/2 rows per block; ~8% on QM9 at B=128).
+    ``block_size="auto"`` applies the measured crossover policy
+    (``resolve_block_size``): block packing for large batches, standard
+    for small ones — the analog of the reference's per-dataset MAX_NODES
+    sizing choices (code_gen.py:72-98).
     """
     from gnnbuilder_tpu.core import packing
+
+    if block_size == "auto":
+        block_size = resolve_block_size(
+            "auto", [int(g.x.shape[0]) for g in graphs]
+        )
 
     xs, eidx, eattr = [], [], []
     has_edge_feat = graphs[0].edge_attr is not None if graphs else False

@@ -155,3 +155,35 @@ def test_block_packing_fuzz_random_sizes(seed):
     o1 = np.asarray(model.apply(params, b_std))[:20]
     o2 = np.asarray(model.apply(params, b_blk))[:20]
     np.testing.assert_allclose(o2, o1, atol=1e-5)
+
+
+def test_block_size_auto_policy():
+    """block_size="auto" picks block packing only above the measured node
+    crossover, and never when a graph exceeds one block (the round-5
+    auto-packing policy, core/graph.resolve_block_size)."""
+    from gnnbuilder_tpu.core import graph as cg
+
+    small = _graphs(n=24)  # ~400 QM9 nodes, far below the crossover
+    b = build_graph_batch(small, block_size="auto")
+    assert b.block_size_static == 0
+
+    # a batch past the crossover packs block128
+    n_needed = cg._BLOCK_AUTO_MIN_NODES
+    many = _graphs(n=-(-n_needed // 12))  # qm9 graphs are >=12 nodes here
+    assert sum(g.x.shape[0] for g in many) >= n_needed
+    b2 = build_graph_batch(many, block_size="auto")
+    assert b2.block_size_static == 128
+    validate_batch(b2, strict_ell=False)
+
+    # oversized graph forces standard packing regardless of batch size
+    rng = np.random.default_rng(0)
+    big = Graph(
+        x=rng.normal(size=(200, 6)).astype(np.float32),
+        edge_index=rng.integers(0, 200, size=(2, 300)).astype(np.int64),
+    )
+    small6 = [
+        Graph(x=g.x[:, :6].astype(np.float32), edge_index=g.edge_index)
+        for g in small
+    ]
+    b3 = build_graph_batch(small6 + [big] * 700, block_size="auto")
+    assert b3.block_size_static == 0
