@@ -217,6 +217,87 @@ def bench_torch_cpu(
     }
 
 
+def bench_xla_cpu(
+    conv: str,
+    dataset: str,
+    batch_sizes: Sequence[int] = (1, 4, 256),
+    n_graphs: int = 256,
+    iters: int = 12,
+) -> dict:
+    """The compiled Program on the XLA **CPU** backend — the reference's
+    ``cpp_cpu`` arm analog (build_gnnbuilder_benchmarks.py:156-232: the
+    generated C++ kernel compiled for and timed on one CPU core).  Same
+    model, same batches, same measurement protocol as ``bench_tpu``; only
+    the backend differs, so the grid gains a third *measured* hardware
+    arm.  With RAPL exposed (bare metal), package energy is measured
+    around the timing loop; on this VM the TDP bound is reported instead.
+
+    Must run in a process whose JAX platform is CPU (tests/conftest
+    style: ``jax.config.update('jax_platforms', 'cpu')`` before first
+    backend use, or ``GNNB_FORCE_CPU=1`` with the module CLI) — mixing
+    relay-TPU and CPU compilation in one process risks concurrent relay
+    work (CLAUDE.md).  The fused-dispatch policy handles the rest: off
+    TPU, every kernel takes its XLA path automatically."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        raise RuntimeError(
+            "bench_xla_cpu needs a CPU-platform process; run "
+            "`GNNB_FORCE_CPU=1 python -m gnnbuilder_tpu.bench.harness "
+            "--backends xla_cpu`"
+        )
+    out = bench_tpu(conv, dataset, batch_sizes=batch_sizes,
+                    n_graphs=n_graphs, iters=iters)
+    # energy: RAPL measurement when the counters exist, around a
+    # fixed-count forward loop at the best batch size (reference
+    # pattern: build_base_benchmarks.py:188-213)
+    from gnnbuilder_tpu.bench.energy import (
+        CPU_TDP_W,
+        cpu_energy_j,
+        energy_bound_j_per_graph,
+    )
+
+    best = out["best_batch_size"]
+    lat = out[f"latency_b{best}_s"]
+    measured = None
+    if lat > 0:
+        import gnnbuilder_tpu as gnnb
+        from gnnbuilder_tpu.bench.canonical import (
+            canonical_batches,
+            canonical_model,
+        )
+
+        graphs, batches = canonical_batches(
+            dataset, n_graphs=max(n_graphs, best + 1), batch_size=best,
+            node_multiple=256 if best > 8 else 8,
+        )
+        b = batches[0]
+        model = canonical_model(conv, dataset, graphs=graphs)
+        prog = gnnb.Program(model, max_nodes=b.num_nodes,
+                            max_edges=b.num_edges, max_graphs=b.num_graphs)
+        prog.init_params(b)
+        fwd = prog.compile(b)
+        fwd(prog.params, b).block_until_ready()  # warm
+        k = max(int(0.5 / lat), 3)  # ~0.5 s of work for a stable delta
+
+        def loop():
+            for _ in range(k):
+                fwd(prog.params, b).block_until_ready()
+
+        measured = cpu_energy_j(loop)
+    if measured is not None:
+        _, joules, dt_total = measured
+        out["energy_j_per_graph"] = joules / (k * best)  # measured (RAPL)
+        out["energy_w_avg"] = joules / dt_total
+        out.pop("energy_j_per_graph_bound", None)
+    else:
+        out["energy_j_per_graph_bound"] = energy_bound_j_per_graph(
+            1.0 / out["graphs_per_s"], CPU_TDP_W
+        )
+        out["energy_tdp_w_assumed"] = CPU_TDP_W
+    return out
+
+
 import functools as _functools
 
 _BACKENDS = {
@@ -224,6 +305,8 @@ _BACKENDS = {
     "torch_cpu": bench_torch_cpu,
     # the reference's batch=4 sweep arm (build_base_benchmarks.py:162,246)
     "torch_cpu_b4": _functools.partial(bench_torch_cpu, batch_size=4),
+    # the reference's cpp_cpu arm analog: same compiled Program, XLA CPU
+    "xla_cpu": bench_xla_cpu,
 }
 
 
@@ -303,6 +386,15 @@ def main():
     ap.add_argument("--results-dir", default="results")
     ap.add_argument("--n-graphs", type=int, default=512)
     args = ap.parse_args()
+    if os.environ.get("GNNB_FORCE_CPU") == "1" or (
+        args.backends.split(",") == ["xla_cpu"]
+    ):
+        # the xla_cpu arm needs a CPU-platform process; the env var alone
+        # is too late under this machine's sitecustomize (CLAUDE.md), so
+        # use the config API before first backend use
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     run_grid(
         convs=args.convs.split(","),
         datasets=args.datasets.split(","),

@@ -115,6 +115,7 @@ def ell_aggregate_sharded(
     halo: int,
     aggregators=("sum",),
     axis: str = "dp",
+    overlap: bool = True,
 ):
     """Edge-partitioned ELL aggregation: each dp shard reduces its own node
     rows reading neighbor values from [local ± halo] only; any combination
@@ -124,6 +125,18 @@ def ell_aggregate_sharded(
     ``halo`` must be >= the largest graph in the batch rounded up so that
     N/dp ± halo covers every neighbor id (guaranteed by the packer's graph
     contiguity; validate with core.validate.validate_batch).
+
+    ``overlap=True`` (default) is the BASELINE north-star formulation —
+    boundary exchange overlapped with local aggregation: the two halo
+    ppermutes are issued first, then the bulk reduce runs over the LOCAL
+    rows only (its ids provably stay in-shard for every interior row, so
+    it has no data dependence on the collectives — XLA's latency-hiding
+    scheduler runs the collective-permute in its shadow), and finally
+    only the 2*halo boundary rows are re-reduced against the received
+    window and patched in.  Extra compute: 2*halo of n_local rows
+    (re-done); hidden communication: the whole exchange.  Falls back to
+    the sequential exchange-then-reduce when the interior would be empty
+    (n_local < 2*halo).
     """
     n_dev = mesh.shape[axis]
     N = x.shape[0]
@@ -133,18 +146,63 @@ def ell_aggregate_sharded(
     # window layout; a zero halo has no use case (pad nodes still reference
     # the ghost row at the array end), so require a positive one
     assert 0 < halo <= n_local, f"halo must be in (0, {n_local}], got {halo}"
+    use_overlap = overlap and n_local >= 2 * halo
 
     def shard_fn(x_l, nbr_l, deg_l):
         # x_l: [n_local, F]; nbr_l: [n_local, W] global ids; deg_l: [n_local]
         idx = jax.lax.axis_index(axis)
         base = idx * n_local
-        xw = halo_exchange(x_l, halo, axis)          # [n_local + 2h, F]
-        ids_local = nbr_l - base + halo              # into the window
-        # ghost/pad ids may fall outside the window: clamp and rely on the
-        # degree mask (pad slots are invalid by construction)
-        ids_local = jnp.clip(ids_local, 0, n_local + 2 * halo - 1)
-        d = ell.ell_multi(xw, ids_local, deg_l, aggregators)
-        return jnp.concatenate([d[a] for a in aggregators], axis=-1)
+        n_dev_ = jax.lax.axis_size(axis)
+        h = halo
+
+        if not use_overlap:
+            xw = halo_exchange(x_l, h, axis)          # [n_local + 2h, F]
+            ids_local = nbr_l - base + h              # into the window
+            # ghost/pad ids may fall outside the window: clamp and rely on
+            # the degree mask (pad slots are invalid by construction)
+            ids_local = jnp.clip(ids_local, 0, n_local + 2 * h - 1)
+            d = ell.ell_multi(xw, ids_local, deg_l, aggregators)
+            return jnp.concatenate([d[a] for a in aggregators], axis=-1)
+
+        # ---- overlapped formulation ----
+        # 1. issue the exchange (async collective-permute on TPU)
+        first, last = x_l[:h], x_l[-h:]
+        right_halo = jax.lax.ppermute(
+            first, axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        left_halo = jax.lax.ppermute(
+            last, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+
+        # 2. bulk reduce over LOCAL rows only — independent of the
+        # permutes, so it runs in their shadow.  Interior rows (those in
+        # [h, n_local - h)) have every neighbor id in-shard by the
+        # packer's graph-contiguity invariant; boundary rows produce
+        # garbage here and are patched in step 3.
+        ids_int = jnp.clip(nbr_l - base, 0, n_local - 1)
+        d_int = ell.ell_multi(x_l, ids_int, deg_l, aggregators)
+
+        # 3. re-reduce just the boundary rows against the halo window
+        left_halo = jnp.where(idx == 0, 0.0, left_halo)
+        right_halo = jnp.where(idx == n_dev_ - 1, 0.0, right_halo)
+        xw = jnp.concatenate([left_halo, x_l, right_halo], axis=0)
+        bnd_rows = jnp.concatenate([
+            jnp.arange(h, dtype=jnp.int32),
+            jnp.arange(n_local - h, n_local, dtype=jnp.int32),
+        ])                                           # [2h]
+        nbr_bnd = jnp.take(nbr_l, bnd_rows, axis=0)  # [2h, W]
+        deg_bnd = jnp.take(deg_l, bnd_rows)
+        ids_bnd = jnp.clip(nbr_bnd - base + h, 0, n_local + 2 * h - 1)
+        d_bnd = ell.ell_multi(xw, ids_bnd, deg_bnd, aggregators)
+
+        outs = []
+        for a in aggregators:
+            top = d_bnd[a][:h]
+            bot = d_bnd[a][h:]
+            outs.append(jnp.concatenate(
+                [top, d_int[a][h : n_local - h], bot], axis=0
+            ))
+        return jnp.concatenate(outs, axis=-1)
 
     try:
         from jax import shard_map

@@ -457,3 +457,32 @@ def test_shard_batch_global_matches_shard_batch():
     p0, s0 = init(params)
     _, _, loss = step(p0, s0, b, target)
     assert np.isfinite(float(loss))
+
+
+def test_halo_overlap_matches_sequential():
+    """The overlapped halo formulation (bulk local reduce in the shadow of
+    the in-flight ppermutes + boundary-row patch) is numerically identical
+    to the sequential exchange-then-reduce, for every aggregator mix."""
+    import jax.numpy as jnp
+
+    from gnnbuilder_tpu.parallel.halo import ell_aggregate_sharded
+
+    graphs = FakeDataset(num_graphs=32, avg_num_nodes=14, node_dim=8, seed=7)
+    dp = 4
+    batch = build_graph_batch(graphs, node_multiple=dp * 8)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((batch.num_nodes, 8)),
+        jnp.float32,
+    )
+    mesh = make_mesh(dp=dp, tp=1)
+    halo = ((batch.max_graph_nodes_static + 7) // 8) * 8
+    for aggs in [("sum",), ("sum", "mean", "max", "min", "std")]:
+        seq = np.asarray(ell_aggregate_sharded(
+            mesh, x, batch.nbr_nodes, batch.in_degree, halo, aggs,
+            overlap=False,
+        ))
+        ovl = np.asarray(ell_aggregate_sharded(
+            mesh, x, batch.nbr_nodes, batch.in_degree, halo, aggs,
+            overlap=True,
+        ))
+        np.testing.assert_allclose(ovl, seq, atol=1e-6)
