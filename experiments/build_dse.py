@@ -304,6 +304,19 @@ def fit():
             "labels (process_dse_models.py)."
         ),
         "protocol": "inner_chain",
+        "round5_model_note": (
+            "CostModel now routes sub-300us predictions to a fast-regime "
+            "specialist fit only on sub-300us rows (measured 5-fold OOF "
+            "A/B on this corpus: 0-50us band 1.53 -> 1.38, 50-150us "
+            "0.57 -> 0.47; band-weighting, L1-loss GBM and kNN all "
+            "measured WORSE and were rejected).  The 0-50us band's "
+            "median APE (~0.8) sits AT the labels' own cross-session "
+            "test-retest spread (label_retest_floor below) — further "
+            "model-side gains are not possible without lower-noise "
+            "labels; predict_with_noise_floor() surfaces that floor to "
+            "DSE users so sub-floor deltas are ranked by measurement, "
+            "not prediction."
+        ),
     }
 
     # latency model (model_direct.pk — the reference's name)
@@ -325,7 +338,7 @@ def fit():
     y_pg = np.asarray([float(r["latency_per_graph_us"]) for r in rows])
     total_us = np.asarray([float(r["latency_us"]) for r in rows])
     report["cv_mape_latency_by_total_us"] = cv_mape_banded(
-        cfgs_all, y_pg, band_by=total_us,
+        cfgs_all, y_pg, band_by=total_us, target="latency_per_graph_us",
     )
     retest_path = os.path.join(
         os.path.dirname(OUT_DIR), "results_tpu", "dse_label_retest.json")

@@ -109,7 +109,13 @@ def _kernel(
     h_scr,        # [TN, F] f32 — the VMEM-resident hidden state
     v_scr,        # [TN, F] f32
     u_scr,        # [TN, F] f32 — pre_nn receiver half
-    agg_scr,      # [TN, 4F] f32
+    agg_scr,      # [TN, 4F] f32 (v1) / bf16 (v2+mm=bf16 — the ks dot
+                  # reads it one-pass bf16 either way, so storing bf16
+                  # halves the concat's VMEM traffic at zero numeric cost)
+    oh_scr,       # [W*TN, BB] bf16 (sched v2) — the one-hot gather
+                  # operand, built ONCE per tile and reused by all L
+                  # layers (ids are layer-invariant; v1 rebuilt it per
+                  # layer per block = ~6x the VPU compare+cast work)
     *,
     L: int,
     W: int,
@@ -120,7 +126,13 @@ def _kernel(
     act: Optional[str],
     skips: tuple,
     adj_sums: bool = False,
+    ablate: Optional[str] = None,
+    sched: str = "v1",
 ):
+    # ``ablate`` is a measurement hook (experiments/stack_ablate.py): skip
+    # one stage ("pre" | "gather" | "walk" | "ks" | "epi") so within-run
+    # inner-chain A/Bs attribute the stack's time stage by stage.  None =
+    # the production kernel, bit-identical to before the hook existed.
     TN = x_ref.shape[0]
     F = wi_ref.shape[2]
     KB = TN // BB
@@ -129,20 +141,44 @@ def _kernel(
 
     h_scr[:] = x_ref[:].astype(jnp.float32)
 
+    if sched == "v2":
+        # hoist the layer-invariant one-hot build out of the layer loop
+        def build_oh(k, carry):
+            ids = ids_ref[pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :]
+            oh_scr[pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :] = (
+                ids == lane
+            ).astype(jnp.bfloat16)
+            return carry
+
+        jax.lax.fori_loop(0, KB, build_oh, 0)
+
     for l in range(L):  # static unroll: one stack, different weights/layer
-        v_scr[:] = dot(h_scr[:], wj_ref[l])
-        # receiver half hoisted to ONE whole-tile dot per layer (vs KB
-        # small per-block dots)
-        u_scr[:] = dot(h_scr[:], wi_ref[l]) + bpre_ref[l]
+        if ablate == "pre":
+            v_scr[:] = h_scr[:]
+            u_scr[:] = h_scr[:] + bpre_ref[l]
+        else:
+            v_scr[:] = dot(h_scr[:], wj_ref[l])
+            # receiver half hoisted to ONE whole-tile dot per layer (vs KB
+            # small per-block dots)
+            u_scr[:] = dot(h_scr[:], wi_ref[l]) + bpre_ref[l]
 
         def blk(k, carry, _l=l):
             rows = pl.multiple_of(k * BB, 8)
             vblk = v_scr[pl.ds(rows, BB), :]                  # [BB, F]
             u_blk = u_scr[pl.ds(rows, BB), :]
-            ids = ids_ref[pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :]
             deg = deg_ref[pl.ds(rows, BB), :]                 # [BB, 1]
             adj = adj_ref[pl.ds(rows, BB), :]                 # [BB, BB] bf16
-            ohb = ids == lane                                 # [W*BB, BB]
+            if sched == "v2":
+                ohb = None  # prebuilt bf16 one-hot read below
+                oh_pre = oh_scr[
+                    pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :
+                ]
+            else:
+                ids = ids_ref[
+                    pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :
+                ]
+                ohb = ids == lane                             # [W*BB, BB]
+                oh_pre = None
             bdot = lambda m, v: jnp.dot(
                 m, v, preferred_element_type=jnp.float32
             )
@@ -155,6 +191,30 @@ def _kernel(
             # work (+2.7 GFLOP/layer at b1024) for nothing.  Default
             # stays the slot accumulation; the flag and the negative
             # result are kept so the hypothesis is not re-chased.
+            if ablate == "gather":
+                # stand-in values keep every downstream stage live
+                G = jnp.concatenate([vblk] * W, axis=0)
+                s_acc = vblk
+                sq_acc = vblk * vblk
+                degf = deg.astype(jnp.float32)
+                denom = jnp.maximum(degf, 1.0)
+                nonempty = deg > 0
+                mean_g = s_acc / denom
+                var = jnp.maximum(sq_acc / denom - mean_g * mean_g, 0.0)
+                adt = agg_scr.dtype
+                agg_scr[pl.ds(rows, BB), 0:F] = jnp.where(
+                    nonempty, u_blk + vblk, 0.0
+                ).astype(adt)
+                agg_scr[pl.ds(rows, BB), F : 2 * F] = jnp.where(
+                    nonempty, u_blk - vblk, 0.0
+                ).astype(adt)
+                agg_scr[pl.ds(rows, BB), 2 * F : 3 * F] = jnp.where(
+                    nonempty, u_blk + mean_g, 0.0
+                ).astype(adt)
+                agg_scr[pl.ds(rows, BB), 3 * F : 4 * F] = jnp.sqrt(
+                    var + _STD_EPS
+                ).astype(adt)
+                return carry
             v2 = vblk * vblk if adj_sums else None
             s_acc = sq_acc = None
             if gather_mode == "highest":
@@ -171,7 +231,7 @@ def _kernel(
                     preferred_element_type=jnp.float32, precision=_HI,
                 )
             elif gather_mode in ("split2", "bf16"):
-                oh = ohb.astype(jnp.bfloat16)
+                oh = oh_pre if sched == "v2" else ohb.astype(jnp.bfloat16)
                 vh = vblk.astype(jnp.bfloat16)
                 if gather_mode == "split2":
                     # one-hot x bf16 products are exact; hi+lo reconstructs
@@ -179,7 +239,15 @@ def _kernel(
                     vl = (vblk - vh.astype(jnp.float32)).astype(
                         jnp.bfloat16
                     )
-                    G = bdot(oh, vh) + bdot(oh, vl)           # [W*BB, F]
+                    if sched == "v2":
+                        # hi/lo fused into ONE MXU call on the lane-
+                        # concatenated operand (same MACs, half the
+                        # matmul launches — measured faster, round 5)
+                        vcat = jnp.concatenate([vh, vl], axis=1)
+                        G2 = bdot(oh, vcat)                   # [W*BB, 2F]
+                        G = G2[:, :F] + G2[:, F:]
+                    else:
+                        G = bdot(oh, vh) + bdot(oh, vl)       # [W*BB, F]
                     if adj_sums:
                         v2h = v2.astype(jnp.bfloat16)
                         v2l = (v2 - v2h.astype(jnp.float32)).astype(
@@ -203,49 +271,62 @@ def _kernel(
             if not adj_sums:
                 zero = jnp.zeros((BB, F), jnp.float32)
                 s_acc, sq_acc = zero, zero
-            for w in range(W):
-                g = G[w * BB : (w + 1) * BB, :]
-                if not adj_sums:
-                    s_acc = s_acc + g
-                    sq_acc = sq_acc + g * g
-                bias = jnp.where(w < deg, 0.0, -_BIG)         # [BB, 1]
-                mx = jnp.maximum(mx, g + bias)
-                mn = jnp.minimum(mn, g - bias)
+            if ablate == "walk":
+                g0 = G[0:BB, :]
+                s_acc, sq_acc = g0, g0 * g0
+                mx, mn = g0, g0
+            else:
+                for w in range(W):
+                    g = G[w * BB : (w + 1) * BB, :]
+                    if not adj_sums:
+                        s_acc = s_acc + g
+                        sq_acc = sq_acc + g * g
+                    bias = jnp.where(w < deg, 0.0, -_BIG)     # [BB, 1]
+                    mx = jnp.maximum(mx, g + bias)
+                    mn = jnp.minimum(mn, g - bias)
 
             degf = deg.astype(jnp.float32)
             denom = jnp.maximum(degf, 1.0)
             nonempty = deg > 0
             mean_g = s_acc / denom
             var = jnp.maximum(sq_acc / denom - mean_g * mean_g, 0.0)
+            adt = agg_scr.dtype
             agg_scr[pl.ds(rows, BB), 0:F] = jnp.where(
                 nonempty, u_blk + mx, 0.0
-            )
+            ).astype(adt)
             agg_scr[pl.ds(rows, BB), F : 2 * F] = jnp.where(
                 nonempty, u_blk + mn, 0.0
-            )
+            ).astype(adt)
             agg_scr[pl.ds(rows, BB), 2 * F : 3 * F] = jnp.where(
                 nonempty, u_blk + mean_g, 0.0
-            )
+            ).astype(adt)
             agg_scr[pl.ds(rows, BB), 3 * F : 4 * F] = jnp.sqrt(
                 var + _STD_EPS
-            )
+            ).astype(adt)
             return carry
 
         jax.lax.fori_loop(0, KB, blk, 0)
 
-        y = dot(agg_scr[:], ks_ref[l])                        # [TN, 3F]
+        if ablate == "ks":
+            y = jnp.concatenate([agg_scr[:, 0:F]] * 3, axis=1)
+        else:
+            y = dot(agg_scr[:], ks_ref[l])                    # [TN, 3F]
         degt = jnp.maximum(deg_ref[:].astype(jnp.float32), 1.0)
         log_deg = jnp.log(degt + 1.0)
         amp = log_deg / deltas[l]
         att = deltas[l] / log_deg
-        mid = (
-            dot(h_scr[:], k0_ref[l])
-            + bpost_ref[l]
-            + y[:, :F]
-            + amp * y[:, F : 2 * F]
-            + att * y[:, 2 * F :]
-        )
-        o = dot(mid, wlin_ref[l]) + blin_ref[l]
+        if ablate == "epi":
+            o = (y[:, :F] + amp * y[:, F : 2 * F]
+                 + att * y[:, 2 * F :] + bpost_ref[l])
+        else:
+            mid = (
+                dot(h_scr[:], k0_ref[l])
+                + bpost_ref[l]
+                + y[:, :F]
+                + amp * y[:, F : 2 * F]
+                + att * y[:, 2 * F :]
+            )
+            o = dot(mid, wlin_ref[l]) + blin_ref[l]
         if skips[l]:
             o = o + h_scr[:]
         h_scr[:] = _ACTS[act](o)
@@ -257,7 +338,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "deltas", "skips", "act", "block_size", "tile_rows", "interpret",
-        "gather_mode", "mm", "adj_sums",
+        "gather_mode", "mm", "adj_sums", "ablate", "sched",
     ),
 )
 def fused_pna_block_stack(
@@ -282,6 +363,9 @@ def fused_pna_block_stack(
     block_adj=None,   # [N/BB, BB, BB] dense block adjacency (GraphBatch
                       # ships it); rebuilt from the neighbor table if absent
     adj_sums: bool = False,
+    ablate: Optional[str] = None,  # measurement hook, see _kernel
+    sched: str = "v1",  # "v2": hoisted one-hot + fused split2 dot +
+                        # bf16 agg scratch (round-5 gather restructure)
 ):
     N, F = x.shape
     L = wi.shape[0]
@@ -295,6 +379,8 @@ def fused_pna_block_stack(
     if act not in _ACTS:
         raise ValueError(f"unsupported fused activation {act!r}")
     assert len(deltas) == L and len(skips) == L
+    if sched == "v2" and gather_mode == "highest":
+        sched = "v1"  # v2's prebuilt one-hot is bf16-only
 
     T = N // BB
     sws = (np.arange(T, dtype=np.int32) * BB).astype(np.int32)
@@ -327,7 +413,7 @@ def fused_pna_block_stack(
     kern = functools.partial(
         _kernel, L=L, W=W, BB=BB, deltas=tuple(float(d) for d in deltas),
         gather_mode=gather_mode, mm=mm, act=act, skips=tuple(skips),
-        adj_sums=adj_sums,
+        adj_sums=adj_sums, ablate=ablate, sched=sched,
     )
 
     def blk(shape):
@@ -357,7 +443,17 @@ def fused_pna_block_stack(
             pltpu.VMEM((TN, F), jnp.float32),      # h (resident hidden)
             pltpu.VMEM((TN, F), jnp.float32),      # v
             pltpu.VMEM((TN, F), jnp.float32),      # u
-            pltpu.VMEM((TN, 4 * F), jnp.float32),  # agg concat
+            # agg concat: bf16 under v2+bf16 dots (the ks dot reads it
+            # one-pass bf16 either way — half the VMEM traffic, same math)
+            pltpu.VMEM(
+                (TN, 4 * F),
+                jnp.bfloat16 if (sched == "v2" and mm == "bf16")
+                else jnp.float32,
+            ),
+            # prebuilt one-hot (v2); minimal dummy under v1 (unused)
+            pltpu.VMEM(
+                (W * TN, BB) if sched == "v2" else (8, BB), jnp.bfloat16
+            ),
         ],
     )
     npass = 2 if gather_mode == "split2" else 1

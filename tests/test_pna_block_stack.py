@@ -209,3 +209,42 @@ def test_stack_not_dispatched_outside_inference():
     )
     params = model.init(jax.random.PRNGKey(0), g)
     assert dispatch.pna_stack_cfg(g) is None  # auto mode, no scope, CPU
+
+
+def test_stack_kernel_sched_v2_matches_v1():
+    """The round-5 v2 schedule (hoisted one-hot scratch, fused split2
+    hi/lo dot, bf16 agg scratch) is numerically equivalent to v1 at the
+    kernel's contract tolerance, for both gather modes and multi-block
+    tiles."""
+    graphs = FakeDataset(num_graphs=30, avg_num_nodes=12, node_dim=8,
+                         edge_dim=4, seed=4)
+    g = build_graph_batch(graphs, block_size=128, node_multiple=256,
+                          edge_multiple=8)
+    assert g.num_nodes % 256 == 0
+    N, F = g.num_nodes, 128
+    x = jax.random.normal(jax.random.PRNGKey(2), (N, F))
+    L = 2
+    layers = [_layer(jax.random.PRNGKey(20 + i), F, F, F)
+              for i in range(L)]
+    stacked = _stack_params(tuple(layers), F)
+    for gm, mm, tol in [("split2", "f32", 2e-6), ("bf16", "bf16", 5e-3)]:
+        kw = dict(
+            deltas=(2.0,) * L, skips=(False, True), act="relu",
+            block_size=128, tile_rows=256, interpret=True,
+            gather_mode=gm, mm=mm,
+        )
+        o1 = fused_pna_block_stack(
+            x, g.nbr_nodes, g.in_degree, *stacked, sched="v1", **kw
+        )
+        o2 = fused_pna_block_stack(
+            x, g.nbr_nodes, g.in_degree, *stacked, sched="v2", **kw
+        )
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   atol=tol, rtol=tol)
+        if gm == "split2":  # bf16 gather is lossy vs the f32 reference
+            ref = pna_stack_reference(
+                x, g.nbr_nodes, g.in_degree, layers, (2.0,) * L,
+                (False, True), act="relu",
+            )
+            np.testing.assert_allclose(np.asarray(o2), np.asarray(ref),
+                                       atol=1e-3, rtol=2e-3)
