@@ -58,7 +58,8 @@ def main():
     results = {"meta": {"bs": bs, "N": N, "W": W,
                         "protocol": "inner-chain k=1/5, interleaved ABAB"}}
 
-    def make_arm(name, gather_mode, mm, sched, tile_rows=1024):
+    def make_arm(name, gather_mode, mm, sched, tile_rows=1024,
+                 ablate=None):
         def chain(k):
             @jax.jit
             def f(c):
@@ -69,7 +70,7 @@ def main():
                         deltas=deltas, skips=skips, act="relu",
                         block_size=128, tile_rows=tile_rows,
                         gather_mode=gather_mode, mm=mm, sched=sched,
-                        block_adj=b.block_adj,
+                        block_adj=b.block_adj, ablate=ablate,
                     )
                     return jnp.sum(out) * 1e-12
                 return jax.lax.fori_loop(0, k, body, c)
@@ -94,14 +95,25 @@ def main():
 
         return name, measure
 
-    arms = [
-        make_arm("v1_split2", "split2", "bf16", "v1"),
-        make_arm("v2_split2", "split2", "bf16", "v2"),
-        make_arm("v1_bf16", "bf16", "bf16", "v1"),
-        make_arm("v2_bf16", "bf16", "bf16", "v2"),
-        make_arm("v2_split2_tr2048", "split2", "bf16", "v2",
-                 tile_rows=2048),
-    ]
+    arm_spec = os.environ.get("AB_ARMS", "")
+    if arm_spec:
+        # "name:gather:mm:sched:tr[:ablate+stages]" comma-separated
+        arms = []
+        for a in arm_spec.split(","):
+            parts = a.split(":")
+            nm, gm, mm, sc, tr = parts[:5]
+            abl = parts[5].replace("+", ",") if len(parts) > 5 else None
+            arms.append(make_arm(nm, gm, mm, sc, tile_rows=int(tr),
+                                 ablate=abl))
+    else:
+        arms = [
+            make_arm("v1_split2", "split2", "bf16", "v1"),
+            make_arm("v2_split2", "split2", "bf16", "v2"),
+            make_arm("v1_bf16", "bf16", "bf16", "v1"),
+            make_arm("v2_bf16", "bf16", "bf16", "v2"),
+            make_arm("v2_split2_tr2048", "split2", "bf16", "v2",
+                     tile_rows=2048),
+        ]
     # two interleaved passes per arm
     for rep in range(2):
         for name, measure in arms:
@@ -123,7 +135,11 @@ def main():
             results[f"speedup_{a}"] = float(sp)
             log(f"{a} speedup vs {base}: {sp:.2f}x")
 
-    out = os.path.join(ROOT, "results_tpu", "stack_v2_ab.json")
+    out = os.path.join(
+        ROOT, "results_tpu",
+        "stack_v2_ab.json" if not arm_spec
+        else os.environ.get("AB_OUT", "stack_tr_ab.json"),
+    )
     with open(out, "w") as f:
         json.dump(results, f, indent=1, default=float)
     print(json.dumps({k: v for k, v in results.items()

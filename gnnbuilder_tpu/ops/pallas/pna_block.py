@@ -92,6 +92,10 @@ def _kernel(
     x_ref,        # [TN, F] VMEM — input node features (layer-0 h)
     ids_ref,      # [W*TN, 1] int32 block-localized stacked slot ids
     deg_ref,      # [TN, 1] int32
+    oh_ref,       # [W*TN, BB] bf16 (sched v3) — prebuilt one-hot gather
+                  # operand streamed from HBM (built once per call in XLA;
+                  # ~4 MB at qm9 b1024 = ~5 us of HBM reads, replacing all
+                  # in-kernel one-hot construction); dummy [8, BB] else
     adj_ref,      # [TN, BB] bf16 — block adjacency rows (block_adj
                   # reshaped [T,BB,BB] -> [N,BB]): sum / sum-of-squares
                   # aggregation rides the MXU instead of the per-slot VPU
@@ -129,10 +133,13 @@ def _kernel(
     ablate: Optional[str] = None,
     sched: str = "v1",
 ):
-    # ``ablate`` is a measurement hook (experiments/stack_ablate.py): skip
-    # one stage ("pre" | "gather" | "walk" | "ks" | "epi") so within-run
-    # inner-chain A/Bs attribute the stack's time stage by stage.  None =
-    # the production kernel, bit-identical to before the hook existed.
+    # ``ablate`` is a measurement hook (experiments/stack_ablate.py): a
+    # comma-separated set of stages to skip ("pre", "gather", "walk",
+    # "ks", "epi", "agg" = the agg_scr writes) so within-run inner-chain
+    # A/Bs attribute the stack's time stage by stage and combinations
+    # isolate the loop/scratch skeleton.  None = the production kernel,
+    # bit-identical to before the hook existed.
+    abl = frozenset((ablate or "").split(",")) - {""}
     TN = x_ref.shape[0]
     F = wi_ref.shape[2]
     KB = TN // BB
@@ -143,6 +150,7 @@ def _kernel(
 
     if sched == "v2":
         # hoist the layer-invariant one-hot build out of the layer loop
+        # (v3 goes further: the operand arrives prebuilt via oh_ref)
         def build_oh(k, carry):
             ids = ids_ref[pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :]
             oh_scr[pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :] = (
@@ -153,7 +161,7 @@ def _kernel(
         jax.lax.fori_loop(0, KB, build_oh, 0)
 
     for l in range(L):  # static unroll: one stack, different weights/layer
-        if ablate == "pre":
+        if "pre" in abl:
             v_scr[:] = h_scr[:]
             u_scr[:] = h_scr[:] + bpre_ref[l]
         else:
@@ -171,6 +179,11 @@ def _kernel(
             if sched == "v2":
                 ohb = None  # prebuilt bf16 one-hot read below
                 oh_pre = oh_scr[
+                    pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :
+                ]
+            elif sched == "v3":
+                ohb = None
+                oh_pre = oh_ref[
                     pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :
                 ]
             else:
@@ -191,7 +204,7 @@ def _kernel(
             # work (+2.7 GFLOP/layer at b1024) for nothing.  Default
             # stays the slot accumulation; the flag and the negative
             # result are kept so the hypothesis is not re-chased.
-            if ablate == "gather":
+            if "gather" in abl:
                 # stand-in values keep every downstream stage live
                 G = jnp.concatenate([vblk] * W, axis=0)
                 s_acc = vblk
@@ -231,7 +244,8 @@ def _kernel(
                     preferred_element_type=jnp.float32, precision=_HI,
                 )
             elif gather_mode in ("split2", "bf16"):
-                oh = oh_pre if sched == "v2" else ohb.astype(jnp.bfloat16)
+                oh = (oh_pre if sched in ("v2", "v3")
+                      else ohb.astype(jnp.bfloat16))
                 vh = vblk.astype(jnp.bfloat16)
                 if gather_mode == "split2":
                     # one-hot x bf16 products are exact; hi+lo reconstructs
@@ -239,7 +253,7 @@ def _kernel(
                     vl = (vblk - vh.astype(jnp.float32)).astype(
                         jnp.bfloat16
                     )
-                    if sched == "v2":
+                    if sched in ("v2", "v3"):
                         # hi/lo fused into ONE MXU call on the lane-
                         # concatenated operand (same MACs, half the
                         # matmul launches — measured faster, round 5)
@@ -271,7 +285,7 @@ def _kernel(
             if not adj_sums:
                 zero = jnp.zeros((BB, F), jnp.float32)
                 s_acc, sq_acc = zero, zero
-            if ablate == "walk":
+            if "walk" in abl:
                 g0 = G[0:BB, :]
                 s_acc, sq_acc = g0, g0 * g0
                 mx, mn = g0, g0
@@ -291,23 +305,24 @@ def _kernel(
             mean_g = s_acc / denom
             var = jnp.maximum(sq_acc / denom - mean_g * mean_g, 0.0)
             adt = agg_scr.dtype
-            agg_scr[pl.ds(rows, BB), 0:F] = jnp.where(
-                nonempty, u_blk + mx, 0.0
-            ).astype(adt)
-            agg_scr[pl.ds(rows, BB), F : 2 * F] = jnp.where(
-                nonempty, u_blk + mn, 0.0
-            ).astype(adt)
-            agg_scr[pl.ds(rows, BB), 2 * F : 3 * F] = jnp.where(
-                nonempty, u_blk + mean_g, 0.0
-            ).astype(adt)
-            agg_scr[pl.ds(rows, BB), 3 * F : 4 * F] = jnp.sqrt(
-                var + _STD_EPS
-            ).astype(adt)
+            if "agg" not in abl:
+                agg_scr[pl.ds(rows, BB), 0:F] = jnp.where(
+                    nonempty, u_blk + mx, 0.0
+                ).astype(adt)
+                agg_scr[pl.ds(rows, BB), F : 2 * F] = jnp.where(
+                    nonempty, u_blk + mn, 0.0
+                ).astype(adt)
+                agg_scr[pl.ds(rows, BB), 2 * F : 3 * F] = jnp.where(
+                    nonempty, u_blk + mean_g, 0.0
+                ).astype(adt)
+                agg_scr[pl.ds(rows, BB), 3 * F : 4 * F] = jnp.sqrt(
+                    var + _STD_EPS
+                ).astype(adt)
             return carry
 
         jax.lax.fori_loop(0, KB, blk, 0)
 
-        if ablate == "ks":
+        if "ks" in abl:
             y = jnp.concatenate([agg_scr[:, 0:F]] * 3, axis=1)
         else:
             y = dot(agg_scr[:], ks_ref[l])                    # [TN, 3F]
@@ -315,7 +330,7 @@ def _kernel(
         log_deg = jnp.log(degt + 1.0)
         amp = log_deg / deltas[l]
         att = deltas[l] / log_deg
-        if ablate == "epi":
+        if "epi" in abl:
             o = (y[:, :F] + amp * y[:, F : 2 * F]
                  + att * y[:, 2 * F :] + bpost_ref[l])
         else:
@@ -379,8 +394,8 @@ def fused_pna_block_stack(
     if act not in _ACTS:
         raise ValueError(f"unsupported fused activation {act!r}")
     assert len(deltas) == L and len(skips) == L
-    if sched == "v2" and gather_mode == "highest":
-        sched = "v1"  # v2's prebuilt one-hot is bf16-only
+    if sched in ("v2", "v3") and gather_mode == "highest":
+        sched = "v1"  # v2/v3's prebuilt one-hot is bf16-only
 
     T = N // BB
     sws = (np.arange(T, dtype=np.int32) * BB).astype(np.int32)
@@ -423,16 +438,26 @@ def fused_pna_block_stack(
     def vmem():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    if sched == "v3":
+        oh_in = (
+            ids_stack == jnp.arange(BB, dtype=jnp.int32)[None, :]
+        ).astype(jnp.bfloat16)                       # [W*N, BB]
+        oh_spec = blk((W * TN, BB))
+    else:
+        oh_in = jnp.zeros((8, BB), jnp.bfloat16)
+        oh_spec = vmem()
+
     in_specs = [
         blk((TN, F)),
         blk((W * TN, 1)),
         blk((TN, 1)),
+        oh_spec,                  # prebuilt one-hot (v3) / dummy
         blk((TN, BB)),            # adjacency rows
         vmem(), vmem(), vmem(),   # wi, wj, b_pre
         vmem(), vmem(), vmem(),   # k0, ks, b_post
         vmem(), vmem(),           # w_lin, b_lin
     ]
-    inputs = [x, ids_stack, deg2d, adj2d, mats[0], mats[1], b_pre,
+    inputs = [x, ids_stack, deg2d, oh_in, adj2d, mats[0], mats[1], b_pre,
               mats[2], mats[3], b_post, mats[4], b_lin]
 
     grid_spec = pl.GridSpec(
@@ -450,7 +475,7 @@ def fused_pna_block_stack(
                 jnp.bfloat16 if (sched == "v2" and mm == "bf16")
                 else jnp.float32,
             ),
-            # prebuilt one-hot (v2); minimal dummy under v1 (unused)
+            # in-kernel one-hot scratch (v2); minimal dummy otherwise
             pltpu.VMEM(
                 (W * TN, BB) if sched == "v2" else (8, BB), jnp.bfloat16
             ),

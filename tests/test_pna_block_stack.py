@@ -212,7 +212,7 @@ def test_stack_not_dispatched_outside_inference():
 
 
 def test_stack_kernel_sched_v2_matches_v1():
-    """The round-5 v2 schedule (hoisted one-hot scratch, fused split2
+    """The round-5 v2/v3 schedules (hoisted/HBM-prebuilt one-hot, fused split2
     hi/lo dot, bf16 agg scratch) is numerically equivalent to v1 at the
     kernel's contract tolerance, for both gather modes and multi-block
     tiles."""
@@ -240,6 +240,11 @@ def test_stack_kernel_sched_v2_matches_v1():
             x, g.nbr_nodes, g.in_degree, *stacked, sched="v2", **kw
         )
         np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   atol=tol, rtol=tol)
+        o3 = fused_pna_block_stack(
+            x, g.nbr_nodes, g.in_degree, *stacked, sched="v3", **kw
+        )
+        np.testing.assert_allclose(np.asarray(o3), np.asarray(o1),
                                    atol=tol, rtol=tol)
         if gm == "split2":  # bf16 gather is lossy vs the f32 reference
             ref = pna_stack_reference(
