@@ -148,7 +148,7 @@ def _kernel(
 
     h_scr[:] = x_ref[:].astype(jnp.float32)
 
-    if sched == "v2":
+    if sched in ("v2", "v4"):
         # hoist the layer-invariant one-hot build out of the layer loop
         # (v3 goes further: the operand arrives prebuilt via oh_ref)
         def build_oh(k, carry):
@@ -158,7 +158,11 @@ def _kernel(
             ).astype(jnp.bfloat16)
             return carry
 
-        jax.lax.fori_loop(0, KB, build_oh, 0)
+        if sched == "v4":
+            for k_static in range(KB):
+                build_oh(k_static, 0)
+        else:
+            jax.lax.fori_loop(0, KB, build_oh, 0)
 
     for l in range(L):  # static unroll: one stack, different weights/layer
         if "pre" in abl:
@@ -176,7 +180,7 @@ def _kernel(
             u_blk = u_scr[pl.ds(rows, BB), :]
             deg = deg_ref[pl.ds(rows, BB), :]                 # [BB, 1]
             adj = adj_ref[pl.ds(rows, BB), :]                 # [BB, BB] bf16
-            if sched == "v2":
+            if sched in ("v2", "v4"):
                 ohb = None  # prebuilt bf16 one-hot read below
                 oh_pre = oh_scr[
                     pl.ds(pl.multiple_of(k * W * BB, 8), W * BB), :
@@ -244,7 +248,7 @@ def _kernel(
                     preferred_element_type=jnp.float32, precision=_HI,
                 )
             elif gather_mode in ("split2", "bf16"):
-                oh = (oh_pre if sched in ("v2", "v3")
+                oh = (oh_pre if sched in ("v2", "v3", "v4")
                       else ohb.astype(jnp.bfloat16))
                 vh = vblk.astype(jnp.bfloat16)
                 if gather_mode == "split2":
@@ -253,7 +257,7 @@ def _kernel(
                     vl = (vblk - vh.astype(jnp.float32)).astype(
                         jnp.bfloat16
                     )
-                    if sched in ("v2", "v3"):
+                    if sched in ("v2", "v3", "v4"):
                         # hi/lo fused into ONE MXU call on the lane-
                         # concatenated operand (same MACs, half the
                         # matmul launches — measured faster, round 5)
@@ -320,7 +324,11 @@ def _kernel(
                 ).astype(adt)
             return carry
 
-        jax.lax.fori_loop(0, KB, blk, 0)
+        if sched == "v4":
+            for k_static in range(KB):
+                blk(k_static, 0)
+        else:
+            jax.lax.fori_loop(0, KB, blk, 0)
 
         if "ks" in abl:
             y = jnp.concatenate([agg_scr[:, 0:F]] * 3, axis=1)
@@ -394,7 +402,7 @@ def fused_pna_block_stack(
     if act not in _ACTS:
         raise ValueError(f"unsupported fused activation {act!r}")
     assert len(deltas) == L and len(skips) == L
-    if sched in ("v2", "v3") and gather_mode == "highest":
+    if sched in ("v2", "v3", "v4") and gather_mode == "highest":
         sched = "v1"  # v2/v3's prebuilt one-hot is bf16-only
 
     T = N // BB
@@ -472,12 +480,14 @@ def fused_pna_block_stack(
             # one-pass bf16 either way — half the VMEM traffic, same math)
             pltpu.VMEM(
                 (TN, 4 * F),
-                jnp.bfloat16 if (sched == "v2" and mm == "bf16")
+                jnp.bfloat16
+                if (sched in ("v2", "v4") and mm == "bf16")
                 else jnp.float32,
             ),
             # in-kernel one-hot scratch (v2); minimal dummy otherwise
             pltpu.VMEM(
-                (W * TN, BB) if sched == "v2" else (8, BB), jnp.bfloat16
+                (W * TN, BB) if sched in ("v2", "v4") else (8, BB),
+                jnp.bfloat16,
             ),
         ],
     )

@@ -241,11 +241,12 @@ def test_stack_kernel_sched_v2_matches_v1():
         )
         np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
                                    atol=tol, rtol=tol)
-        o3 = fused_pna_block_stack(
-            x, g.nbr_nodes, g.in_degree, *stacked, sched="v3", **kw
-        )
-        np.testing.assert_allclose(np.asarray(o3), np.asarray(o1),
-                                   atol=tol, rtol=tol)
+        for sc in ("v3", "v4"):
+            o3 = fused_pna_block_stack(
+                x, g.nbr_nodes, g.in_degree, *stacked, sched=sc, **kw
+            )
+            np.testing.assert_allclose(np.asarray(o3), np.asarray(o1),
+                                       atol=tol, rtol=tol)
         if gm == "split2":  # bf16 gather is lossy vs the f32 reference
             ref = pna_stack_reference(
                 x, g.nbr_nodes, g.in_degree, layers, (2.0,) * L,
