@@ -114,8 +114,8 @@ def main():
             make_arm("v2_split2_tr2048", "split2", "bf16", "v2",
                      tile_rows=2048),
         ]
-    # two interleaved passes per arm
-    for rep in range(2):
+    # interleaved passes per arm
+    for rep in range(int(os.environ.get("AB_REPS", 2))):
         for name, measure in arms:
             try:
                 us, resolved = measure()

@@ -106,6 +106,13 @@ class GraphBatch:
     block_size_static: int = dataclasses.field(
         metadata=dict(static=True), default=0
     )
+    # True when some (sender, receiver) pair repeats (parallel edges).
+    # Kernels whose dense per-pair formulations are exact only for simple
+    # graphs (the block GAT edge-logit table) gate on it; molecular
+    # datasets are simple graphs, so it is almost always False.
+    multigraph_static: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
 
     @property
     def num_nodes(self) -> int:
@@ -482,4 +489,10 @@ def build_graph_batch(
             _round_up(int(max(n_node)), 8) if n_node else 0
         ),
         block_size_static=int(block_size or 0),
+        multigraph_static=bool(
+            num_edges
+            and np.unique(
+                senders_raw.astype(np.int64) * n_pad + receivers_raw
+            ).size < num_edges
+        ),
     )

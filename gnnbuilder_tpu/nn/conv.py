@@ -628,26 +628,42 @@ class GATConv(nn.Module):
         # fused block-dense attention (softmax in VMEM, ops/pallas/
         # gat_block.py) on block-packed batches in inference scope — the
         # round-4 fix for the XLA block path's [T,H,B,B] HBM round trip
-        # (gat_block_ab.json 0.83x).  Outranks the windowed kernel there;
-        # concat mode, no edge features.
-        if (not self.is_initializing() and self.concat
-                and self.edge_dim is None):
+        # (gat_block_ab.json 0.83x).  Outranks the windowed kernel there.
+        # Round 5: head-mean (concat=False) and edge_dim attention fuse
+        # too — the per-pair edge-logit table is exact for simple graphs
+        # only, so edge mode gates on the packer's multigraph flag.
+        if (not self.is_initializing()
+                and (self.edge_dim is None
+                     or (g.edge_feat is not None
+                         and not g.multigraph_static))):
             from gnnbuilder_tpu.ops import dispatch as _dispatch2
 
             bkcfg = _dispatch2.gat_block_cfg(g)
             if bkcfg is not None:
                 from gnnbuilder_tpu.ops.pallas.gat_block import (
+                    build_block_edge_logits,
                     gat_block_layer_auto,
                 )
 
                 p = self.variables["params"]
+                ekw = {}
+                if self.edge_dim is not None:
+                    a_edge, a_self = self._edge_logits(g, n, H, C)
+                    ekw = dict(
+                        edge_table=build_block_edge_logits(
+                            g.senders, g.receivers, g.edge_mask, a_edge,
+                            n, g.block_size_static,
+                        ),
+                        self_extra=a_self,
+                    )
                 return gat_block_layer_auto(
                     x, g.block_adj,
                     p["lin"]["kernel"], p["att_src"], p["att_dst"],
                     p["bias"], H,
                     neg_slope=self.negative_slope,
                     self_loops=self.add_self_loops,
-                    skip=skip, act=act, **bkcfg,
+                    skip=skip, act=act, concat=self.concat,
+                    **ekw, **bkcfg,
                 )
 
         # fully-fused Pallas layer (projection + SDDMM logits + masked

@@ -132,6 +132,12 @@ def block_gat_attention(
     a_dst,          # [N, H] receiver attention term (a_r . h_i)
     neg_slope: float = 0.2,
     self_loops: bool = True,
+    edge_table=None,   # [T, H, B, B] per-pair edge logit terms (added
+                       # PRE-leaky, PyG edge_dim semantics); exact only
+                       # for simple graphs — the packer's
+                       # multigraph_static flag gates callers
+    self_extra=None,   # [N, H] edge term of the analytic self loop
+                       # (fill_value="mean" projection)
 ):
     """GAT as dense masked attention per block — the FlashAttention-style
     formulation the block layout unlocks (reference left GAT as
@@ -152,14 +158,18 @@ def block_gat_attention(
     mask = A > 0
     asrc = a_src.reshape(T, B, H).transpose(0, 2, 1)   # [T, H, B] (j)
     adst = a_dst.reshape(T, B, H).transpose(0, 2, 1)   # [T, H, B] (i)
-    raw = jax.nn.leaky_relu(
-        adst[:, :, :, None] + asrc[:, :, None, :], neg_slope
-    )                                                   # [T, H, Bi, Bj]
+    z = adst[:, :, :, None] + asrc[:, :, None, :]       # [T, H, Bi, Bj]
+    if edge_table is not None:
+        z = z + edge_table
+    raw = jax.nn.leaky_relu(z, neg_slope)
     masked = jnp.where(mask, raw, -_BIG)
     m = jnp.max(masked, axis=-1)                        # [T, H, Bi]
     if self_loops:
+        sl_z = a_src + a_dst
+        if self_extra is not None:
+            sl_z = sl_z + self_extra
         self_logit = jax.nn.leaky_relu(
-            (a_src + a_dst).reshape(T, B, H).transpose(0, 2, 1), neg_slope
+            sl_z.reshape(T, B, H).transpose(0, 2, 1), neg_slope
         )                                               # [T, H, B]
         m = jnp.maximum(m, self_logit)
     w = jnp.where(mask, A * jnp.exp(raw - m[..., None]), 0.0)

@@ -257,10 +257,14 @@ def _kernel(
                     vl = (vblk - vh.astype(jnp.float32)).astype(
                         jnp.bfloat16
                     )
-                    if sched in ("v2", "v3", "v4"):
+                    if sched in ("v2", "v3"):
                         # hi/lo fused into ONE MXU call on the lane-
                         # concatenated operand (same MACs, half the
-                        # matmul launches — measured faster, round 5)
+                        # matmul launches — measured faster, round 5).
+                        # v4 keeps separate dots: under the unrolled
+                        # block loop the fused form's per-iteration
+                        # temporaries blew the 16 MB scoped-VMEM stack
+                        # (17.15M, chip log r5)
                         vcat = jnp.concatenate([vh, vl], axis=1)
                         G2 = bdot(oh, vcat)                   # [W*BB, 2F]
                         G = G2[:, :F] + G2[:, F:]

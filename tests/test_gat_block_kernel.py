@@ -160,3 +160,87 @@ def test_gatconv_dispatches_block_kernel_in_inference():
     assert calls["n"] == 2, f"block kernel calls: {calls['n']}"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
+
+
+def _simple_block_batch(num_graphs=24, node_dim=8, seed=0):
+    """FakeDataset with duplicate edges removed (simple graphs): the
+    dense per-pair edge-logit table is exact only when multigraph_static
+    is False, which is the molecular-dataset case."""
+    from gnnbuilder_tpu.data.datasets import Graph
+
+    graphs = FakeDataset(num_graphs=num_graphs, avg_num_nodes=12,
+                         node_dim=node_dim, edge_dim=4, seed=seed)
+    out = []
+    for g in graphs:
+        key = g.edge_index[0] * (g.num_nodes + 1) + g.edge_index[1]
+        _, idx = np.unique(key, return_index=True)
+        out.append(Graph(x=g.x, edge_index=g.edge_index[:, idx],
+                         edge_attr=g.edge_attr[idx]))
+    b = build_graph_batch(out, block_size=128, node_multiple=128,
+                          edge_multiple=8)
+    assert not b.multigraph_static
+    return out, b
+
+
+def test_gat_block_mean_mode_matches_reference():
+    """concat=False (PyG head averaging) through the block kernel — the
+    mode the round-4 kernel rejected (VERDICT r4 next #8)."""
+    _, g = _block_batch(node_dim=8)
+    N, F, H, C = g.num_nodes, 128, 4, 32
+    x = jax.random.normal(jax.random.PRNGKey(3), (N, F))
+    w, a_s, a_d, _ = _params(jax.random.PRNGKey(4), F, H, C)
+    b = jax.random.normal(jax.random.PRNGKey(5), (C,)) * 0.1
+    out = gat_block_layer_auto(
+        x, g.block_adj, w, a_s, a_d, b, H,
+        block_size=128, tile_rows=128, interpret=True, mm="f32",
+        act="relu", concat=False,
+    )
+    ref = _reference(x, g.block_adj, w, a_s, a_d, b, H, 0.2, True,
+                     None, "relu", concat=False)
+    assert out.shape == (N, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_gat_block_edge_features_match_windowed_conv():
+    """edge_dim attention through the block kernel == the windowed/XLA
+    GATConv path on the same batch (the per-pair logit table is exact on
+    simple graphs; FakeDataset produces none)."""
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.ops import dispatch
+    from gnnbuilder_tpu.ops.pallas.gat_block import build_block_edge_logits
+
+    graphs, g = _simple_block_batch(node_dim=8)
+    assert not g.multigraph_static
+    conv = gnnb.GATConv(in_channels=8, out_channels=16, heads=2,
+                        edge_dim=4)
+    params = conv.init(jax.random.PRNGKey(7), g, g.node_feat)
+    want = np.asarray(conv.apply(params, g, g.node_feat))
+
+    with dispatch.inference_mode():
+        dispatch.set_fused_mode("always")
+        try:
+            got = np.asarray(conv.apply(params, g, g.node_feat))
+        finally:
+            dispatch.set_fused_mode("auto")
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_gat_block_edge_mean_combo():
+    """edge_dim + concat=False together through the model-level dispatch."""
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.ops import dispatch
+
+    graphs, g = _simple_block_batch(node_dim=8, seed=9)
+    conv = gnnb.GATConv(in_channels=8, out_channels=24, heads=4,
+                        concat=False, edge_dim=4)
+    params = conv.init(jax.random.PRNGKey(8), g, g.node_feat)
+    want = np.asarray(conv.apply(params, g, g.node_feat))
+    with dispatch.inference_mode():
+        dispatch.set_fused_mode("always")
+        try:
+            got = np.asarray(conv.apply(params, g, g.node_feat))
+        finally:
+            dispatch.set_fused_mode("auto")
+    assert got.shape == (g.num_nodes, 24)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
