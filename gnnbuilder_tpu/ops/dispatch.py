@@ -300,22 +300,39 @@ def mp_stack_cfg(g, conv: str, n_layers: int = 1) -> Optional[dict]:
     """Kernel kwargs for the whole-stack block-local mp kernel
     (ops/pallas/mp_block.py) when it applies, else None (the model falls
     back to the per-layer conv loop).  Same gate as the PNA stack
-    (block-packed batch + inference scope + f32/bf16) plus the round-4b
-    staged flag and the per-conv A/B policy above."""
+    (block-packed batch + inference scope) plus the round-4b staged flag
+    and the per-conv A/B policy above; the int8 policy rides the
+    kernel's quant epilogue (round 5) rather than falling back."""
     if conv not in (
         _MP_STACK_CONVS if _MODE != "always" else ("gcn", "gin", "sage")
     ):
         return None
     if not staged_r4b_ok():
         return None
-    cfg = _r4_block_cfg(g)
+    cfg = _r4_block_cfg(g, int8_ok=True)
     if cfg is None:
         return None
     prec_name = cfg.pop("_prec")
     cfg["gather_mode"] = _GATHER_MODE or (
         "bf16" if prec_name == "bf16" else "split2"
     )
+    if cfg.pop("_int8", False):
+        cfg["quant"] = True
     return cfg
+
+
+# Round-5 staged gate: the PNA stack kernel's v4 schedule (statically
+# unrolled block loop + hoisted one-hot + bf16 agg scratch) at tile cap
+# 640.  Within-run chip A/B over 3 interleaved passes
+# (results_tpu/stack_v4c_ab.json): split2 854 -> 669 us (1.28x), bf16
+# 655 us; tr1024 under v4+split2 blows the 16 MB scoped-VMEM stack, so
+# the cap drops to 640 (KB=5 unroll).  Chip parity artifact:
+# results_tpu/r5_verify.json.  GNNB_STAGED_R5=0 stages it back out.
+_STAGED_R5 = os.environ.get("GNNB_STAGED_R5", "1") == "1"
+
+
+def staged_r5_ok() -> bool:
+    return _STAGED_R5 or _MODE == "always"
 
 
 def pna_stack_cfg(g, n_layers: int = 1) -> Optional[dict]:
@@ -330,22 +347,36 @@ def pna_stack_cfg(g, n_layers: int = 1) -> Optional[dict]:
     epilogues not implemented in the stack kernel)."""
     if g.nbr_nodes is None:
         return None
-    cfg = _r4_block_cfg(g)
+    cfg = _r4_block_cfg(g, int8_ok=True)
     if cfg is None:
         return None
     prec_name = cfg.pop("_prec")
     cfg["gather_mode"] = _GATHER_MODE or (
         "bf16" if prec_name == "bf16" else "split2"
     )
+    if cfg.pop("_int8", False):
+        cfg["quant"] = True
+    if staged_r5_ok():
+        from gnnbuilder_tpu.ops.pallas.mp_layer import block_tile_rows
+
+        tn = block_tile_rows(
+            g.num_nodes, g.block_size_static, cap=_TILE_ROWS or 640
+        )
+        if tn is not None:
+            cfg["tile_rows"] = tn
+            cfg["sched"] = "v4"
     return cfg
 
 
-def _r4_block_cfg(g) -> Optional[dict]:
+def _r4_block_cfg(g, int8_ok: bool = False) -> Optional[dict]:
     """Shared gate for the round-4 block-local inference kernels
     (pna_block / gat_block / edge_block): block-packed batch + inference
     scope (their backwards are XLA recomputes; training keeps the
     per-layer fused VJP kernels), staged rollout, f32/bf16 policy, no
-    halo/suppression."""
+    halo/suppression.  ``int8_ok`` callers (the mp stack, whose kernel
+    carries the int8 serving epilogue since round 5) get the config with
+    a ``_int8`` marker instead of a rejection — except under an active
+    calibration scope, where XLA owns the site state."""
     if _MODE == "never" or _SUPPRESSED.get() or _BLOCK == "off":
         return None
     if not staged_r4_ok():
@@ -364,8 +395,14 @@ def _r4_block_cfg(g) -> Optional[dict]:
     from gnnbuilder_tpu.compile.precision import active_precision
 
     prec = active_precision()
-    if prec is not None and prec.name == "int8":
-        return None
+    int8_on = prec is not None and prec.name == "int8"
+    if int8_on:
+        if not (int8_ok and staged_r5_ok()):
+            return None
+        from gnnbuilder_tpu.ops.quant import active_calibration
+
+        if active_calibration() is not None:
+            return None
     on_tpu = jax.default_backend() == "tpu"
     if _MODE == "auto" and not on_tpu:
         return None
@@ -374,13 +411,16 @@ def _r4_block_cfg(g) -> Optional[dict]:
     tn = block_tile_rows(g.num_nodes, BB, cap=_TILE_ROWS or 1024)
     if tn is None:
         return None
-    return dict(
+    out = dict(
         tile_rows=tn,
         block_size=BB,
         mm="bf16" if on_tpu else "f32",
         interpret=not on_tpu,
         _prec=prec.name if prec is not None else None,
     )
+    if int8_on:
+        out["_int8"] = True
+    return out
 
 
 def gat_block_cfg(g) -> Optional[dict]:

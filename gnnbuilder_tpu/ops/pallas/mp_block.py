@@ -40,6 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gnnbuilder_tpu.ops.pallas.mp_layer import _qdot
 from gnnbuilder_tpu.ops.pallas.pna_layer import (
     _ACTS,
     _dot_mm,
@@ -78,10 +79,12 @@ def _kernel(
     x_ref,       # [TN, F] VMEM — layer-0 h
     adj_ref,     # [TN, BB] bf16 — block adjacency rows ([T,BB,BB]->[N,BB])
     deg_ref,     # [TN, 1] int32
-    w0_ref,      # [L, F, F]
+    w0_ref,      # [L, F, F] (int8 when quant)
     b0_ref,      # [L, 1, F]
-    w1_ref,      # [L, F, F]
+    w1_ref,      # [L, F, F] (int8 when quant)
     b1_ref,      # [L, 1, F]
+    sw0_ref,     # [L, 1, F] f32 per-channel weight scales (quant) / dummy
+    sw1_ref,     # [L, 1, F] f32 (quant) / dummy
     out_ref,     # [TN, F]
     h_scr,       # [TN, F] f32 — VMEM-resident hidden state
     s_scr,       # [TN, F] f32 — aggregation target
@@ -95,10 +98,19 @@ def _kernel(
     act: Optional[str],
     gather_mode: str,
     mm: str,
+    quant: bool = False,
 ):
     TN = x_ref.shape[0]
     KB = TN // BB
-    dot = _dot_mm(mm)
+    _dot = _dot_mm(mm)
+    # int8 serving epilogue: the in-kernel mirror of ops/quant.int8_matmul
+    # (mp_layer._qdot) — aggregation stays exact (adjacency matmul, the
+    # XLA int8 policy also leaves it unquantized); only the Linear dots
+    # quantize, reproducing the XLA policy's numerics
+    d0 = (lambda h, l: _qdot(h, w0_ref[l], sw0_ref[l])) if quant else (
+        lambda h, l: _dot(h, w0_ref[l]))
+    d1 = (lambda h, l: _qdot(h, w1_ref[l], sw1_ref[l])) if quant else (
+        lambda h, l: _dot(h, w1_ref[l]))
     degf = deg_ref[:].astype(jnp.float32)
     if conv == "gcn":
         dis = jax.lax.rsqrt(degf + 1.0)          # [TN, 1], +1 self loop
@@ -110,7 +122,7 @@ def _kernel(
         # aggregation source: gcn aggregates the transformed+scaled p,
         # gin/sage aggregate h directly
         if conv == "gcn":
-            t_scr[:] = (dot(h_scr[:], w0_ref[l])) * dis
+            t_scr[:] = d0(h_scr[:], l) * dis
             src = t_scr
         else:
             src = h_scr
@@ -124,11 +136,10 @@ def _kernel(
             o = dis * (s_scr[:] + t_scr[:]) + b0_ref[l]
         elif conv == "gin":
             hh = (1.0 + epss[l]) * h_scr[:] + s_scr[:]
-            o = dot(jax.nn.relu(dot(hh, w0_ref[l]) + b0_ref[l]),
-                    w1_ref[l]) + b1_ref[l]
+            o = d1(jax.nn.relu(d0(hh, l) + b0_ref[l]), l) + b1_ref[l]
         else:  # sage
             mean = s_scr[:] / denom
-            o = dot(mean, w0_ref[l]) + b0_ref[l] + dot(h_scr[:], w1_ref[l])
+            o = d0(mean, l) + b0_ref[l] + d1(h_scr[:], l)
         if skips[l]:
             o = o + h_scr[:]
         h_scr[:] = _ACTS[act](o)
@@ -140,7 +151,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "conv", "epss", "skips", "act", "block_size", "tile_rows",
-        "interpret", "gather_mode", "mm",
+        "interpret", "gather_mode", "mm", "quant",
     ),
 )
 def mp_block_stack(
@@ -157,6 +168,7 @@ def mp_block_stack(
     interpret: bool = False,
     gather_mode: str = "split2",
     mm: str = "f32",
+    quant: bool = False,    # int8 serving epilogue (ops/quant formulas)
 ):
     from gnnbuilder_tpu.ops.pallas.pna_block import block_stack_supported
 
@@ -179,11 +191,27 @@ def mp_block_stack(
     wdt = jnp.bfloat16 if mm == "bf16" and gather_mode != "highest" else (
         jnp.float32
     )
+    if quant:
+        from gnnbuilder_tpu.ops.quant import quantize_weight
+
+        q0s, s0s, q1s, s1s = [], [], [], []
+        for l in range(L):
+            q, sc = quantize_weight(w0[l])
+            q0s.append(q), s0s.append(sc.reshape(1, -1))
+            q, sc = quantize_weight(w1[l])
+            q1s.append(q), s1s.append(sc.reshape(1, -1))
+        w0_in = jnp.stack(q0s)
+        w1_in = jnp.stack(q1s)
+        sw0 = jnp.stack(s0s)
+        sw1 = jnp.stack(s1s)
+    else:
+        w0_in, w1_in = w0.astype(wdt), w1.astype(wdt)
+        sw0 = sw1 = jnp.zeros((L, 1, F), jnp.float32)
 
     kern = functools.partial(
         _kernel, conv=conv, L=L, BB=BB,
         epss=tuple(float(e) for e in epss), skips=tuple(skips), act=act,
-        gather_mode=gather_mode, mm=mm,
+        gather_mode=gather_mode, mm=mm, quant=quant,
     )
 
     def blk(shape):
@@ -199,7 +227,7 @@ def mp_block_stack(
         grid=(max(N // TN, 1),),
         in_specs=[
             blk((TN, F)), blk((TN, BB)), blk((TN, 1)),
-            vmem(), vmem(), vmem(), vmem(),
+            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
         ],
         out_specs=blk((TN, F)),
         scratch_shapes=[
@@ -221,7 +249,7 @@ def mp_block_stack(
             transcendentals=N * L,
         ),
         interpret=interpret,
-    )(x, adj2d, deg2d, w0.astype(wdt), b0, w1.astype(wdt), b1)
+    )(x, adj2d, deg2d, w0_in, b0, w1_in, b1, sw0, sw1)
 
 
 def mp_stack_reference(x, block_adj, in_degree, conv, layers, epss, skips,
@@ -258,13 +286,14 @@ def mp_stack_reference(x, block_adj, in_degree, conv, layers, epss, skips,
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(conv, epss, skips, act, block_size, tile_rows, interpret,
-                 gather_mode, mm):
+                 gather_mode, mm, quant=False):
     @jax.custom_vjp
     def f(x, adj, deg, w0, b0, w1, b1):
         return mp_block_stack(
             x, adj, deg, w0, b0, w1, b1, conv=conv, epss=epss, skips=skips,
             act=act, block_size=block_size, tile_rows=tile_rows,
             interpret=interpret, gather_mode=gather_mode, mm=mm,
+            quant=quant,
         )
 
     def fwd(x, adj, deg, w0, b0, w1, b1):
@@ -299,10 +328,10 @@ def _make_vjp_fn(conv, epss, skips, act, block_size, tile_rows, interpret,
 
 def mp_block_stack_vjp(x, block_adj, in_degree, w0, b0, w1, b1, conv, epss,
                        skips, act, block_size, tile_rows, interpret,
-                       gather_mode, mm):
+                       gather_mode, mm, quant=False):
     fn = _make_vjp_fn(conv, tuple(float(e) for e in epss),
                       tuple(bool(s) for s in skips), act, block_size,
-                      tile_rows, interpret, gather_mode, mm)
+                      tile_rows, interpret, gather_mode, mm, quant=quant)
     return fn(x, block_adj, in_degree.astype(jnp.int32), w0, b0, w1, b1)
 
 
@@ -321,11 +350,14 @@ def mp_block_stack_auto(
     interpret: bool = False,
     gather_mode: str = "split2",
     mm: str = "f32",
+    quant: bool = False,
 ):
     """Whole-stack fused mp conv on a block-packed batch with automatic
     feature padding; returns [N, out_dim].  Pad lanes are inert: padded
     weight ROWS are zero, so pad lanes of h contribute nothing to real
-    lanes (same argument as pna_block._stack_params)."""
+    lanes (same argument as pna_block._stack_params; under ``quant`` the
+    zero pad rows/channels quantize to zero ints with tiny scales, still
+    inert)."""
     dims = [x.shape[1]]
     for w0, b0, w1, b1 in layers:
         dims += [a.shape[1] for a in (w0, w1) if a is not None]
@@ -349,7 +381,7 @@ def mp_block_stack_auto(
     out = mp_block_stack_vjp(
         xp, block_adj, in_degree, w0, b0, w1, b1, conv, tuple(epss),
         tuple(skips), act, block_size, tile_rows, interpret, gather_mode,
-        mm,
+        mm, quant=quant,
     )
     if out_dim is None:
         last = layers[-1]

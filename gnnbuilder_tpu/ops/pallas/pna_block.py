@@ -109,6 +109,11 @@ def _kernel(
     bpost_ref,    # [L, 1, F]
     wlin_ref,     # [L, F, F]
     blin_ref,     # [L, 1, F]
+    swi_ref,      # [L, 1, F] f32 per-channel weight scales (quant)/dummy
+    swj_ref,      # [L, 1, F]
+    swk0_ref,     # [L, 1, F]
+    swks_ref,     # [L, 1, 3F]
+    swlin_ref,    # [L, 1, F]
     out_ref,      # [TN, F]
     h_scr,        # [TN, F] f32 — the VMEM-resident hidden state
     v_scr,        # [TN, F] f32
@@ -132,6 +137,7 @@ def _kernel(
     adj_sums: bool = False,
     ablate: Optional[str] = None,
     sched: str = "v1",
+    quant: bool = False,
 ):
     # ``ablate`` is a measurement hook (experiments/stack_ablate.py): a
     # comma-separated set of stages to skip ("pre", "gather", "walk",
@@ -144,6 +150,13 @@ def _kernel(
     F = wi_ref.shape[2]
     KB = TN // BB
     dot = _dot_mm(mm)
+    if quant:
+        # int8 serving epilogue (ops/quant formulas via mp_layer._qdot):
+        # every Linear dot quantizes; the one-hot gather stays exact
+        # (the XLA int8 policy also leaves aggregation unquantized)
+        from gnnbuilder_tpu.ops.pallas.mp_layer import _qdot
+
+        qd = lambda h, wref, sref, l: _qdot(h, wref[l], sref[l])
     lane = jax.lax.broadcasted_iota(jnp.int32, (W * BB, BB), 1)
 
     h_scr[:] = x_ref[:].astype(jnp.float32)
@@ -165,7 +178,10 @@ def _kernel(
             jax.lax.fori_loop(0, KB, build_oh, 0)
 
     for l in range(L):  # static unroll: one stack, different weights/layer
-        if "pre" in abl:
+        if quant:
+            v_scr[:] = qd(h_scr[:], wj_ref, swj_ref, l)
+            u_scr[:] = qd(h_scr[:], wi_ref, swi_ref, l) + bpre_ref[l]
+        elif "pre" in abl:
             v_scr[:] = h_scr[:]
             u_scr[:] = h_scr[:] + bpre_ref[l]
         else:
@@ -336,6 +352,8 @@ def _kernel(
 
         if "ks" in abl:
             y = jnp.concatenate([agg_scr[:, 0:F]] * 3, axis=1)
+        elif quant:
+            y = qd(agg_scr[:].astype(jnp.float32), ks_ref, swks_ref, l)
         else:
             y = dot(agg_scr[:], ks_ref[l])                    # [TN, 3F]
         degt = jnp.maximum(deg_ref[:].astype(jnp.float32), 1.0)
@@ -346,14 +364,17 @@ def _kernel(
             o = (y[:, :F] + amp * y[:, F : 2 * F]
                  + att * y[:, 2 * F :] + bpost_ref[l])
         else:
+            k0dot = (qd(h_scr[:], k0_ref, swk0_ref, l) if quant
+                     else dot(h_scr[:], k0_ref[l]))
             mid = (
-                dot(h_scr[:], k0_ref[l])
+                k0dot
                 + bpost_ref[l]
                 + y[:, :F]
                 + amp * y[:, F : 2 * F]
                 + att * y[:, 2 * F :]
             )
-            o = dot(mid, wlin_ref[l]) + blin_ref[l]
+            o = (qd(mid, wlin_ref, swlin_ref, l) if quant
+                 else dot(mid, wlin_ref[l])) + blin_ref[l]
         if skips[l]:
             o = o + h_scr[:]
         h_scr[:] = _ACTS[act](o)
@@ -365,7 +386,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "deltas", "skips", "act", "block_size", "tile_rows", "interpret",
-        "gather_mode", "mm", "adj_sums", "ablate", "sched",
+        "gather_mode", "mm", "adj_sums", "ablate", "sched", "quant",
     ),
 )
 def fused_pna_block_stack(
@@ -393,6 +414,7 @@ def fused_pna_block_stack(
     ablate: Optional[str] = None,  # measurement hook, see _kernel
     sched: str = "v1",  # "v2": hoisted one-hot + fused split2 dot +
                         # bf16 agg scratch (round-5 gather restructure)
+    quant: bool = False,  # int8 serving epilogue on every Linear dot
 ):
     N, F = x.shape
     L = wi.shape[0]
@@ -431,16 +453,31 @@ def fused_pna_block_stack(
 
     # matmul operands ship bf16 when the dots run one-pass bf16 anyway
     # (identical numerics to the in-kernel cast, half the VMEM); biases
-    # stay f32 — they add into f32 accumulators
+    # stay f32 — they add into f32 accumulators.  Under quant the
+    # Linears ship int8 with per-channel scale rows.
     wdt = jnp.bfloat16 if mm == "bf16" and gather_mode != "highest" else (
         jnp.float32
     )
-    mats = [a.astype(wdt) for a in (wi, wj, k0, ks, w_lin)]
+    if quant:
+        from gnnbuilder_tpu.ops.quant import quantize_weight
+
+        mats, scales = [], []
+        for a in (wi, wj, k0, ks, w_lin):
+            qs, ss = [], []
+            for l in range(L):
+                q, sc = quantize_weight(a[l])
+                qs.append(q), ss.append(sc.reshape(1, -1))
+            mats.append(jnp.stack(qs))
+            scales.append(jnp.stack(ss))
+    else:
+        mats = [a.astype(wdt) for a in (wi, wj, k0, ks, w_lin)]
+        scales = [jnp.zeros((L, 1, a.shape[2]), jnp.float32)
+                  for a in (wi, wj, k0, ks, w_lin)]
 
     kern = functools.partial(
         _kernel, L=L, W=W, BB=BB, deltas=tuple(float(d) for d in deltas),
         gather_mode=gather_mode, mm=mm, act=act, skips=tuple(skips),
-        adj_sums=adj_sums, ablate=ablate, sched=sched,
+        adj_sums=adj_sums, ablate=ablate, sched=sched, quant=quant,
     )
 
     def blk(shape):
@@ -468,9 +505,10 @@ def fused_pna_block_stack(
         vmem(), vmem(), vmem(),   # wi, wj, b_pre
         vmem(), vmem(), vmem(),   # k0, ks, b_post
         vmem(), vmem(),           # w_lin, b_lin
+        vmem(), vmem(), vmem(), vmem(), vmem(),   # weight scales
     ]
     inputs = [x, ids_stack, deg2d, oh_in, adj2d, mats[0], mats[1], b_pre,
-              mats[2], mats[3], b_post, mats[4], b_lin]
+              mats[2], mats[3], b_post, mats[4], b_lin] + scales
 
     grid_spec = pl.GridSpec(
         grid=(max(N // TN, 1),),
@@ -575,7 +613,7 @@ def _stack_params(layers, F_p):
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(deltas, skips, act, block_size, tile_rows, interpret,
-                 gather_mode, mm, n_layers):
+                 gather_mode, mm, n_layers, sched="v1", quant=False):
     @jax.custom_vjp
     def f(x, nbr, deg, adj, *flat):
         stacked = flat
@@ -583,7 +621,7 @@ def _make_vjp_fn(deltas, skips, act, block_size, tile_rows, interpret,
             x, nbr, deg, *stacked, deltas=deltas, skips=skips, act=act,
             block_size=block_size, tile_rows=tile_rows,
             interpret=interpret, gather_mode=gather_mode, mm=mm,
-            block_adj=adj if adj.size else None,
+            block_adj=adj if adj.size else None, sched=sched, quant=quant,
         )
 
     def fwd(x, nbr, deg, adj, *flat):
@@ -631,11 +669,12 @@ def _make_vjp_fn(deltas, skips, act, block_size, tile_rows, interpret,
 
 def fused_pna_block_stack_vjp(x, nbr, deg, stacked, deltas, skips, act,
                               block_size, tile_rows, interpret,
-                              gather_mode, mm, block_adj=None):
+                              gather_mode, mm, block_adj=None,
+                              sched="v1", quant=False):
     fn = _make_vjp_fn(
         tuple(float(d) for d in deltas), tuple(bool(s) for s in skips),
         act, block_size, tile_rows, interpret, gather_mode, mm,
-        len(deltas),
+        len(deltas), sched=sched, quant=quant,
     )
     adj = (block_adj if block_adj is not None
            else jnp.zeros((0,), jnp.bfloat16))
@@ -657,6 +696,8 @@ def pna_block_stack_auto(
     gather_mode: str = "split2",
     mm: str = "f32",
     block_adj=None,
+    sched: str = "v1",
+    quant: bool = False,
 ):
     """Whole-stack fused PNA on a block-packed batch with automatic
     feature padding; returns [N, out_dim] (the last layer's real width)."""
@@ -670,7 +711,7 @@ def pna_block_stack_auto(
     out = fused_pna_block_stack_vjp(
         xp, nbr_nodes, in_degree, stacked, tuple(deltas), tuple(skips),
         act, block_size, tile_rows, interpret, gather_mode, mm,
-        block_adj=block_adj,
+        block_adj=block_adj, sched=sched, quant=quant,
     )
     if out_dim is None:
         out_dim = layers[-1][4].shape[1]

@@ -254,3 +254,72 @@ def test_stack_kernel_sched_v2_matches_v1():
             )
             np.testing.assert_allclose(np.asarray(o2), np.asarray(ref),
                                        atol=1e-3, rtol=2e-3)
+
+
+def test_pna_stack_int8_matches_xla_int8():
+    """int8 serving through the PNA stack kernel (round-5 quant
+    epilogues on all five Linear dot families) vs the XLA int8 policy
+    path.  The weight-scale GROUPING differs slightly (the XLA path
+    quantizes pre_nn [2F,F] / post_nn [13F,F] jointly; the kernel
+    quantizes the split operands per piece), so the bar is the
+    established int8-vs-f32 accumulation tolerance rather than
+    bit-parity."""
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.data.datasets import FakeDataset
+    from gnnbuilder_tpu.ops import dispatch
+
+    graphs = FakeDataset(num_graphs=24, avg_num_nodes=12, node_dim=8,
+                         seed=6)
+    g = build_graph_batch(graphs, block_size=128, node_multiple=128,
+                          edge_multiple=8)
+    model = gnnb.GNNModel(
+        graph_input_feature_dim=8, gnn_hidden_dim=128, gnn_num_layers=3,
+        gnn_output_dim=128, gnn_conv="pna",
+        conv_kwargs={"delta": 2.0}, pooling_aggrs=("mean",),
+        mlp_out_dim=1,
+    )
+    prog = gnnb.Program(
+        model, max_nodes=g.num_nodes, max_edges=g.num_edges,
+        max_graphs=g.num_graphs, block_size=128,
+    )
+    prog.init_params(g)
+
+    p8_ref = gnnb.Program(
+        model, max_nodes=g.num_nodes, max_edges=g.num_edges,
+        max_graphs=g.num_graphs, precision="int8", block_size=128,
+    )
+    p8_ref.set_params(prog.params)
+    dispatch.set_fused_mode("never")
+    try:
+        ref = np.asarray(p8_ref.forward(g))
+    finally:
+        dispatch.set_fused_mode("auto")
+
+    from gnnbuilder_tpu.ops.pallas import pna_block as _pb
+
+    calls = {"n": 0}
+    orig = _pb.pna_block_stack_auto
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        assert k.get("quant"), "int8 policy did not reach the stack"
+        return orig(*a, **k)
+
+    p8 = gnnb.Program(
+        model, max_nodes=g.num_nodes, max_edges=g.num_edges,
+        max_graphs=g.num_graphs, precision="int8", block_size=128,
+    )
+    p8.set_params(prog.params)
+    _pb.pna_block_stack_auto = counting
+    dispatch.set_fused_mode("always")
+    try:
+        got = np.asarray(p8.forward(g))
+    finally:
+        dispatch.set_fused_mode("auto")
+        _pb.pna_block_stack_auto = orig
+    assert calls["n"] >= 1
+
+    mask = np.asarray(g.graph_mask)
+    denom = np.abs(ref[mask]).max() + 1e-6
+    rel = np.abs(got[mask] - ref[mask]).max() / denom
+    assert rel < 0.05, rel
