@@ -40,6 +40,7 @@ def main():
     from gnnbuilder_tpu.dse.space import sample_space
 
     eng = DSEEngine.from_pretrained(dataset="qm9")
+    bs = int(os.environ.get("RANK_BS", 64))
     # fast-regime candidate pool: serving-style configs
     axes = {
         "conv": ["gcn", "gin", "sage", "pna"],
@@ -49,7 +50,7 @@ def main():
         "gnn_skip_connection": [True, False],
         "mlp_hidden_dim": [64],
         "mlp_hidden_layers": [2],
-        "batch_size": [64],
+        "batch_size": [bs],
         "precision": ["f32", "bf16"],
         "ell_width": [None],
         "tile_rows": [None],
@@ -78,13 +79,13 @@ def main():
         if not ests:
             continue
         meas = float(np.median(ests))
-        bs = float(cfg.batch_size)
+        cfg_bs = float(cfg.batch_size)
         rows.append({
             "conv": cfg.conv, "hidden": cfg.gnn_hidden_dim,
             "layers": cfg.gnn_num_layers, "precision": cfg.precision,
             "block": getattr(cfg, "block_size", 0),
             "pred_per_graph_us": float(pred[i]),
-            "meas_per_graph_us": meas / bs,
+            "meas_per_graph_us": meas / cfg_bs,
             "meas_total_us": meas,
             "ests_us": ests,
             "pick": ("top3" if rank < 3
@@ -112,7 +113,11 @@ def main():
         ),
         "protocol": "median-of-3 inner-chain estimates, one session",
     }
-    out = os.path.join(ROOT, "results_tpu", "dse_rank_check.json")
+    report["batch_size"] = bs
+    out = os.path.join(
+        ROOT, "results_tpu",
+        "dse_rank_check.json" if bs == 64 else f"dse_rank_check_b{bs}.json",
+    )
     with open(out, "w") as f:
         json.dump(report, f, indent=1, default=float)
     print(json.dumps({k: v for k, v in report.items() if k != "rows"}))

@@ -80,6 +80,7 @@ def batch_shardings(mesh: Mesh, batch: GraphBatch) -> GraphBatch:
         num_graphs_static=batch.num_graphs_static,
         max_graph_nodes_static=batch.max_graph_nodes_static,
         block_size_static=batch.block_size_static,
+        multigraph_static=batch.multigraph_static,
     )
 
 
@@ -158,6 +159,7 @@ def halo_batch_specs(batch: GraphBatch) -> GraphBatch:
         num_graphs_static=batch.num_graphs_static,
         max_graph_nodes_static=batch.max_graph_nodes_static,
         block_size_static=batch.block_size_static,
+        multigraph_static=batch.multigraph_static,
     )
 
 
