@@ -213,9 +213,11 @@ def refresh_below(threshold_us: float, max_minutes: float = 1e9):
     for r in rows:
         r.setdefault("label_session", "")
     cfgs = rows_to_configs(rows)
+    # round-5 stamp: dispatch changed again (v4 stack schedule, int8
+    # stacks — commit r5_verify), so rows refreshed in r4b are stale too
     todo = [i for i, r in enumerate(rows)
             if float(r["latency_us"]) < threshold_us
-            and r["label_session"] != "r4b"]
+            and r["label_session"] != "r5"]
     # smallest labels first: staleness is worst (and MAPE impact largest)
     # at the small-magnitude end, so a time-budgeted run covers the rows
     # that matter most
@@ -265,7 +267,7 @@ def refresh_below(threshold_us: float, max_minutes: float = 1e9):
         r["graphs_per_s"] = repr(bs / (new * 1e-6))
         r["protocol"] = fresh["protocol"]
         r["overhead_us"] = repr(float(fresh.get("overhead_us", 0.0)))
-        r["label_session"] = "r4b"
+        r["label_session"] = "r5"
         flush()
     if shifts:
         print(f"label shift vs stale dispatch: median "
