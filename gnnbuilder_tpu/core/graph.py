@@ -187,14 +187,17 @@ ELL_MAX_WIDTH = 64
 
 # --- block-packing auto policy -------------------------------------------
 # Crossover (total REAL nodes in the batch) above which block-diagonal
-# packing wins over standard contiguous packing.  Measured on chip
-# (results_tpu/block_insitu_b256.json vs BENCH_r04.json): the whole-stack
-# block kernels amortize their per-grid-step weight residency only once
-# the batch spans enough 128-row blocks; below the crossover the windowed
-# per-layer kernels on a tightly padded standard batch are faster.
+# packing wins over standard contiguous packing.  Round-5 measurements
+# moved this DOWN from the first 8192 guess: the round-4 driver's
+# b256-block "regression" was per-call relay overhead, not kernel time
+# (results_tpu/block_insitu_b256.json: 285 us DEVICE time for the b256
+# block model), and bench_r5's within-run arms had block WINNING at b256
+# (0.51 vs 0.80 ms/call medians).  Block packing needs only a handful of
+# 128-row blocks to amortize; below ~1024 nodes the padded block grid is
+# mostly waste and standard packing keeps tighter shapes.
 # Env-overridable for re-measurement on new hardware.
 _BLOCK_AUTO_MIN_NODES = int(
-    __import__("os").environ.get("GNNB_BLOCK_AUTO_MIN_NODES", "8192")
+    __import__("os").environ.get("GNNB_BLOCK_AUTO_MIN_NODES", "1024")
 )
 _BLOCK_AUTO_SIZE = 128
 
