@@ -43,6 +43,7 @@ def main():
     log(f"devices: {jax.devices()}")
     bs = int(os.environ.get("ABL_BS", 1024))
     sched = os.environ.get("ABL_SCHED", "v1")
+    tr = int(os.environ.get("ABL_TR", "640" if sched == "v4" else "1024"))
     _, batches = canonical_batches(
         "qm9", n_graphs=max(2 * bs, 64), batch_size=bs,
         node_multiple=1024, block_size=128,
@@ -67,6 +68,7 @@ def main():
     skips = tuple([False] + [True] * (L - 2) + [False])
 
     results = {"meta": {"bs": bs, "N": N, "W": W, "sched": sched,
+                        "tile_rows": tr,
                         "protocol": "inner-chain k=1/5, within-run"}}
 
     def run_arm(name, **kw):
@@ -79,7 +81,7 @@ def main():
                         b.nbr_nodes, b.in_degree,
                         wi, wj, bpre, k0, ks, bpost, wlin, blin,
                         deltas=deltas, skips=skips, act="relu",
-                        block_size=128, tile_rows=1024,
+                        block_size=128, tile_rows=tr,
                         gather_mode="split2", mm="bf16", sched=sched,
                         block_adj=b.block_adj, **kw,
                     )
