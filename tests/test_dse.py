@@ -203,3 +203,26 @@ def test_cv_mape_banded_contract():
     assert sum(v["n"] for v in out.values()) == len(cfgs)
     for k, v in out.items():
         assert v["n"] > 0 and np.isfinite(v["mape"])
+
+
+def test_predict_with_noise_floor_bands():
+    """predict_with_noise_floor returns the measured cross-session
+    label-reproducibility band for each prediction's magnitude (round-5
+    abstention API; dse_label_retest.json bands)."""
+    import numpy as np
+
+    from gnnbuilder_tpu.dse.model import CostModel, label_noise_floor
+    from gnnbuilder_tpu.dse.space import sample_space
+
+    assert label_noise_floor(40.0) == 0.85
+    assert label_noise_floor(900.0) == 0.30
+    assert label_noise_floor(5000.0) == 0.08
+
+    cfgs = sample_space(24, seed=0)
+    rng = np.random.default_rng(0)
+    y = np.exp(rng.uniform(np.log(20), np.log(5000), len(cfgs)))
+    m = CostModel(target="latency_us").fit(cfgs, y)
+    pred, floors = m.predict_with_noise_floor(cfgs)
+    assert pred.shape == floors.shape == (len(cfgs),)
+    for p, f in zip(pred, floors):
+        assert f == label_noise_floor(p)
