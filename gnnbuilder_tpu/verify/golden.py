@@ -79,15 +79,36 @@ def serialize_params(params, out_dir: str) -> list[str]:
     return written
 
 
+VALID_OUTPUT_ENCODINGS = (
+    "regression", "classification_integer", "classification_onehot"
+)
+
+
 def gen_testbench_data(
     program,
     graphs: Sequence,
     out_dir: str,
     max_graphs: Optional[int] = None,
+    output_encoding: str = "regression",
+    num_classes: Optional[int] = None,
 ) -> dict:
     """Serialize parameters + per-graph inputs + the model's golden outputs
     (reference code_gen.py:227-305: the golden forward pass over the whole
-    dataset is the hot loop there too)."""
+    dataset is the hot loop there too).
+
+    ``output_encoding`` mirrors the reference's pyg_output_encoding switch
+    (code_gen.py:101-109, 270-277) for the task_golden_output files:
+    "regression" / "classification_onehot" write y as-is (the onehot mode
+    additionally checks width == num_classes); "classification_integer"
+    expands an integer class label into a one-hot float vector of
+    ``num_classes``."""
+    if output_encoding not in VALID_OUTPUT_ENCODINGS:
+        raise ValueError(
+            f"output_encoding must be one of {VALID_OUTPUT_ENCODINGS}, "
+            f"got {output_encoding!r}"
+        )
+    if output_encoding == "classification_integer" and not num_classes:
+        raise ValueError("classification_integer needs num_classes")
     os.makedirs(out_dir, exist_ok=True)
     if program.params is None:
         program.init_params()
@@ -125,8 +146,17 @@ def gen_testbench_data(
         )
         y = getattr(g, "y", None)
         if y is not None:
+            if output_encoding == "classification_integer":
+                # reference code_gen.py:272-275: integer label -> one-hot
+                t = np.zeros((num_classes,), np.float32)
+                t[int(np.asarray(y).reshape(-1)[0])] = 1.0
+            else:
+                t = np.asarray(y, np.float32).reshape(-1)
+                if output_encoding == "classification_onehot":
+                    # reference code_gen.py:276-277
+                    assert num_classes is None or t.shape[0] == num_classes
             serialize_tensor(
-                np.asarray(y, np.float32).reshape(-1),
+                t,
                 os.path.join(gdir, f"graph_{i}_task_golden_output.bin"),
             )
         batch = program.batch([g])

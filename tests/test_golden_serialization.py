@@ -113,3 +113,43 @@ def test_program_from_dataset_buckets_fit():
     for i in range(0, 40, 8):
         b = prog.batch(graphs[i : i + 8])
         assert b.num_nodes == prog.bucket.max_nodes
+
+
+def test_task_output_encodings(tmp_path):
+    """The reference's pyg_output_encoding switch (code_gen.py:101-109,
+    270-277): classification_integer expands an int label to a one-hot
+    float vector; onehot/regression write y as-is; bad names raise."""
+    import numpy as np
+    import pytest
+
+    import gnnbuilder_tpu as gnnb
+    from gnnbuilder_tpu.data.datasets import FakeDataset
+    from gnnbuilder_tpu.verify.golden import gen_testbench_data
+
+    graphs = list(FakeDataset(num_graphs=3, avg_num_nodes=8, node_dim=4,
+                              seed=0))
+    for i, g in enumerate(graphs):
+        g.y = np.asarray([i % 2], np.int64)  # integer class labels
+    model = gnnb.GNNModel(
+        graph_input_feature_dim=4, gnn_hidden_dim=8, gnn_num_layers=2,
+        gnn_output_dim=4, gnn_conv="gcn", pooling_aggrs=("mean",),
+        mlp_out_dim=2,
+    )
+    prog = gnnb.Program(model, max_nodes=128, max_edges=256, max_graphs=2)
+    prog.init_params(prog.batch(graphs[:1]))
+
+    d = tmp_path / "int_enc"
+    gen_testbench_data(prog, graphs, str(d),
+                       output_encoding="classification_integer",
+                       num_classes=2)
+    t = np.fromfile(
+        str(d / "graphs" / "graph_1_task_golden_output.bin"), np.float32
+    )
+    np.testing.assert_array_equal(t, [0.0, 1.0])
+
+    with pytest.raises(ValueError, match="output_encoding"):
+        gen_testbench_data(prog, graphs, str(tmp_path / "bad"),
+                           output_encoding="nope")
+    with pytest.raises(ValueError, match="num_classes"):
+        gen_testbench_data(prog, graphs, str(tmp_path / "bad2"),
+                           output_encoding="classification_integer")
