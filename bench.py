@@ -234,17 +234,27 @@ def main():
         kk = _np.array(sorted(times))
         tt = _np.array([times[int(i)] for i in kk])
         slope, intercept = _np.polyfit(kk, tt, 1)
-        if float(tt[-1]) > 1.5 * float(tt[0]) and slope > 0:
+        # degraded-session guard: when the relay's per-call floor is
+        # inflated (intercept far above the nominal ~0.1 ms), the floor
+        # itself grows with the timing window and the "fit" resolves ON
+        # THE FLOOR, not on device time (seen: a 0.159 ms "device" slope
+        # with a 0.26 ms intercept in a session whose b1 calls took
+        # 1.6 ms; clean sessions bound device time at <0.023 ms).  Such
+        # fits are reported as upper bounds, never as device time.
+        session_degraded = float(intercept) > 0.15e-3
+        if (float(tt[-1]) > 1.5 * float(tt[0]) and slope > 0
+                and not session_degraded):
             device_b1_ms = float(slope) * 1e3
             log(f"batch=1 DEVICE time (issue floor fitted out): "
                 f"{device_b1_ms:.3f} ms "
                 f"(per-call overhead {intercept*1e3:.3f} ms)")
         else:
-            # even 8 chained forwards return within the per-call issue
-            # floor: the device forward is faster than observable from
-            # this host — report the upper bound times[8]/8
+            # flat in k (device faster than observable) OR a degraded
+            # session floor: report the honest upper bound times[8]/8
             device_b1_upper_ms = float(times[8]) / 8 * 1e3
-            log(f"batch=1 device time unresolved (flat in k): "
+            why = ("session floor degraded"
+                   if session_degraded else "flat in k")
+            log(f"batch=1 device time unresolved ({why}): "
                 f"UPPER BOUND {device_b1_upper_ms:.3f} ms "
                 f"(8 chained forwards inside one call window)")
     except Exception as e:  # noqa: BLE001
